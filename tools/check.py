@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Dev-only local emulation of the driver's DuckDB-oracle correctness gate.
+
+NOT part of the shipped library (the Scala code never depends on this).
+Usage:  python3 tools/check.py <outDir> <sfDir> [query ...]
+
+Reads <outDir>/<name>/ parquet (written by `sbt "runMain graft.Verify ..."`)
+and <outDir>/oracle_sql.json, runs each oracle in DuckDB against views named
+after the parquet tables in <sfDir>, and compares (column-name-sorted,
+row-sorted) results.
+"""
+import json, math, sys
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = round(v, 9)
+            vals.append(repr(v))
+        out.append(tuple(vals))
+    out.sort()
+    return [c for _, c in sorted(zip([cols[i] for i in order], [cols[i] for i in order]))], out
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = n_skip = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        sql = oracle[name]
+        try:
+            got_rel = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            got_cols = [d[0] for d in got_rel.description]
+            got = got_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: cannot read spark output: {e}")
+            n_fail += 1
+            continue
+        try:
+            exp_rel = con.execute(sql)
+            exp_cols = [d[0] for d in exp_rel.description]
+            exp = exp_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        if sorted(got_cols) != sorted(exp_cols):
+            print(f"FAIL {name}: columns spark={sorted(got_cols)} duck={sorted(exp_cols)}")
+            n_fail += 1
+            continue
+        _, g = canon(got, got_cols)
+        _, e = canon(exp, exp_cols)
+        if g == e:
+            print(f"PASS {name} ({len(g)} rows)")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: rows spark={len(g)} duck={len(e)}")
+            diff = [(a, b) for a, b in zip(g, e) if a != b][:3]
+            for a, b in diff:
+                print(f"   spark: {a}\n   duck : {b}")
+            if len(g) != len(e):
+                only_g = set(g) - set(e)
+                only_e = set(e) - set(g)
+                for x in list(only_g)[:3]:
+                    print(f"   only-spark: {x}")
+                for x in list(only_e)[:3]:
+                    print(f"   only-duck : {x}")
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail, {n_skip} skip")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
