@@ -25,14 +25,16 @@ import org.apache.spark.sql.functions._
   */
 object Grep {
 
-  /** (file, lineno, line) for every line of every file under `path`. */
+  /** (file, lineno, line) for every line of every file under `path`.
+    * split limit=0 drops trailing empty strings (Java semantics) — the
+    * reference's `str::lines()` likewise yields nothing after the final
+    * newline (grep.rs:41-45); interior empty lines keep their positions.
+    */
   def numberedLines(spark: SparkSession, path: String): DataFrame =
     spark.read.option("wholetext", "true").text(path)
       .select(input_file_name().as("file"), col("value"))
       .select(col("file"),
-        posexplode(split(col("value"), "\n", -1)).as(Seq("pos", "line")))
-      // trailing newline in the file yields one empty trailing element;
-      // the reference iterates str::lines() which drops it (grep.rs:41-45)
+        posexplode(split(col("value"), "\n", 0)).as(Seq("pos", "line")))
       .withColumn("lineno", col("pos") + 1)
       .drop("pos")
 
@@ -40,14 +42,8 @@ object Grep {
   def matches(lines: DataFrame, term: String): DataFrame =
     lines.filter(col("line").contains(term))
 
-  def overTextFiles(spark: SparkSession, path: String, term: String): DataFrame = {
-    val lines = numberedLines(spark, path)
-    // drop the synthetic empty last "line" produced by a trailing \n
-    val noTrailing = lines.filter(!(col("line") === "" &&
-      col("lineno") === max(col("lineno")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("file")))))
-    matches(noTrailing, term).orderBy(col("file"), col("lineno"))
-  }
+  def overTextFiles(spark: SparkSession, path: String, term: String): DataFrame =
+    matches(numberedLines(spark, path), term).orderBy(col("file"), col("lineno"))
 
   /** Reference-golden report (grep.rs:80-102). Driver-side; tiny fixtures. */
   def report(matched: DataFrame): String = {
