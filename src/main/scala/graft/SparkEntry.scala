@@ -14,7 +14,12 @@ object SparkEntry {
 
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (Q.ReferenceApps.queries, Q.ReferenceApps.oracles)
+      (Q.ReferenceApps.queries, Q.ReferenceApps.oracles),
+      (Q.RelationalQueries.queries, Q.RelationalQueries.oracles),
+      (Q.JoinQueries.queries, Q.JoinQueries.oracles),
+      (Q.WindowQueries.queries, Q.WindowQueries.oracles),
+      (Q.FunctionQueries.queries, Q.FunctionQueries.oracles),
+      (Q.EventQueries.queries, Q.EventQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
