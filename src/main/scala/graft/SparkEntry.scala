@@ -19,7 +19,11 @@ object SparkEntry {
       (Q.JoinQueries.queries, Q.JoinQueries.oracles),
       (Q.WindowQueries.queries, Q.WindowQueries.oracles),
       (Q.FunctionQueries.queries, Q.FunctionQueries.oracles),
-      (Q.EventQueries.queries, Q.EventQueries.oracles)
+      (Q.EventQueries.queries, Q.EventQueries.oracles),
+      (Q.DedupQueries.queries, Q.DedupQueries.oracles),
+      (Q.SimilarityQueries.queries, Q.SimilarityQueries.oracles),
+      (Q.TextQueries.queries, Q.TextQueries.oracles),
+      (Q.MultimodalQueries.queries, Q.MultimodalQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,133 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` — exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash (north-star ops; absent in the reference, which
+  * intentionally counts duplicates — /root/reference/src/app/vertex_degree.rs:32-53).
+  *
+  * Scale design:
+  *  - exact dedup groups on a 128-bit digest, not the full text: shuffle
+  *    rows are ~40 bytes instead of document-sized.
+  *  - pairwise Jaccard is inherently quadratic, so the oracle-checked query
+  *    bounds its candidate universe (doc_id < 500) — the LINEAR route to the
+  *    same answer at 100 TB is the MinHash+LSH query below it, whose shuffle
+  *    is O(docs × bands), never O(docs²).
+  *  - the driver corpus has a ~40-word vocabulary, so nearly every doc pair
+  *    shares tokens — a worst case for candidate generation; thresholds and
+  *    band geometry below are tuned for it.
+  */
+object DedupQueries {
+
+  /** Exact dedup via content fingerprint: one row per distinct text with the
+    * canonical (minimum) doc_id — deterministic, unlike dropDuplicates.
+    */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
+  /** Exact pairwise near-dup detection: word-bigram shingle Jaccard ≥ 0.8
+    * over a bounded candidate universe. Shingle-exploded self-join → one
+    * shuffle on shingle, count intersections, derive |union| from set sizes.
+    */
+  def ngramJaccard(s: SparkSession, d: String, maxDocId: Long = 500L,
+      threshold: Double = 0.8): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .filter(col("doc_id") < maxDocId)
+      .select(col("doc_id"), bigramShingles(spaceTokens(col("text"))).as("shingles"))
+    val sizes = docs.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+    val exploded = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+      .withColumn("jac", col("n_inter") / (col("na") + col("nb") - col("n_inter")))
+      .filter(col("jac") >= threshold)
+      .select("da", "db", "n_inter", "na", "nb", "jac")
+      .orderBy("da", "db")
+  }
+
+  /** MinHash + LSH near-dup pairs — the linear-scale path. 128 minhashes,
+    * 8 bands × 16 rows (tuned to catch J ≥ 0.9 with high probability while
+    * keeping candidates sparse in this pathologically self-similar corpus),
+    * exact Jaccard verification of candidates. No SQL oracle (hash-family
+    * specific); the ngram_jaccard query above is its ground truth — see
+    * MinHashLshSpec which checks recall of the J ≥ 0.95 pairs.
+    */
+  def minhashLsh(s: SparkSession, d: String, maxDocId: Long = 2000L,
+      threshold: Double = 0.9): DataFrame = {
+    val k = 128; val bands = 8; val rows = 16
+    val docs = Tables.documents(s, d)
+      .filter(col("doc_id") < maxDocId)
+      .select(col("doc_id"), bigramShingles(spaceTokens(col("text"))).as("shingles"))
+    val sigs = docs.select(col("doc_id"), col("shingles"),
+      minhashSignature(col("shingles"), k).as("sig"))
+    val banded = sigs.select(col("doc_id"), col("shingles"),
+      explode(bandKeys(col("sig"), bands, rows)).as("band"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.shingles").as("sha"), col("b.shingles").as("shb"))
+      .distinct()
+    cand
+      .withColumn("jac", jaccard(col("sha"), col("shb")))
+      .filter(col("jac") >= threshold)
+      .select("da", "db", "jac")
+      .orderBy("da", "db")
+  }
+
+  /** SimHash signatures: 64-bit locality-sensitive fingerprints; identical
+    * signatures (or small Hamming distance) flag near-dups in O(n).
+    * Emitted per doc — rows-only driver check (hash-specific values).
+    */
+  def simhashSignatures(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokenHashes(spaceTokens(col("text"))).as("hashes"))
+      .select(col("doc_id"), simhash64(col("hashes")).as("simhash"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact(_, _)),
+    "dedup_ngram_jaccard" -> (ngramJaccard(_, _)),
+    "dedup_minhash_lsh" -> (minhashLsh(_, _)),
+    "dedup_simhash" -> (simhashSignatures(_, _))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(list_zip(l[1:len(l)-1], l[2:len(l)]),
+        |                                      x -> x[1] || ' ' || x[2])) AS shingles
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |        WHERE doc_id < 500)
+        |), sizes AS (SELECT doc_id, len(shingles) AS n FROM sh
+        |), ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh
+        |), inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_inter
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da, db, n_inter, sa.n AS na, sb.n AS nb,
+        |       n_inter / (sa.n + sb.n - n_inter) AS jac
+        |FROM inter
+        |JOIN sizes sa ON da = sa.doc_id
+        |JOIN sizes sb ON db = sb.doc_id
+        |WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.8
+        |ORDER BY da, db""".stripMargin
+    // dedup_minhash_lsh / dedup_simhash: hash-family-specific, not
+    // SQL-expressible → rows-only driver check (contract allows omission).
+  )
+}

@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: images/audio/video ride through the engine as
+  * opaque `binary` columns with typed metadata, processed per-partition in
+  * batches (north-star op).
+  *
+  * The decode step itself is STUBBED — this container has no image/audio
+  * codecs — with a deterministic fake (`fakeDecode`) so the Spark-side
+  * contract (schema, batching, partitioning, null behavior) is real and
+  * tested end-to-end. Swap `decodeBatch` for a real codec (JNI/FFI) without
+  * touching anything else.
+  *
+  * Scale notes: media blobs dominate row size, so (a) metadata-only
+  * predicates must be pushed BEFORE the decode (`withMeta` projects
+  * metadata without touching bytes — parquet column pruning means undecoded
+  * blobs are never even read when dropped), and (b) decode runs inside
+  * `mapPartitions` so a codec can amortize init per-partition, the same
+  * batch shape `mapInPandas`/Arrow gives Python pipelines.
+  */
+object Multimodal {
+
+  /** A media row: opaque bytes + the metadata a catalog would carry. */
+  case class MediaRecord(id: Long, kind: String, media: Array[Byte])
+
+  /** Decoded features (deterministic stub of the real codec output). */
+  case class MediaFeatures(id: Long, kind: String, n_bytes: Long,
+      width: Long, height: Long, channels: Long)
+
+  /** Deterministic fake "decode": derives plausible dimensions from the
+    * bytes alone. Replace with a real codec; everything downstream holds.
+    */
+  def fakeDecode(id: Long, kind: String, bytes: Array[Byte]): MediaFeatures = {
+    val n = bytes.length.toLong
+    val first = if (bytes.isEmpty) 0L else (bytes(0) & 0xffL)
+    MediaFeatures(id, kind, n, 64L + n % 577L, 64L + (first * 7L + n) % 353L, 3L)
+  }
+
+  /** Per-partition batched decode — the real plumbing. One codec init per
+    * partition, streaming iterator in/out (no partition-sized buffering).
+    */
+  def decodeBatch(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // real impl: val codec = Codec.open(); it.map(... codec.decode ...)
+      it.map(r => fakeDecode(r.id, r.kind, r.media))
+    }
+  }
+
+  /** Build a media table from the documents table: text bytes standing in
+    * for encoded blobs (binary column + metadata, the schema is the point).
+    */
+  def fromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("id"), lit("image").as("kind"),
+        col("text").cast("binary").as("media"))
+      .as[MediaRecord]
+  }
+
+  /** Size/metadata projection. (Computing octet_length still scans the blob
+    * column once; a production catalog materializes n_bytes as metadata so
+    * even this scan prunes the blobs — the seam to do that is here.)
+    */
+  def withMeta(media: Dataset[MediaRecord]): DataFrame =
+    media.toDF().select(col("id"), col("kind"), octet_length(col("media")).as("n_bytes"))
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.queries.{DedupQueries, SimilarityQueries}
+import graft.sources.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Semantics tests for the LLM-pipeline operators that have no SQL oracle:
+  * MinHash LSH recall against exact Jaccard ground truth, SimHash locality,
+  * ANN bucket sanity, multimodal decode plumbing.
+  */
+class LlmOpsSpec extends SparkSpec {
+
+  test("minhash LSH finds every J>=0.95 pair that exact jaccard finds (recall)") {
+    val exact = DedupQueries.ngramJaccard(spark, sf, maxDocId = 500, threshold = 0.95)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupQueries.minhashLsh(spark, sf, maxDocId = 500, threshold = 0.95)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+    val missed = exact -- lsh
+    assert(missed.size <= math.max(1, exact.size / 20),
+      s"LSH missed ${missed.size} of ${exact.size} J>=0.95 pairs: ${missed.take(5)}")
+    // precision is guaranteed by construction: candidates are verified with
+    // exact jaccard before emission
+    assert((lsh -- exact).isEmpty)
+  }
+
+  test("simhash: identical docs get identical signatures; signatures are 64-bit") {
+    val sigs = DedupQueries.simhashSignatures(spark, sf)
+    val dup = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .limit(1).union(spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id") + 100000, col("text")).limit(1))
+    import graft.functions.TextFunctions._
+    val two = dup.select(simhash64(tokenHashes(spaceTokens(col("text")))).as("s"))
+      .collect().map(_.getLong(0))
+    assert(two(0) == two(1))
+    assert(sigs.count() == spark.read.parquet(s"$sf/documents.parquet").count())
+  }
+
+  test("cosine top-k: self-similarity excluded, ranks contiguous, sim in [-1,1]") {
+    val topk = SimilarityQueries.cosineTopK(spark, sf).collect()
+    assert(topk.nonEmpty)
+    topk.foreach { r =>
+      assert(r.getAs[Long]("qid") != r.getAs[Long]("vec_id"))
+      val sim = r.getAs[Double]("sim")
+      assert(sim >= -1.0001 && sim <= 1.0001)
+      assert(r.getAs[Int]("rank") >= 1 && r.getAs[Int]("rank") <= 5)
+    }
+    val perQuery = topk.groupBy(_.getAs[Long]("qid"))
+    perQuery.foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 5))
+      val sims = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("ann lsh buckets: partition the corpus exactly") {
+    val buckets = SimilarityQueries.annLshBuckets(spark, sf)
+    val total = buckets.agg(sum("n_vectors")).collect()(0).getLong(0)
+    assert(total == spark.read.parquet(s"$sf/embeddings.parquet").count())
+  }
+
+  test("multimodal: decode plumbing is deterministic and schema-stable") {
+    val feats = Multimodal.decodeBatch(Multimodal.fromDocuments(spark, sf))
+    assert(feats.schema.fieldNames.toSeq ==
+      Seq("id", "kind", "n_bytes", "width", "height", "channels"))
+    val r = feats.filter(col("id") === 0).collect()(0)
+    val again = Multimodal.decodeBatch(Multimodal.fromDocuments(spark, sf))
+      .filter(col("id") === 0).collect()(0)
+    assert(r == again)
+    assert(r.width >= 64 && r.height >= 64)
+  }
+}
