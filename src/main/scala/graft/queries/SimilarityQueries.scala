@@ -39,15 +39,26 @@ object SimilarityQueries {
       .orderBy("qid", "rank")
   }
 
-  /** Random-hyperplane LSH bucketing: 12-bit signatures from pseudo-random
-    * planes derived deterministically from xxhash64 — candidate generation
-    * for ANN in O(n). Emits bucket occupancy (signature, count, distinct
-    * labels); hash-specific → rows-only driver check.
+  /** Deterministic pseudo-random doubles in [-1, 1) via splitmix64 — plane
+    * components are fixed at plan-build time and become array literals, so
+    * per-row work is just `bits` dot products.
+    */
+  private def splitmixDouble(seed: Long): Double = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+  }
+
+  /** Random-hyperplane LSH bucketing: 12-bit signatures from deterministic
+    * pseudo-random planes — candidate generation for ANN in O(n). Emits
+    * bucket occupancy (signature, count, distinct labels); hash-specific →
+    * rows-only driver check.
     */
   def annLshBuckets(s: SparkSession, d: String, bits: Int = 12): DataFrame = {
     val plane: (Int) => Column = j =>
-      transform(sequence(lit(0), lit(63)),
-        i => (seededHash(lit(j), i).cast("double") % 1000.0d) / 1000.0d)
+      array((0 until 64).map(i => lit(splitmixDouble(j * 64L + i))): _*)
     val sig = (0 until bits).map(j =>
       when(dot(col("v"), plane(j)) > 0, shiftleft(lit(1L), j)).otherwise(0L))
       .reduce(_ + _)
