@@ -23,7 +23,8 @@ object SparkEntry {
       (Q.DedupQueries.queries, Q.DedupQueries.oracles),
       (Q.SimilarityQueries.queries, Q.SimilarityQueries.oracles),
       (Q.TextQueries.queries, Q.TextQueries.oracles),
-      (Q.MultimodalQueries.queries, Q.MultimodalQueries.oracles)
+      (Q.MultimodalQueries.queries, Q.MultimodalQueries.oracles),
+      (Q.ExtensionQueries.queries, Q.ExtensionQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

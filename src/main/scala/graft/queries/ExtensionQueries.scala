@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Aggregators
+import graft.operators.WordCount
+import graft.plans.Fnv1a64
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Queries exercising the engine-extension surfaces: the native Catalyst
+  * Expression (Fnv1a64) and the typed Aggregator UDAF — the two custom hooks
+  * SURVEY.md §4 budgets for. Both have exact oracles: FNV-1a is
+  * re-expressible in DuckDB as a list_reduce fold, and the UDAF mirrors a
+  * builtin sum.
+  */
+object ExtensionQueries {
+
+  /** Reference shuffle-placement parity: every wc word routed to its reduce
+    * bucket via ihash31 % 5 (the reference default n_reduce,
+    * /root/reference/src/bin/client.rs:39-40) — bucket occupancy histogram.
+    * Runs the custom Expression inside whole-stage codegen over the
+    * exploded token stream.
+    */
+  def fnvBuckets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(WordCount.tokens(col("text"))).as("word"))
+      .select(col("word"), (Fnv1a64.ihash31(col("word")) % 5).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("word")).as("n_words"))
+      .orderBy("bucket")
+
+  /** wc computed through the registered custom Aggregator instead of the
+    * builtin count: flatMap to (word, 1) then udaf-sum — the literal
+    * MapFn/ReduceFn decomposition of the reference (wc.rs:23-49), with
+    * Spark inserting the partial/merge split the reference lacks.
+    */
+  def udafWordcount(s: SparkSession, d: String): DataFrame = {
+    val longSum = udaf(Aggregators.LongSum, org.apache.spark.sql.Encoders.scalaLong)
+    Tables.documents(s, d)
+      .select(explode(WordCount.tokens(col("text"))).as("word"), lit(1L).as("one"))
+      .groupBy("word")
+      .agg(longSum(col("one")).as("cnt"))
+      .orderBy(col("cnt").asc, col("word").asc)
+  }
+
+  /** Typed Aggregator mean vs builtin avg, per returnflag (rounded). */
+  def udafMean(s: SparkSession, d: String): DataFrame = {
+    val mean = udaf(Aggregators.Mean, org.apache.spark.sql.Encoders.scalaDouble)
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(round(mean(col("l_quantity")), 4).as("mean_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fnv_buckets" -> (fnvBuckets(_, _)),
+    "q_udaf_wordcount" -> (udafWordcount(_, _)),
+    "q_udaf_mean" -> (udafMean(_, _))
+  )
+
+  val oracles: Map[String, String] = Map(
+    // FNV-1a 64 as a HUGEINT fold, masked to 31 bits like the reference's
+    // ihash; Spark's signed-long % matches DuckDB % on the masked value.
+    "q_fnv_buckets" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        |  FROM documents
+        |), hashed AS (
+        |  SELECT word,
+        |         (list_reduce(
+        |            list_prepend(14695981039346656037::HUGEINT,
+        |              list_transform(string_split_regex(word, ''),
+        |                             c -> unicode(c)::HUGEINT)),
+        |            (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+        |                      % 18446744073709551616::HUGEINT)
+        |          % 2147483648)::BIGINT AS ihash
+        |  FROM toks WHERE word <> '')
+        |SELECT ihash % 5 AS bucket, count(*) AS n_tokens,
+        |       count(DISTINCT word) AS n_words
+        |FROM hashed GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_udaf_wordcount" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        |      FROM documents)
+        |WHERE word <> ''
+        |GROUP BY word
+        |ORDER BY cnt ASC, word ASC""".stripMargin,
+    "q_udaf_mean" ->
+      """SELECT l_returnflag, round(avg(l_quantity), 4) AS mean_qty,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}

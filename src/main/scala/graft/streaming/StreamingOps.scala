@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming faces of the event-time operators (SURVEY.md §2.C
+  * streaming row — the reference is strictly batch; this is the ➕ extension
+  * that makes the same queries incremental).
+  *
+  * Each transform takes the (streaming or batch) events DataFrame — schema
+  * `(event_id long, ts timestamp, user_id long, event_type string,
+  * value double)` — and returns the transformed frame; identical code runs
+  * in both modes, which is how the batch EventQueries oracle-check the
+  * streaming semantics. Watermarks bound state: at scale the window state
+  * store holds only (watermark horizon / slide) panes per key.
+  */
+object StreamingOps {
+
+  /** Tumbling 10-minute counts with a 30-minute watermark (late events
+    * beyond the watermark are dropped instead of growing state forever).
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** Sliding 10/5-minute windowed sums. */
+  def slidingSums(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("cnt"), col("sum_value"))
+
+  /** Event-time session windows (30-minute gap) per user — the incremental
+    * form of EventQueries.sessionize's gaps-and-islands.
+    */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+
+  /** Input record type for the stateful operators. */
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** Running per-user totals via custom state — the
+    * `mapGroupsWithState` surface (arbitrary stateful processing, the hook
+    * the reference's ReduceFn could never express because it only sees one
+    * key's batch at a time).
+    */
+  case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotal, UserTotal](GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          batch.foreach { e => n += 1; tot += e.value }
+          val next = UserTotal(uid, n, tot)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Streaming exact dedup on event_id within the watermark horizon —
+    * `dropDuplicates` backed by the state store.
+    */
+  def streamingDedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Canonical sink wiring (memory sink for tests, any sink in prod). */
+  def toMemorySink(df: DataFrame, name: String, mode: OutputMode)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+}

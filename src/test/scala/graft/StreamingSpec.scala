@@ -1,0 +1,99 @@
+package graft
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Structured Streaming semantics: drive the same transforms that the batch
+  * EventQueries oracle-check, through a MemoryStream in micro-batches, and
+  * compare against the batch result on identical data.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def sampleEvents: Seq[Event] = {
+    val base = 1700000000000L
+    (0 until 200).map { i =>
+      Event(i.toLong, new java.sql.Timestamp(base + i * 73000L), (i % 7).toLong,
+        Seq("click", "view", "purchase")(i % 3), (i % 13) * 1.5)
+    }
+  }
+
+  test("streaming tumbling counts == batch tumbling counts on same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = StreamingOps.toMemorySink(
+      StreamingOps.tumblingCounts(stream.toDF()), "tumbling_out", OutputMode.Complete())
+    try {
+      val (first, second) = sampleEvents.splitAt(120)
+      stream.addData(first)
+      q.processAllAvailable()
+      stream.addData(second)
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_out")
+        .orderBy("win_start", "event_type").collect().toSeq
+      val batch = StreamingOps.tumblingCounts(sampleEvents.toDF())
+        .orderBy("win_start", "event_type").collect().toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming session windows produce per-user sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = StreamingOps.toMemorySink(
+      StreamingOps.sessionCounts(stream.toDF()), "session_out", OutputMode.Complete())
+    try {
+      stream.addData(sampleEvents)
+      q.processAllAvailable()
+      val sessions = spark.table("session_out").collect()
+      assert(sessions.nonEmpty)
+      // event cadence is 73s < 30min gap → exactly one session per user
+      assert(sessions.length == 7)
+      assert(sessions.map(_.getAs[Long]("n_events")).sum == 200L)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState: running totals accumulate across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = StreamingOps.runningUserTotals(stream.toDS())
+      .writeStream.format("memory").queryName("totals_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val (first, second) = sampleEvents.splitAt(100)
+      stream.addData(first)
+      q.processAllAvailable()
+      stream.addData(second)
+      q.processAllAvailable()
+      // last update per user must equal the full-data totals
+      val last = spark.table("totals_out")
+        .groupBy("user_id").agg(max("n_events").as("n"), max("total_value").as("t"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val expected = sampleEvents.groupBy(_.user_id).map { case (u, es) =>
+        (u, es.size.toLong, es.map(_.value).sum)
+      }.toSet
+      assert(last == expected)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops re-delivered event_ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = StreamingOps.toMemorySink(
+      StreamingOps.streamingDedup(stream.toDF()), "dedup_out", OutputMode.Append())
+    try {
+      stream.addData(sampleEvents.take(50))
+      q.processAllAvailable()
+      stream.addData(sampleEvents.take(50)) // exact redelivery
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 50L)
+    } finally q.stop()
+  }
+}
