@@ -24,7 +24,8 @@ object SparkEntry {
       (Q.SimilarityQueries.queries, Q.SimilarityQueries.oracles),
       (Q.TextQueries.queries, Q.TextQueries.oracles),
       (Q.MultimodalQueries.queries, Q.MultimodalQueries.oracles),
-      (Q.ExtensionQueries.queries, Q.ExtensionQueries.oracles)
+      (Q.ExtensionQueries.queries, Q.ExtensionQueries.oracles),
+      (Q.AdvancedQueries.queries, Q.AdvancedQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,172 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Advanced operator coverage: as-of join, skew-salted aggregation, exact
+  * percentiles, approximate distinct sketches, typed Dataset surface,
+  * SQL-text entry point, cross join, union-by-name.
+  */
+object AdvancedQueries {
+
+  /** As-of join (SURVEY.md §2.C joins row): for every purchase event, the
+    * most recent prior click by the same user. Implemented the scalable way
+    * — union both streams, one window pass with last_value(ignoreNulls) —
+    * instead of a per-row range join: one shuffle on user_id, no quadratic
+    * candidate set, works at any skew.
+    */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .withColumn("click_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("long").as("purchase_ts"),
+        col("click_ts").cast("long").as("asof_click_ts"))
+      .orderBy("event_id")
+  }
+
+  /** Skew-salted aggregation: two-stage groupBy over (key, salt) then key —
+    * identical results to a direct groupBy (same oracle), but the first
+    * shuffle spreads a hot key over 16 reducers. The pattern for power-law
+    * keys at 100 TB; AQE's skew handling covers joins, this covers
+    * aggregations with huge per-key value streams.
+    */
+  def saltedAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .withColumn("salt", pmod(col("l_orderkey") + col("l_linenumber"), lit(16)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(count(lit(1)).as("c"), sum("l_quantity").as("q"))
+      .groupBy("l_returnflag")
+      .agg(sum("c").as("cnt"), round(sum("q"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+
+  /** Exact percentiles (median & p90) per group — Spark `percentile` and
+    * DuckDB `quantile_cont` both do linear interpolation.
+    */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+      .orderBy("l_returnflag")
+
+  /** HLL approx_count_distinct next to the exact count — the sketch that
+    * replaces exact distinct at 100 TB. No oracle (HLL implementations
+    * differ across engines); ApproxSpec asserts the error envelope instead.
+    */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+
+  /** wc through the typed Dataset surface — `Dataset[String].flatMap` is the
+    * literal MapFn shape (/root/reference/src/lib.rs:122-127) with an
+    * Encoder boundary; same oracle as the DataFrame wc.
+    */
+  def typedWordcount(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("text")).as[String]
+      .flatMap(_.toLowerCase.split("[^a-z]+").filter(_.nonEmpty))
+      .toDF("word")
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").asc, col("word").asc)
+  }
+
+  /** The SQL entry point: same engine, query authored as SQL text over temp
+    * views (the reference's "named app + args" dispatch, but with a real
+    * parser/optimizer in front).
+    */
+  def sqlEntry(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    s.sql(
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+        |WHERE o_orderstatus = 'O'
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  /** Explicit cross join (dimension × dimension). */
+  def crossJoinSmall(s: SparkSession, d: String): DataFrame =
+    Tables.region(s, d).select(col("r_name"))
+      .crossJoin(Tables.nation(s, d).select(col("n_name")))
+      .orderBy("r_name", "n_name")
+
+  /** unionByName across differently-ordered projections. */
+  def unionByNameQ(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.supplier(s, d).select(col("s_suppkey").as("k"), col("s_name").as("name"))
+    val b = Tables.customer(s, d).filter(col("c_custkey") <= 10)
+      .select(col("c_name").as("name"), col("c_custkey").as("k"))
+    a.unionByName(b).orderBy("k", "name")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> (asofJoin(_, _)),
+    "q_salted_agg" -> (saltedAgg(_, _)),
+    "q_percentiles" -> (percentiles(_, _)),
+    "q_approx_distinct" -> (approxDistinct(_, _)),
+    "wc_typed" -> (typedWordcount(_, _)),
+    "q_sql_entry" -> (sqlEntry(_, _)),
+    "q_cross_join" -> (crossJoinSmall(_, _)),
+    "q_union_byname" -> (unionByNameQ(_, _))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_asof_join" ->
+      """SELECT event_id, user_id,
+        |       CAST(floor(epoch(ts)) AS BIGINT) AS purchase_ts,
+        |       CAST(floor(epoch(last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) AS BIGINT) AS asof_click_ts
+        |FROM events
+        |QUALIFY event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "wc_typed" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        |      FROM documents)
+        |WHERE word <> ''
+        |GROUP BY word
+        |ORDER BY cnt ASC, word ASC""".stripMargin,
+    "q_sql_entry" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus = 'O'
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q_cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q_union_byname" ->
+      """SELECT k, name FROM (
+        |  SELECT s_suppkey AS k, s_name AS name FROM supplier
+        |  UNION ALL
+        |  SELECT c_custkey AS k, c_name AS name FROM customer WHERE c_custkey <= 10)
+        |ORDER BY k, name""".stripMargin
+    // q_approx_distinct: HLL sketch values are engine-specific → rows-only.
+  )
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.queries.AdvancedQueries
+import org.apache.spark.sql.functions._
+
+/** Error envelope for the HLL sketch (no SQL oracle possible) and source/
+  * sink breadth: csv + json round-trips preserving schema and values.
+  */
+class SourcesAndSketchesSpec extends SparkSpec {
+
+  test("approx_count_distinct within 5% of exact at rsd=0.02") {
+    AdvancedQueries.approxDistinct(spark, sf).collect().foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"approx=$approx exact=$exact")
+    }
+  }
+
+  test("csv round-trip: write + schema-inferred read preserves values") {
+    val dir = java.nio.file.Files.createTempDirectory("csv").toString
+    val src = spark.read.parquet(s"$sf/nation.parquet")
+    src.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(dir)
+    assert(back.count() == src.count())
+    val a = src.orderBy("n_nationkey").collect().map(_.toSeq.map(_.toString))
+    val b = back.orderBy("n_nationkey").collect().map(_.toSeq.map(_.toString))
+    assert(a.toSeq.map(_.toSeq) == b.toSeq.map(_.toSeq))
+  }
+
+  test("json lines round-trip: write + read preserves rows") {
+    val dir = java.nio.file.Files.createTempDirectory("json").toString
+    val src = spark.read.parquet(s"$sf/region.parquet")
+    src.write.mode("overwrite").json(dir)
+    val back = spark.read.json(dir).select("r_regionkey", "r_name")
+    assert(back.orderBy("r_regionkey").collect().map(_.getString(1)).toSeq ==
+      src.orderBy("r_regionkey").collect().map(_.getString(1)).toSeq)
+  }
+
+  test("partitioned parquet sink: partition pruning on read") {
+    val dir = java.nio.file.Files.createTempDirectory("part").toString
+    spark.read.parquet(s"$sf/orders.parquet")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("o_orderstatus") === "F")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() ==
+      spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderstatus") === "F").count())
+    // partition filter must prune at the source, not post-scan
+    assert(!plan.contains("PushedFilters: [IsNotNull(o_orderstatus)"))
+  }
+}
