@@ -25,7 +25,8 @@ object SparkEntry {
       (Q.TextQueries.queries, Q.TextQueries.oracles),
       (Q.MultimodalQueries.queries, Q.MultimodalQueries.oracles),
       (Q.ExtensionQueries.queries, Q.ExtensionQueries.oracles),
-      (Q.AdvancedQueries.queries, Q.AdvancedQueries.oracles)
+      (Q.AdvancedQueries.queries, Q.AdvancedQueries.oracles),
+      (Q.FunctionQueries2.queries, Q.FunctionQueries2.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

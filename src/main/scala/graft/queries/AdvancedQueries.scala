@@ -85,6 +85,24 @@ object AdvancedQueries {
       .orderBy(col("cnt").asc, col("word").asc)
   }
 
+  /** wc through the RDD surface — `rdd.flatMap.reduceByKey` is the classic
+    * MapReduce decomposition (map_fn emit (word,1), combiner+reducer sum,
+    * exactly /root/reference/src/app/wc.rs). Kept as the one RDD-API
+    * demonstration: the DataFrame form compiles to the same shuffle with
+    * codegen + Tungsten on top, which is why everything else here is
+    * declarative.
+    */
+  def rddWordcount(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("text")).as[String].rdd
+      .flatMap(_.toLowerCase.split("[^a-z]+").filter(_.nonEmpty))
+      .map((_, 1L))
+      .reduceByKey(_ + _)
+      .toDF("word", "cnt")
+      .orderBy(col("cnt").asc, col("word").asc)
+  }
+
   /** The SQL entry point: same engine, query authored as SQL text over temp
     * views (the reference's "named app + args" dispatch, but with a real
     * parser/optimizer in front).
@@ -121,6 +139,7 @@ object AdvancedQueries {
     "q_percentiles" -> (percentiles(_, _)),
     "q_approx_distinct" -> (approxDistinct(_, _)),
     "wc_typed" -> (typedWordcount(_, _)),
+    "wc_rdd" -> (rddWordcount(_, _)),
     "q_sql_entry" -> (sqlEntry(_, _)),
     "q_cross_join" -> (crossJoinSmall(_, _)),
     "q_union_byname" -> (unionByNameQ(_, _))
@@ -144,6 +163,13 @@ object AdvancedQueries {
         |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         |       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "wc_rdd" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        |      FROM documents)
+        |WHERE word <> ''
+        |GROUP BY word
+        |ORDER BY cnt ASC, word ASC""".stripMargin,
     "wc_typed" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word

@@ -1,0 +1,257 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second tranche of the function surface: ordered-selection aggregates,
+  * statistical aggregates, distribution windows + RANGE frames, grouping
+  * sets, null-handling, extended string/date functions, regexp-all, map
+  * values, conditional counts, bitwise aggregates — each oracle-checked.
+  */
+object FunctionQueries2 {
+
+  /** max_by/min_by with a struct tie-break so selection is deterministic. */
+  def minmaxBy(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        max_by(col("l_orderkey"), struct(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))).as("key_of_max_price"),
+        min_by(col("l_orderkey"), struct(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))).as("key_of_min_price"),
+        round(max("l_extendedprice"), 2).as("max_price"))
+      .orderBy("l_returnflag")
+
+  /** Statistical aggregates (sample stddev/variance, correlation, covariance). */
+  def statsAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_discount")), 6).as("corr_qd"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qp"))
+      .orderBy("l_returnflag")
+
+  /** Distribution windows: ntile / percent_rank / cume_dist over a unique
+    * ordering, plus a value-based RANGE frame sum.
+    */
+  def windowDistribution(s: SparkSession, d: String): DataFrame = {
+    val byBal = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    val byBalRange = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal")).rangeBetween(-500L, 0L)
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"), col("c_custkey"),
+        ntile(4).over(byBal).as("quartile"),
+        round(percent_rank().over(byBal), 6).as("prank"),
+        round(cume_dist().over(byBal), 6).as("cdist"),
+        round(sum(col("c_acctbal")).over(byBalRange), 2).as("range_sum"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  /** GROUPING SETS — the general form rollup/cube specialize. */
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |       CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem_v
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  /** Null-handling scalars over injected nulls. */
+  def nullFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        nullif(col("l_returnflag"), lit("A")).as("flag_or_null"),
+        coalesce(nullif(col("l_returnflag"), lit("A")), lit("-")).as("flag_coalesced"),
+        least(col("l_quantity"), col("l_discount") * 100).as("least_v"),
+        greatest(col("l_quantity"), col("l_discount") * 100).as("greatest_v"))
+      .filter(col("l_orderkey") < 300)
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Extended string functions. */
+  def stringFuncs2(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        split_part(col("p_type"), lit(" "), lit(1)).as("type_head"),
+        translate(col("p_brand"), "#", "_").as("brand_t"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("key_padded"),
+        rpad(col("p_name"), 12, ".").as("name_padded"),
+        instr(col("p_name"), "a").cast("long").as("first_a"),
+        repeat(col("p_brand"), 2).as("brand2"),
+        reverse(col("p_name")).as("name_rev"))
+      .orderBy("p_partkey")
+
+  /** Extended date/time functions on event timestamps. */
+  def dateFuncs2(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        hour(col("ts")).cast("long").as("h"),
+        minute(col("ts")).cast("long").as("mi"),
+        second(col("ts")).cast("long").as("sec"),
+        quarter(col("ts")).cast("long").as("q"),
+        last_day(col("ts")).cast("string").as("month_end"),
+        date_add(col("ts").cast("date"), 30).cast("string").as("plus30"))
+      .orderBy("event_id")
+
+  /** regexp_extract_all, joined for scalar comparison. */
+  def regexpAll(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        array_join(regexp_extract_all(col("p_name"), lit("[aeiou]+"), lit(0)), ",").as("vowel_runs"),
+        size(regexp_extract_all(col("p_name"), lit("[aeiou]+"), lit(0))).cast("long").as("n_runs"))
+      .orderBy("p_partkey")
+
+  /** collect_set → sorted joined string (dedup collection). */
+  def collectSet(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_suppkey")
+      .agg(array_join(sort_array(collect_set(col("l_returnflag"))), ",").as("flags"),
+        size(collect_set(col("l_linenumber"))).cast("long").as("n_distinct_ln"))
+      .orderBy("l_suppkey")
+
+  /** Map values built + consumed Spark-side, emitted as a canonical string. */
+  def mapFuncs(s: SparkSession, d: String): DataFrame = {
+    val m = map(lit("brand"), col("p_brand"), lit("type"), col("p_type"))
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        array_join(sort_array(map_keys(m)), ",").as("mkeys"),
+        element_at(m, "brand").as("brand_val"),
+        size(m).cast("long").as("msize"))
+      .orderBy("p_partkey")
+  }
+
+  /** Conditional counting: count_if / filtered aggregates. */
+  def countIf(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_linestatus")
+      .agg(
+        count_if(col("l_quantity") > 25).as("n_heavy"),
+        count_if(col("l_discount") === 0.0).as("n_nodisc"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_linestatus")
+
+  /** Bitwise aggregates over keys. */
+  def bitwiseAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        bit_and(col("l_orderkey")).as("band"),
+        bit_or(col("l_orderkey")).as("bor"),
+        bit_xor(col("l_orderkey")).as("bxor"))
+      .orderBy("l_returnflag")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_minmax_by" -> (minmaxBy(_, _)),
+    "q_stats_agg" -> (statsAgg(_, _)),
+    "q_window_distribution" -> (windowDistribution(_, _)),
+    "q_grouping_sets" -> (groupingSets(_, _)),
+    "q_null_funcs" -> (nullFuncs(_, _)),
+    "q_string_funcs2" -> (stringFuncs2(_, _)),
+    "q_date_funcs2" -> (dateFuncs2(_, _)),
+    "q_regexp_all" -> (regexpAll(_, _)),
+    "q_collect_set" -> (collectSet(_, _)),
+    "q_map_funcs" -> (mapFuncs(_, _)),
+    "q_count_if" -> (countIf(_, _)),
+    "q_bitwise_agg" -> (bitwiseAgg(_, _))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_minmax_by" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_orderkey, l_extendedprice,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |           ORDER BY l_extendedprice DESC, l_orderkey DESC, l_linenumber DESC) AS rmax,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |           ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC) AS rmin
+        |  FROM lineitem)
+        |SELECT g.l_returnflag, mx.l_orderkey AS key_of_max_price,
+        |       mn.l_orderkey AS key_of_min_price, round(g.mp, 2) AS max_price
+        |FROM (SELECT l_returnflag, max(l_extendedprice) AS mp
+        |      FROM lineitem GROUP BY l_returnflag) g
+        |JOIN (SELECT l_returnflag, l_orderkey FROM ranked WHERE rmax = 1) mx USING (l_returnflag)
+        |JOIN (SELECT l_returnflag, l_orderkey FROM ranked WHERE rmin = 1) mn USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+        |       round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |       round(var_samp(l_quantity), 4) AS var_qty,
+        |       round(corr(l_quantity, l_discount), 6) AS corr_qd,
+        |       round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_window_distribution" ->
+      """SELECT c_mktsegment, c_custkey,
+        |       CAST(ntile(4) OVER wu AS INT) AS quartile,
+        |       round(percent_rank() OVER wu, 6) AS prank,
+        |       round(cume_dist() OVER wu, 6) AS cdist,
+        |       round(sum(c_acctbal) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal
+        |             RANGE BETWEEN 500 PRECEDING AND CURRENT ROW), 2) AS range_sum
+        |FROM customer
+        |WINDOW wu AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "q_null_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       nullif(l_returnflag, 'A') AS flag_or_null,
+        |       coalesce(nullif(l_returnflag, 'A'), '-') AS flag_coalesced,
+        |       least(l_quantity, l_discount * 100) AS least_v,
+        |       greatest(l_quantity, l_discount * 100) AS greatest_v
+        |FROM lineitem WHERE l_orderkey < 300
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_string_funcs2" ->
+      """SELECT p_partkey,
+        |       split_part(p_type, ' ', 1) AS type_head,
+        |       translate(p_brand, '#', '_') AS brand_t,
+        |       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+        |       rpad(p_name, 12, '.') AS name_padded,
+        |       CAST(instr(p_name, 'a') AS BIGINT) AS first_a,
+        |       repeat(p_brand, 2) AS brand2,
+        |       reverse(p_name) AS name_rev
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_date_funcs2" ->
+      """SELECT event_id,
+        |       CAST(hour(ts) AS BIGINT) AS h,
+        |       CAST(minute(ts) AS BIGINT) AS mi,
+        |       CAST(second(ts) AS BIGINT) AS sec,
+        |       CAST(quarter(ts) AS BIGINT) AS q,
+        |       CAST(last_day(CAST(ts AS DATE)) AS VARCHAR) AS month_end,
+        |       CAST(CAST(ts AS DATE) + 30 AS VARCHAR) AS plus30
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_regexp_all" ->
+      """SELECT p_partkey,
+        |       list_aggregate(regexp_extract_all(p_name, '[aeiou]+'), 'string_agg', ',') AS vowel_runs,
+        |       CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS BIGINT) AS n_runs
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_collect_set" ->
+      """SELECT l_suppkey,
+        |       string_agg(DISTINCT l_returnflag, ',' ORDER BY l_returnflag) AS flags,
+        |       CAST(count(DISTINCT l_linenumber) AS BIGINT) AS n_distinct_ln
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "q_map_funcs" ->
+      """SELECT p_partkey,
+        |       'brand,type' AS mkeys,
+        |       p_brand AS brand_val,
+        |       CAST(2 AS BIGINT) AS msize
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_count_if" ->
+      """SELECT l_linestatus,
+        |       count_if(l_quantity > 25) AS n_heavy,
+        |       count_if(l_discount = 0.0) AS n_nodisc,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q_bitwise_agg" ->
+      """SELECT l_returnflag,
+        |       bit_and(l_orderkey) AS band,
+        |       bit_or(l_orderkey) AS bor,
+        |       bit_xor(l_orderkey) AS bxor
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}
