@@ -1,0 +1,29 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions installer — wires the graft-native expressions
+  * into any session at build time (SURVEY.md §4 path (c) registration):
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)          // programmatic
+  * // or spark.sql.extensions=graft.plans.GraftExtensions  (config/submit)
+  * }}}
+  *
+  * Unlike the per-session temp-function registration (Fnv1a64.register),
+  * extension injection survives `newSession()` forks and applies to every
+  * session the builder creates — the deployment story for a cluster-wide
+  * function library.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("fnv1a64"),
+      new ExpressionInfo(classOf[Fnv1a64].getName, "fnv1a64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Fnv1a64(exprs.head)))
+  }
+}

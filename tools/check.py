@@ -16,17 +16,18 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon(rows, cols):
+    # EXACT comparison, floats included: queries are designed so both engines
+    # evaluate bit-identical IEEE expression trees (raw doubles) or rounded
+    # order-independent aggregates. Exact matching here is the strictest
+    # local proxy for the driver's hash compare.
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         vals = []
         for i in order:
             v = r[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = round(v, 9)
+            if isinstance(v, float) and math.isnan(v):
+                v = "NaN"
             vals.append(repr(v))
         out.append(tuple(vals))
     out.sort()
