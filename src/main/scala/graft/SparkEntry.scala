@@ -26,7 +26,8 @@ object SparkEntry {
       (Q.MultimodalQueries.queries, Q.MultimodalQueries.oracles),
       (Q.ExtensionQueries.queries, Q.ExtensionQueries.oracles),
       (Q.AdvancedQueries.queries, Q.AdvancedQueries.oracles),
-      (Q.FunctionQueries2.queries, Q.FunctionQueries2.oracles)
+      (Q.FunctionQueries2.queries, Q.FunctionQueries2.oracles),
+      (Q.GraphQueries.queries, Q.GraphQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -71,7 +71,32 @@ object TextQueries {
         substring(md5(col("text").cast("binary")), 1, 4).as("bucket"))
       .orderBy("doc_id")
 
+  /** TF-IDF: top-3 scoring terms per document. tf and df are exact integer
+    * counts; idf = ln(N/df) evaluates the same double in both engines; rank
+    * ties (equal tf and df) break on word. One shuffle for tf, one for df,
+    * df side broadcast back onto the term stream.
+    */
+  def tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val terms = docs.select(col("doc_id"), explode(spaceTokens(col("text"))).as("word"))
+    val tf = terms.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = terms.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("word"))
+    tf.join(broadcast(df), "word")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        round(col("score"), 6).as("score"), col("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf" -> (tfidf(_, _)),
     "text_langid" -> (langId(_, _)),
     "text_quality" -> (quality(_, _)),
     "text_tokens" -> (tokenStats(_, _)),
@@ -79,6 +104,27 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        |), tf AS (
+        |  SELECT doc_id, word, count(*) AS tf FROM terms GROUP BY 1, 2
+        |), df AS (
+        |  SELECT word, count(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, word FROM terms) GROUP BY word
+        |), n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+        |         tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS score
+        |  FROM tf JOIN df USING (word) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, word, tf, df, score,
+        |         CAST(row_number() OVER (PARTITION BY doc_id
+        |              ORDER BY score DESC, word) AS INT) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, word, tf, df, round(score, 6) AS score, rnk
+        |FROM ranked WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
     "text_langid" ->
       """SELECT doc_id, lang,
         |       CASE WHEN list_contains(string_split(text, ' '), 'the') THEN 'en'
