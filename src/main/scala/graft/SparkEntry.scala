@@ -27,7 +27,8 @@ object SparkEntry {
       (Q.ExtensionQueries.queries, Q.ExtensionQueries.oracles),
       (Q.AdvancedQueries.queries, Q.AdvancedQueries.oracles),
       (Q.FunctionQueries2.queries, Q.FunctionQueries2.oracles),
-      (Q.GraphQueries.queries, Q.GraphQueries.oracles)
+      (Q.GraphQueries.queries, Q.GraphQueries.oracles),
+      (Q.MiscQueries.queries, Q.MiscQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -33,7 +33,15 @@ object GraphQueries {
   /** Connected components: (vertex, component) with component = min vertex
     * id reachable. Deterministic fixpoint, DuckDB recursive-CTE oracle.
     */
-  def connectedComponents(s: SparkSession, d: String, maxIter: Int = 25): DataFrame = {
+  // Both registry queries consume the converged labels; memoize per
+  // (session, dir) so the iterative loop runs once per process.
+  private val ccCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def connectedComponents(s: SparkSession, d: String, maxIter: Int = 25): DataFrame =
+    ccCache.getOrElseUpdate((s, d), computeComponents(s, d, maxIter))
+
+  private def computeComponents(s: SparkSession, d: String, maxIter: Int): DataFrame = {
     // localCheckpoint (not persist): persist caches the data but the logical
     // plan still nests one level per iteration, and Catalyst re-analysis of
     // the growing tree turns O(diameter) iterations into exponential planning

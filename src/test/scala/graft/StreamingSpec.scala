@@ -82,6 +82,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source streaming: parquet directory drained with availableNow") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream-src").toString
+    sampleEvents.take(80).toDF().write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val q = StreamingOps.tumblingCounts(
+        spark.readStream.schema(schema).parquet(dir))
+      .writeStream.format("memory").queryName("file_out")
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination(60000)
+      val streamed = spark.table("file_out").agg(sum("cnt")).collect()(0).getLong(0)
+      assert(streamed == 80L)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered event_ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
