@@ -28,7 +28,8 @@ object SparkEntry {
       (Q.AdvancedQueries.queries, Q.AdvancedQueries.oracles),
       (Q.FunctionQueries2.queries, Q.FunctionQueries2.oracles),
       (Q.GraphQueries.queries, Q.GraphQueries.oracles),
-      (Q.MiscQueries.queries, Q.MiscQueries.oracles)
+      (Q.MiscQueries.queries, Q.MiscQueries.oracles),
+      (Q.AnalyticsQueries.queries, Q.AnalyticsQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,133 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product-analytics shapes over the star schema + events: salted skew
+  * join, column profiling, funnel conversion, cohort retention. All
+  * oracle-checked.
+  */
+object AnalyticsQueries {
+
+  /** Skew-salted JOIN: replicate the (small) build side across 8 salt
+    * values, salt the probe side by a uniform hash of its row identity, join
+    * on (key, salt). Same rows as the plain join — same oracle — but a hot
+    * key's probe rows now spread over 8 tasks instead of one. The pattern
+    * for power-law join keys too big for one reducer when broadcast isn't
+    * available (both sides huge).
+    */
+  def saltedJoin(s: SparkSession, d: String): DataFrame = {
+    val salts = 8
+    val li = Tables.lineitem(s, d)
+      .withColumn("salt", pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(salts)))
+    val o = Tables.orders(s, d)
+      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+    li.join(o, li("l_orderkey") === o("o_orderkey") && li("salt") === o("salt"))
+      .groupBy(o("o_orderpriority").as("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Column profiling: null rate + distinct count per profiled column in one
+    * pass — the data-quality sweep every ingest pipeline runs first.
+    */
+  def profileNulls(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_returnflag", "l_linestatus", "l_shipdate", "l_quantity")
+    val aggs = cols.flatMap { c =>
+      Seq(count(when(col(c).isNull, 1)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"))
+    }
+    Tables.lineitem(s, d).agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  /** Funnel: per user, first click → first purchase after it → converted
+    * flag; aggregated to funnel counts. One window pass, no self-join.
+    */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val perUser = ev.groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "click", col("ts"))).as("first_click"),
+        count(when(col("event_type") === "click", 1)).as("n_clicks"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    perUser.join(purchases, Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("first_click"), col("n_clicks"))
+      .agg(min(when(col("p_ts") > col("first_click"), col("p_ts"))).as("first_purchase_after"))
+      .select(col("user_id"),
+        col("first_click").cast("long").as("first_click"),
+        col("n_clicks"),
+        col("first_purchase_after").cast("long").as("first_purchase_after"),
+        (col("first_click").isNotNull && col("first_purchase_after").isNotNull).as("converted"))
+      .orderBy("user_id")
+  }
+
+  /** Cohort retention: users grouped by first-activity day; per (cohort,
+    * day) distinct active users — the classic retention triangle.
+    */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), (col("ts").cast("long") / 86400L).cast("long").as("day"))
+    val cohorts = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    ev.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_join" -> (saltedJoin(_, _)),
+    "q_profile_nulls" -> (profileNulls(_, _)),
+    "q_funnel" -> (funnel(_, _)),
+    "q_cohort_retention" -> (cohortRetention(_, _))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_profile_nulls" ->
+      """SELECT count(*) AS n_rows,
+        |       count(CASE WHEN l_returnflag IS NULL THEN 1 END) AS l_returnflag_nulls,
+        |       count(DISTINCT l_returnflag) AS l_returnflag_distinct,
+        |       count(CASE WHEN l_linestatus IS NULL THEN 1 END) AS l_linestatus_nulls,
+        |       count(DISTINCT l_linestatus) AS l_linestatus_distinct,
+        |       count(CASE WHEN l_shipdate IS NULL THEN 1 END) AS l_shipdate_nulls,
+        |       count(DISTINCT l_shipdate) AS l_shipdate_distinct,
+        |       count(CASE WHEN l_quantity IS NULL THEN 1 END) AS l_quantity_nulls,
+        |       count(DISTINCT l_quantity) AS l_quantity_distinct
+        |FROM lineitem""".stripMargin,
+    "q_funnel" ->
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+        |         count(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks
+        |  FROM events GROUP BY user_id),
+        |joined AS (
+        |  SELECT p.user_id, p.first_click, p.n_clicks,
+        |         min(CASE WHEN e.ts > p.first_click THEN e.ts END) AS first_purchase_after
+        |  FROM per_user p LEFT JOIN (SELECT user_id, ts FROM events
+        |                             WHERE event_type = 'purchase') e
+        |    ON p.user_id = e.user_id
+        |  GROUP BY p.user_id, p.first_click, p.n_clicks)
+        |SELECT user_id,
+        |       CAST(floor(epoch(first_click)) AS BIGINT) AS first_click,
+        |       n_clicks,
+        |       CAST(floor(epoch(first_purchase_after)) AS BIGINT) AS first_purchase_after,
+        |       (first_click IS NOT NULL AND first_purchase_after IS NOT NULL) AS converted
+        |FROM joined ORDER BY user_id""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH ev AS (
+        |  -- integer // on BIGINT: double // is NOT floor division in DuckDB
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        |  FROM events),
+        |cohorts AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        |       count(DISTINCT ev.user_id) AS active_users
+        |FROM ev JOIN cohorts ON ev.user_id = cohorts.user_id
+        |GROUP BY cohort_day, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin
+  )
+}
