@@ -126,7 +126,46 @@ object DedupQueries {
       .select(col("doc_id"), simhash64(col("hashes")).as("simhash"))
       .orderBy("doc_id")
 
+  /** Embedding-cosine near-dup pairs: vectors whose cosine similarity
+    * exceeds the threshold, bounded candidate universe (the linear-scale
+    * route is LSH bucketing first — sim_ann_lsh — then this verification
+    * within buckets).
+    */
+  def embeddingCosine(s: SparkSession, d: String, maxVecId: Long = 300L,
+      threshold: Double = 0.9): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .filter(col("vec_id") < maxVecId)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    val a = e.select(col("vec_id").as("va"), col("v").as("xa"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vb"), col("v").as("xb"), col("nrm").as("nb"))
+    a.join(b, col("va") < col("vb"))
+      .withColumn("sim", dot(col("xa"), col("xb")) / (col("na") * col("nb")))
+      .filter(col("sim") > threshold)
+      .select("va", "vb", "sim")
+      .orderBy("va", "vb")
+  }
+
+  /** The composed corpus-cleaning pipeline every training-data run executes:
+    * quality gate → language gate → exact dedup (keep min doc_id per
+    * fingerprint) → cleaned corpus stats. One declarative plan; Catalyst
+    * fuses the gates into the scan.
+    */
+  def cleanCorpus(s: SparkSession, d: String): DataFrame = {
+    val toks = spaceTokens(col("text"))
+    val gated = Tables.documents(s, d)
+      .filter(col("n_chars") >= 100 && size(toks) >= 20)
+      .filter(array_contains(toks, "the")) // langid gate (en heuristic)
+    val deduped = gated
+      .groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+    deduped.select(col("doc_id"), col("fp"), col("n_copies"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_embedding_cosine" -> (embeddingCosine(_, _)),
+    "pipeline_clean_corpus" -> (cleanCorpus(_, _)),
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_ngram_jaccard" -> (ngramJaccard(_, _)),
     "dedup_minhash_lsh" -> (minhashLsh(_, _)),
@@ -134,6 +173,22 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_embedding_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id < 300)
+        |SELECT a.vec_id AS va, b.vec_id AS vb,
+        |       list_cosine_similarity(a.v, b.v) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) > 0.9
+        |ORDER BY va, vb""".stripMargin,
+    "pipeline_clean_corpus" ->
+      """SELECT min(doc_id) AS doc_id, md5(text) AS fp, count(*) AS n_copies
+        |FROM documents
+        |WHERE n_chars >= 100
+        |  AND len(string_split(text, ' ')) >= 20
+        |  AND list_contains(string_split(text, ' '), 'the')
+        |GROUP BY md5(text)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
