@@ -95,7 +95,35 @@ object TextQueries {
       .orderBy("doc_id", "rnk")
   }
 
+  /** BPE-ish token accounting: split into word + punctuation tokens with the
+    * `\w+|[^\w\s]` regex (the pre-tokenization most BPE vocabularies use)
+    * next to the whitespace count — the token-budget estimate per doc.
+    */
+  def bpeTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0)))
+          .cast("long").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** Polynomial rolling hash over the character stream (mod 2^31-1) — the
+    * shard-stable fingerprint primitive the north star names; exact
+    * cross-engine (integer arithmetic, same fold order).
+    */
+  def rollingHash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        aggregate(
+          transform(filter(split(col("text"), ""), c => c =!= ""),
+            c => ascii(c).cast("long")),
+          lit(0L),
+          (h, c) => (h * 31L + c) % 2147483647L).as("rhash"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_tokens" -> (bpeTokens(_, _)),
+    "text_rolling_hash" -> (rollingHash(_, _)),
     "text_tfidf" -> (tfidf(_, _)),
     "text_langid" -> (langId(_, _)),
     "text_quality" -> (quality(_, _)),
@@ -104,6 +132,19 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_bpe_tokens" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_rolling_hash" ->
+      """SELECT doc_id,
+        |       list_reduce(
+        |         list_prepend(0::BIGINT,
+        |           list_transform(string_split_regex(text, ''),
+        |                          c -> CAST(unicode(c) AS BIGINT))),
+        |         (h, c) -> (h * 31 + c) % 2147483647) AS rhash
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_tfidf" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents

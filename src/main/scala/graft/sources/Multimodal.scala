@@ -60,6 +60,38 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** Stubbed media transforms — deterministic byte-level fakes with the real
+    * Spark plumbing (typed Datasets, per-partition execution). Swap the
+    * bodies for codecs; signatures and partitioning hold.
+    */
+  /** "Resize": in a real pipeline decode→scale→re-encode; here a
+    * deterministic byte subsample that preserves determinism and length
+    * proportionality.
+    */
+  def resizeStub(media: Dataset[MediaRecord], factor: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map(r => r.copy(media = r.media.zipWithIndex.collect {
+        case (b, i) if i % factor == 0 => b
+      }))
+    }
+  }
+
+  /** "Frame sampling": treat the blob as a stream of fixed-size frames and
+    * emit every `stride`-th frame as its own record (1→N generator through
+    * a typed flatMap — the video-ingest shape).
+    */
+  case class Frame(id: Long, frame_no: Long, frame: Array[Byte])
+
+  def frameSampleStub(media: Dataset[MediaRecord], frameSize: Int, stride: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      r.media.grouped(frameSize).zipWithIndex.collect {
+        case (bytes, i) if i % stride == 0 => Frame(r.id, i.toLong, bytes.toArray)
+      }
+    }
+  }
+
   /** Size/metadata projection. (Computing octet_length still scans the blob
     * column once; a production catalog materializes n_bytes as metadata so
     * even this scan prunes the blobs — the seam to do that is here.)

@@ -60,6 +60,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(total == spark.read.parquet(s"$sf/embeddings.parquet").count())
   }
 
+  test("multimodal: resize + frame-sample stubs keep typed plumbing real") {
+    val media = Multimodal.fromDocuments(spark, sf)
+    val resized = Multimodal.resizeStub(media, 4)
+    val orig = media.filter(col("id") === 0).collect()(0).media.length
+    val small = resized.filter(col("id") === 0).collect()(0).media.length
+    assert(small == (orig + 3) / 4)
+    val frames = Multimodal.frameSampleStub(media, frameSize = 16, stride = 2)
+    val f0 = frames.filter(col("id") === 0).collect()
+    assert(f0.nonEmpty && f0.forall(_.frame_no % 2 == 0))
+    assert(f0.forall(_.frame.length <= 16))
+  }
+
   test("multimodal: decode plumbing is deterministic and schema-stable") {
     val feats = Multimodal.decodeBatch(Multimodal.fromDocuments(spark, sf))
     assert(feats.schema.fieldNames.toSeq ==
