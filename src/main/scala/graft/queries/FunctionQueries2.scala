@@ -144,7 +144,37 @@ object FunctionQueries2 {
         bit_xor(col("l_orderkey")).as("bxor"))
       .orderBy("l_returnflag")
 
+  /** first_value / last_value / nth_value over a running frame. */
+  def windowFirstLast(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_ok"),
+        last(col("o_orderkey")).over(w).as("last_ok"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Array set algebra as scalars: union/intersect/except of per-row arrays,
+    * emitted sorted+joined for canonical comparison.
+    */
+  def arraySetOps(s: SparkSession, d: String): DataFrame = {
+    val a = sequence(lit(1), col("l_linenumber"))
+    val b = sequence(col("l_linenumber"), lit(7))
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 200)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        array_join(array_sort(array_union(a, b)), ",").as("au"),
+        array_join(array_sort(array_intersect(a, b)), ",").as("ai"),
+        array_join(array_sort(array_except(a, b)), ",").as("ae"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_firstlast" -> (windowFirstLast(_, _)),
+    "q_array_setops" -> (arraySetOps(_, _)),
     "q_minmax_by" -> (minmaxBy(_, _)),
     "q_stats_agg" -> (statsAgg(_, _)),
     "q_window_distribution" -> (windowDistribution(_, _)),
@@ -160,6 +190,28 @@ object FunctionQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_window_firstlast" ->
+      """SELECT o_custkey, o_orderkey,
+        |       first_value(o_orderkey) OVER w AS first_ok,
+        |       last_value(o_orderkey) OVER w AS last_ok,
+        |       nth_value(o_orderkey, 2) OVER w AS second_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_array_setops" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       coalesce(list_aggregate(list_sort(list_distinct(
+        |         list_concat(generate_series(1, l_linenumber),
+        |                     generate_series(l_linenumber, 7)))), 'string_agg', ','), '') AS au,
+        |       coalesce(list_aggregate(list_sort(list_distinct(list_filter(
+        |         generate_series(1, l_linenumber),
+        |         x -> list_contains(generate_series(l_linenumber, 7), x)))), 'string_agg', ','), '') AS ai,
+        |       coalesce(list_aggregate(list_sort(list_distinct(list_filter(
+        |         generate_series(1, l_linenumber),
+        |         x -> NOT list_contains(generate_series(l_linenumber, 7), x)))), 'string_agg', ','), '') AS ae
+        |FROM lineitem WHERE l_orderkey < 200
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_minmax_by" ->
       """WITH ranked AS (
         |  SELECT l_returnflag, l_orderkey, l_extendedprice,
