@@ -21,6 +21,9 @@ object Tables {
   // Memoize resolved relations per (session, path): DataFrames are immutable
   // plans, and re-resolving re-lists files + re-reads parquet footers — pure
   // overhead when dozens of registry queries hit the same ten tables.
+  // Assumes read-only fixtures (the driver's testdata contract) and
+  // short-lived processes; a long-lived multi-session service would want a
+  // weak/expiring cache here.
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 

@@ -18,6 +18,19 @@ import org.apache.spark.unsafe.types.UTF8String
 case class Fnv1a64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
+
+  // analysis-time type error instead of a runtime MatchError for
+  // `SELECT fnv1a64(42)` (ExpectsInputTypes is private[sql] in Spark 4, so
+  // validate directly)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType | BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"fnv1a64 requires a string or binary argument, got ${other.catalogString}")
+    }
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "fnv1a64"
 
@@ -67,5 +80,8 @@ object Fnv1a64 {
   /** SQL registration so the expression is usable from spark.sql too. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "fnv1a64", exprs => Fnv1a64(exprs.head), "scala_udf")
+      "fnv1a64", exprs => {
+        require(exprs.length == 1, s"fnv1a64 takes 1 argument, got ${exprs.length}")
+        Fnv1a64(exprs.head)
+      }, "scala_udf")
 }

@@ -36,10 +36,10 @@ object GraphQueries {
   // Both registry queries consume the converged labels; memoize per
   // (session, dir) so the iterative loop runs once per process.
   private val ccCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
 
   def connectedComponents(s: SparkSession, d: String, maxIter: Int = 25): DataFrame =
-    ccCache.getOrElseUpdate((s, d), computeComponents(s, d, maxIter))
+    ccCache.getOrElseUpdate((s, d, maxIter), computeComponents(s, d, maxIter))
 
   private def computeComponents(s: SparkSession, d: String, maxIter: Int): DataFrame = {
     // localCheckpoint (not persist): persist caches the data but the logical

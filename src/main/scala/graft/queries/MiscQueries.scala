@@ -34,7 +34,7 @@ object MiscQueries {
   }
 
   private def lnParts(s: SparkSession, d: String, ln: Int): DataFrame =
-    Tables.lineitem(s, d).filter(col("l_linenumber") === ln).select("l_partkey")
+    RelationalQueries.lnParts(s, d, ln)
 
   /** INTERSECT ALL — multiset intersection (duplicates preserved). */
   def intersectAll(s: SparkSession, d: String): DataFrame =

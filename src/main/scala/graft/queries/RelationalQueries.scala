@@ -111,7 +111,8 @@ object RelationalQueries {
       .select("l_returnflag", "l_linestatus").distinct()
       .orderBy("l_returnflag", "l_linestatus")
 
-  private def lnParts(s: SparkSession, d: String, ln: Int): DataFrame =
+  /** Shared by the set-op queries here and the multiset ops in MiscQueries. */
+  private[queries] def lnParts(s: SparkSession, d: String, ln: Int): DataFrame =
     Tables.lineitem(s, d).filter(col("l_linenumber") === ln).select("l_partkey")
 
   /** UNION (set semantics — dedup across inputs). */

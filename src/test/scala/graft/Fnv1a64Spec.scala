@@ -42,6 +42,14 @@ class Fnv1a64Spec extends SparkSpec {
     assert(viaString == viaBinary)
   }
 
+  test("non-string/binary input is an analysis error, not a runtime crash") {
+    Fnv1a64.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT fnv1a64(42)").collect()
+    }
+    assert(e.getMessage.contains("fnv1a64 requires a string or binary"))
+  }
+
   test("ihash31 is non-negative and below 2^31") {
     import spark.implicits._
     val vals = (0 until 1000).map(i => s"key_$i").toDF("s")
