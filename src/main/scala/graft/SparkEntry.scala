@@ -29,7 +29,8 @@ object SparkEntry {
       (Q.FunctionQueries2.queries, Q.FunctionQueries2.oracles),
       (Q.GraphQueries.queries, Q.GraphQueries.oracles),
       (Q.MiscQueries.queries, Q.MiscQueries.oracles),
-      (Q.AnalyticsQueries.queries, Q.AnalyticsQueries.oracles)
+      (Q.AnalyticsQueries.queries, Q.AnalyticsQueries.oracles),
+      (Q.StatsQueries.queries, Q.StatsQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
