@@ -27,5 +27,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 1, s"fnv1a64 takes 1 argument, got ${exprs.length}")
         Fnv1a64(exprs.head)
       }))
+    e.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, s"cosine_sim takes 2 arguments, got ${exprs.length}")
+        CosineSimilarity(exprs.head, exprs(1))
+      }))
   }
 }

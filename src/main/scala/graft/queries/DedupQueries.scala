@@ -147,11 +147,11 @@ object DedupQueries {
     val e = Tables.embeddings(s, d)
       .filter(col("vec_id") < maxVecId)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", l2norm(col("v")))
-    val a = e.select(col("vec_id").as("va"), col("v").as("xa"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("vb"), col("v").as("xb"), col("nrm").as("nb"))
+    val a = e.select(col("vec_id").as("va"), col("v").as("xa"))
+    val b = e.select(col("vec_id").as("vb"), col("v").as("xb"))
     a.join(b, col("va") < col("vb"))
-      .withColumn("sim", dot(col("xa"), col("xb")) / (col("na") * col("nb")))
+      .withColumn("sim",
+        graft.plans.CosineSimilarity.cosine_sim(col("xa"), col("xb")))
       .filter(col("sim") > threshold)
       .select("va", "vb", "sim")
       .orderBy("va", "vb")

@@ -27,11 +27,12 @@ object SimilarityQueries {
     * determinism. Norms computed once per side before the join.
     */
   def cosineTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
-    val base = vecs(s, d).withColumn("nrm", l2norm(col("v")))
+    val base = vecs(s, d)
     val q = base.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
     val joined = base.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("sim", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+      .withColumn("sim",
+        graft.plans.CosineSimilarity.cosine_sim(col("v"), col("qv")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     joined
       .select(col("qid"), col("vec_id"), col("sim"), row_number().over(w).as("rank"))

@@ -1,0 +1,45 @@
+package graft
+
+import graft.plans.CosineSimilarity.cosine_sim
+import org.apache.spark.sql.functions._
+
+/** Native cosine expression: value parity with the HOF formulation, null/
+  * mismatch semantics, SQL surface via the extension. */
+class CosineSimilaritySpec extends SparkSpec {
+
+  test("matches the higher-order-function formulation bit-exactly") {
+    import graft.functions.TextFunctions.{dot, l2norm}
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .limit(50)
+    val a = vecs.select(col("vec_id").as("ia"), col("v").as("va"))
+    val b = vecs.select(col("vec_id").as("ib"), col("v").as("vb"))
+    val pairs = a.join(b, col("ia") < col("ib"))
+    val viaExpr = pairs.select(cosine_sim(col("va"), col("vb")).as("s"))
+      .collect().map(_.getDouble(0))
+    val viaHof = pairs.select(
+        (dot(col("va"), col("vb")) / (l2norm(col("va")) * l2norm(col("vb")))).as("s"))
+      .collect().map(_.getDouble(0))
+    assert(viaExpr.toSeq == viaHof.toSeq)
+  }
+
+  test("length mismatch and null elements yield null") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    assert(df.select(cosine_sim(col("a"), col("b"))).collect()(0).isNullAt(0))
+    val withNull = spark.sql("SELECT array(1.0d, cast(null as double)) a, array(1.0d, 2.0d) b")
+    val row = withNull.select(cosine_sim(col("a"), col("b"))).collect()(0)
+    assert(row.isNullAt(0), s"expected null, got ${row.get(0)}")
+  }
+
+  test("SQL surface via extension; type errors at analysis time") {
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS s")
+      .collect()(0).getDouble(0)
+    assert(r == 1.0)
+    val e = intercept[Exception] {
+      spark.sql("SELECT cosine_sim(array(1.0d), 'nope')").collect()
+    }
+    assert(e.getMessage.contains("cosine_sim requires two array<double>"))
+  }
+}
