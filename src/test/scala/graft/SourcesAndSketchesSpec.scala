@@ -37,6 +37,16 @@ class SourcesAndSketchesSpec extends SparkSpec {
       src.orderBy("r_regionkey").collect().map(_.getString(1)).toSeq)
   }
 
+  test("orc round-trip: write + read preserves schema and values") {
+    val dir = java.nio.file.Files.createTempDirectory("orc").toString
+    val src = spark.read.parquet(s"$sf/supplier.parquet")
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == src.schema)
+    assert(back.orderBy("s_suppkey").collect().toSeq ==
+      src.orderBy("s_suppkey").collect().toSeq)
+  }
+
   test("partitioned parquet sink: partition pruning on read") {
     val dir = java.nio.file.Files.createTempDirectory("part").toString
     spark.read.parquet(s"$sf/orders.parquet")
