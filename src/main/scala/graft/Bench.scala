@@ -1,12 +1,32 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Free ALL cross-query state so per-query timings are order-independent:
+    * memoized plans (whose persisted/checkpointed inputs would otherwise pin
+    * executor memory for the JVM lifetime), the SQL cache, and every
+    * persistent RDD block — the sweep catches both `persist()` blocks and
+    * `localCheckpoint()` blocks, and the module cache clears MUST accompany
+    * it because a checkpoint-truncated plan is unrecoverable once its blocks
+    * are gone. Tables' relation memo holds only unexecuted logical plans
+    * (no executor blocks) but is cleared too so every query pays its own
+    * file-listing/footer cost.
+    */
+  private def resetState(spark: SparkSession): Unit = {
+    queries.DedupQueries.reset()
+    queries.GraphQueries.reset()
+    Tables.reset()
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -15,8 +35,10 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
     // a failed query reports -1 (not its tiny time-to-throw) so breakage is
-    // visible in the JSON instead of making the total look faster
+    // visible in the JSON; failures are excluded from the total and counted
+    // explicitly so breakage can never flatter the headline number
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      resetState(spark)
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
@@ -25,10 +47,12 @@ object Bench {
       }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    resetState(spark)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.count(_._2 < 0)
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -27,9 +27,29 @@ object Tables {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Drop memoized relations (bench/verify inter-query hygiene). */
+  def reset(): Unit = cache.clear()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    cache.getOrElseUpdate((spark, s"$sfDir/$name.parquet"),
-      spark.read.parquet(s"$sfDir/$name.parquet"))
+    cache.getOrElseUpdate((spark, s"$sfDir/$name.parquet"), {
+      // events.ts is parquet timestamp[ns], which Spark's vectorized reader
+      // rejects outright. Parquet exposes no per-read option for this
+      // (ParquetOptions: mergeSchema/compression/rebase only), so the
+      // session must carry spark.sql.legacy.parquet.nanosAsLong=true — all
+      // graft entry points (Bench/Verify/Cli/Explain/SparkSpec) set it at
+      // build; the set-if-unset below only rescues foreign sessions and
+      // runs at most once per session, never per query.
+      if (name == "events" &&
+          spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      // ns → µs truncation — exactly what DuckDB does reading the same file,
+      // so oracle comparisons on ts are bit-identical.
+      if (name == "events")
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      else raw
+    })
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
@@ -38,16 +58,8 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.ts is parquet timestamp[ns], which Spark's vectorized reader
-    * rejects outright. Read nanos as long and truncate to micros — exactly
-    * what DuckDB does when it reads the same file, so oracle comparisons on
-    * ts are bit-identical.
-    */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-  }
+  /** ns-timestamp handling lives in load() so no path can read events raw. */
+  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

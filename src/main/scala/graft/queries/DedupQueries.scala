@@ -68,6 +68,19 @@ object DedupQueries {
   // one cached copy per call
   private val lshCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Long, Double), DataFrame]
+  // handles to the persisted shingle corpora, so reset() can free the blocks
+  private val lshPersisted =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Long, Double), DataFrame]
+
+  /** Free persisted shingle corpora and drop memoized plans (bench/verify
+    * inter-query hygiene — without this each distinct parameter set pins a
+    * persisted copy for the JVM lifetime).
+    */
+  def reset(): Unit = {
+    lshPersisted.values.foreach(_.unpersist(false))
+    lshPersisted.clear()
+    lshCache.clear()
+  }
 
   def minhashLsh(s: SparkSession, d: String, maxDocId: Long = 2000L,
       threshold: Double = 0.9): DataFrame =
@@ -85,6 +98,7 @@ object DedupQueries {
       .filter(col("doc_id") < maxDocId)
       .select(col("doc_id"), bigramShingles(spaceTokens(col("text"))).as("shingles"))
       .persist()
+    lshPersisted.put((s, d, maxDocId, threshold), docs)
     // The k-family sketch is computed RELATIONALLY: explode shingle hashes,
     // then k codegen'd min(xxhash64(seed, h)) aggregates. The equivalent
     // nested higher-order-function expression (transform∘array_min∘transform)
@@ -142,8 +156,11 @@ object DedupQueries {
     * route is LSH bucketing first — sim_ann_lsh — then this verification
     * within buckets).
     */
-  def embeddingCosine(s: SparkSession, d: String, maxVecId: Long = 300L,
-      threshold: Double = 0.9): DataFrame = {
+  // Defaults tuned so the answer is NON-EMPTY at every test SF (the driver
+  // corpus embeddings are near-random: max pairwise cosine ≈ 0.48/0.51/0.60
+  // at sf0.001/0.01/0.1, so a 0.9 threshold verified nothing).
+  def embeddingCosine(s: SparkSession, d: String, maxVecId: Long = 500L,
+      threshold: Double = 0.4): DataFrame = {
     val e = Tables.embeddings(s, d)
       .filter(col("vec_id") < maxVecId)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -186,11 +203,11 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "dedup_embedding_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        |           FROM embeddings WHERE vec_id < 300)
+        |           FROM embeddings WHERE vec_id < 500)
         |SELECT a.vec_id AS va, b.vec_id AS vb,
         |       list_cosine_similarity(a.v, b.v) AS sim
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.v, b.v) > 0.9
+        |WHERE list_cosine_similarity(a.v, b.v) > 0.4
         |ORDER BY va, vb""".stripMargin,
     "pipeline_clean_corpus" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS fp, count(*) AS n_copies

@@ -295,8 +295,8 @@ object FunctionQueries2 {
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q_count_if" ->
       """SELECT l_linestatus,
-        |       count_if(l_quantity > 25) AS n_heavy,
-        |       count_if(l_discount = 0.0) AS n_nodisc,
+        |       CAST(count_if(l_quantity > 25) AS BIGINT) AS n_heavy,
+        |       CAST(count_if(l_discount = 0.0) AS BIGINT) AS n_nodisc,
         |       count(*) AS cnt
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "q_bitwise_agg" ->

@@ -38,6 +38,13 @@ object GraphQueries {
   private val ccCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
 
+  /** Drop memoized converged labels (bench/verify inter-query hygiene).
+    * The localCheckpoint block storage behind them is freed by the caller's
+    * persistent-RDD sweep — after that sweep the truncated-lineage plans are
+    * unrecoverable, which is why this clear must accompany it.
+    */
+  def reset(): Unit = ccCache.clear()
+
   def connectedComponents(s: SparkSession, d: String, maxIter: Int = 25): DataFrame =
     ccCache.getOrElseUpdate((s, d, maxIter), computeComponents(s, d, maxIter))
 

@@ -54,6 +54,26 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("ann top-k retrieval: recall >= 0.9 vs brute-force cosine (sf0.001 + sf0.01)") {
+    // The corpus is isotropic-random — LSH's worst case — so measured recall
+    // here is the floor, not the typical case (see SimilarityQueries.annTopK).
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select("qid", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = pairs(SimilarityQueries.cosineTopK(spark, dir))
+      val ann = pairs(SimilarityQueries.annTopK(spark, dir))
+      assert(exact.size == 50, s"$dir: expected 10 queries x top-5")
+      val recall = (exact & ann).size.toDouble / exact.size
+      assert(recall >= 0.9, s"$dir: ANN recall $recall < 0.9")
+      // every ANN answer carries a rank 1..5 and excludes self-matches
+      SimilarityQueries.annTopK(spark, dir).collect().foreach { r =>
+        assert(r.getAs[Long]("qid") != r.getAs[Long]("vec_id"))
+        assert(r.getAs[Int]("rank") >= 1 && r.getAs[Int]("rank") <= 5)
+      }
+    }
+  }
+
   test("ann lsh buckets: partition the corpus exactly") {
     val buckets = SimilarityQueries.annLshBuckets(spark, sf)
     val total = buckets.agg(sum("n_vectors")).collect()(0).getLong(0)
