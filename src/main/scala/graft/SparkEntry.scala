@@ -30,8 +30,13 @@ object SparkEntry {
       (Q.GraphQueries.queries, Q.GraphQueries.oracles),
       (Q.MiscQueries.queries, Q.MiscQueries.oracles),
       (Q.AnalyticsQueries.queries, Q.AnalyticsQueries.oracles),
-      (Q.StatsQueries.queries, Q.StatsQueries.oracles)
+      (Q.StatsQueries.queries, Q.StatsQueries.oracles),
+      (Q.StreamingBridge.queries, Q.StreamingBridge.oracles)
     )
+
+  /** Per-module registry sizes — lets ContractSpec prove no cross-module
+    * key collision silently drops an implementation in the merge. */
+  private[graft] def moduleQueryCounts: Seq[Int] = modules.map(_._1.size)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

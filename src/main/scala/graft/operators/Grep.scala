@@ -29,12 +29,15 @@ object Grep {
     * split limit=0 drops trailing empty strings (Java semantics) — the
     * reference's `str::lines()` likewise yields nothing after the final
     * newline (grep.rs:41-45); interior empty lines keep their positions.
+    * Splitting on `\r?\n` matches `str::lines()` CRLF handling too: the
+    * `\r` of a CRLF terminator is not part of the line's content (a bare
+    * `\r` without `\n` is content in both).
     */
   def numberedLines(spark: SparkSession, path: String): DataFrame =
     spark.read.option("wholetext", "true").text(path)
       .select(input_file_name().as("file"), col("value"))
       .select(col("file"),
-        posexplode(split(col("value"), "\n", 0)).as(Seq("pos", "line")))
+        posexplode(split(col("value"), "\\r?\\n", 0)).as(Seq("pos", "line")))
       .withColumn("lineno", col("pos") + 1)
       .drop("pos")
 

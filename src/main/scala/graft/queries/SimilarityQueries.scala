@@ -54,8 +54,9 @@ object SimilarityQueries {
 
   /** Random-hyperplane LSH bucketing: 12-bit signatures from deterministic
     * pseudo-random planes — candidate generation for ANN in O(n). Emits
-    * bucket occupancy (signature, count, distinct labels); hash-specific →
-    * rows-only driver check.
+    * bucket occupancy (signature, count, distinct labels). The planes are
+    * plan-time constants, so unlike the xxhash-family sketches this IS
+    * SQL-expressible — fully oracled below.
     */
   def annLshBuckets(s: SparkSession, d: String, bits: Int = 12): DataFrame = {
     val plane: (Int) => Column = j =>
@@ -157,6 +158,20 @@ object SimilarityQueries {
         |  FROM e JOIN q ON vec_id <> qid)
         |SELECT qid, vec_id, sim, rank FROM sims
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "sim_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |p(j, pl) AS (VALUES ${planeRowsSql(12, 1)}),
+         |bits AS (
+         |  SELECT e.vec_id, e.label,
+         |         CASE WHEN list_dot_product(e.v, p.pl) > 0
+         |              THEN CAST(1 AS BIGINT) << p.j ELSE 0 END AS b
+         |  FROM e CROSS JOIN p),
+         |sigs AS (SELECT vec_id, label, CAST(sum(b) AS BIGINT) AS sig
+         |         FROM bits GROUP BY vec_id, label)
+         |SELECT sig, count(*) AS n_vectors,
+         |       count(DISTINCT label) AS n_labels
+         |FROM sigs GROUP BY sig ORDER BY sig""".stripMargin,
     "sim_ann_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |           FROM embeddings),

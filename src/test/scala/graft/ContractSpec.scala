@@ -14,9 +14,12 @@ class ContractSpec extends SparkSpec {
 
   test("registry names are unique across modules (no silent override)") {
     // SparkEntry merges module maps; a duplicate key would silently drop one
-    // implementation. Count contributions vs merged size.
+    // implementation. Sum of per-module contributions must equal merged size.
+    val contributed = SparkEntry.moduleQueryCounts.sum
     val merged = SparkEntry.queries.size
-    assert(merged >= 103, s"expected >= 103 queries, got $merged")
+    assert(contributed == merged,
+      s"modules contribute $contributed keys but merged registry has $merged — duplicate name across modules")
+    assert(merged >= 104, s"expected >= 104 queries, got $merged")
   }
 
   test("every query result is parquet-writable (no exotic output types)") {

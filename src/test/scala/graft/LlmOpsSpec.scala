@@ -10,18 +10,44 @@ import org.apache.spark.sql.functions._
   */
 class LlmOpsSpec extends SparkSpec {
 
-  test("minhash LSH finds every J>=0.95 pair that exact jaccard finds (recall)") {
-    val exact = DedupQueries.ngramJaccard(spark, sf, maxDocId = 500, threshold = 0.95)
-      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = DedupQueries.minhashLsh(spark, sf, maxDocId = 500, threshold = 0.95)
-      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
-    val missed = exact -- lsh
-    assert(missed.size <= math.max(1, exact.size / 20),
-      s"LSH missed ${missed.size} of ${exact.size} J>=0.95 pairs: ${missed.take(5)}")
-    // precision is guaranteed by construction: candidates are verified with
-    // exact jaccard before emission
-    assert((lsh -- exact).isEmpty)
+  test("minhash LSH finds every J>=0.95 pair that exact jaccard finds (recall, two scales)") {
+    // two-scale invariant (driver check is rows-only): recall vs the exact
+    // quadratic ground truth at both test SF and bench SF corpora
+    for (dir <- Seq(sf, "/root/testdata/sf0.1")) {
+      val exact = DedupQueries.ngramJaccard(spark, dir, maxDocId = 500, threshold = 0.95)
+        .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val lsh = DedupQueries.minhashLsh(spark, dir, maxDocId = 500, threshold = 0.95)
+        .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(exact.nonEmpty, s"$dir: fixture should contain near-dup pairs")
+      val missed = exact -- lsh
+      assert(missed.size <= math.max(1, exact.size / 20),
+        s"$dir: LSH missed ${missed.size} of ${exact.size} J>=0.95 pairs: ${missed.take(5)}")
+      // precision is guaranteed by construction: candidates are verified with
+      // exact jaccard before emission
+      assert((lsh -- exact).isEmpty)
+    }
+  }
+
+  test("simhash: near-dup pairs have smaller Hamming distance than the corpus baseline (two scales)") {
+    // locality invariant (driver check is rows-only): the mean Hamming
+    // distance between signatures of exact-Jaccard near-dup pairs must sit
+    // well below the mean over arbitrary pairs, at both test and bench SF
+    import graft.functions.TextFunctions._
+    for (dir <- Seq(sf, "/root/testdata/sf0.1")) {
+      val sig = DedupQueries.simhashSignatures(spark, dir)
+      val near = DedupQueries.ngramJaccard(spark, dir, maxDocId = 500, threshold = 0.9)
+        .select("da", "db")
+      def ham(pairs: org.apache.spark.sql.DataFrame): Double = pairs
+        .join(sig.select(col("doc_id").as("da"), col("simhash").as("sa")), "da")
+        .join(sig.select(col("doc_id").as("db"), col("simhash").as("sb")), "db")
+        .select(bit_count(col("sa").bitwiseXOR(col("sb"))).as("h"))
+        .agg(avg("h")).collect()(0).getDouble(0)
+      val nearHam = ham(near)
+      // baseline: consecutive-id pairs (arbitrary, near-dups vanishingly rare)
+      val baseline = ham(sig.select(col("doc_id").as("da"), (col("doc_id") + 7).as("db")))
+      assert(nearHam < baseline / 2,
+        s"$dir: near-dup mean Hamming $nearHam !<< baseline $baseline")
+    }
   }
 
   test("simhash: identical docs get identical signatures; signatures are 64-bit") {
