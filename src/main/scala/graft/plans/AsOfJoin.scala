@@ -1,0 +1,164 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow,
+  UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Native as-of join — the whole-operator Catalyst extension (SURVEY.md §4
+  * path (c)): custom `LogicalPlan` + `SparkStrategy` + `SparkPlan`,
+  * registered through `SparkSessionExtensions` (GraftExtensions) and
+  * `spark.experimental.extraStrategies`.
+  *
+  * Semantics: LEFT OUTER as-of — every left (probe) row is joined to the
+  * single right (build) row with equal keys and the greatest time ≤ the
+  * probe's time; unmatched probes carry nulls. Spark has no built-in as-of
+  * operator; the composable fallback is the union + last-over-window trick
+  * (AdvancedQueries.asofJoin), which requires both relations through ONE
+  * shuffle+sort. This exec instead broadcasts the (small) build side as
+  * per-key time-sorted arrays and binary-searches per probe row:
+  * zero shuffle, zero sort of the probe side — at 100 TB the probe
+  * (events/fact) streams straight from the scan. For build sides too big
+  * to broadcast, use the window form (or shuffle both on key and merge —
+  * not needed for any workload here, documented in DESIGN.md).
+  */
+case class AsOfJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression) extends BinaryNode {
+
+  // LEFT OUTER: build-side columns become nullable
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner rule: AsOfJoin → AsOfJoinExec. Installed by GraftExtensions
+  * (`injectPlannerStrategy`) and idempotently by `AsOfJoin.asof` via
+  * `spark.experimental.extraStrategies` for sessions built without the
+  * extension.
+  */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Broadcast as-of join exec: collect + broadcast the build side grouped by
+  * key with time-sorted row arrays; probe partitions stream and
+  * binary-search. Null keys and null times never match (SQL join
+  * semantics).
+  */
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  @transient private lazy val timeOrdering: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(leftTime.dataType)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    require(leftTime.dataType == rightTime.dataType,
+      s"as-of time types differ: ${leftTime.dataType} vs ${rightTime.dataType}")
+    val ord = timeOrdering
+    // ---- build phase (driver): key → rows sorted by time ascending ----
+    val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
+    val rTime = BindReferences.bindReference(rightTime, right.output)
+    val grouped = new scala.collection.mutable.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]]
+    right.executeCollect().foreach { row =>
+      val key = rKeyProj(row)
+      val t = rTime.eval(row)
+      if (!key.anyNull && t != null)
+        grouped.getOrElseUpdate(key.copy(), new scala.collection.mutable.ArrayBuffer) += ((t, row))
+    }
+    val buildMap: Map[UnsafeRow, Array[(Any, InternalRow)]] =
+      grouped.view.mapValues(_.sortBy(_._1)(ord).toArray).toMap
+    val broadcastBuild = sparkContext.broadcast(buildMap)
+    val rightWidth = right.output.length
+    val outAttrs = output
+    val leftOut = left.output
+    val lKeys = leftKeys
+    val lTime = leftTime
+    // ---- probe phase: stream left partitions, binary-search per row ----
+    left.execute().mapPartitions { iter =>
+      val build = broadcastBuild.value
+      val lKeyProj = UnsafeProjection.create(lKeys, leftOut)
+      val lTimeBound = BindReferences.bindReference(lTime, leftOut)
+      val outProj = UnsafeProjection.create(outAttrs, leftOut ++ outAttrs.drop(leftOut.length))
+      val joined = new JoinedRow
+      val nullRow = new GenericInternalRow(rightWidth)
+      iter.map { lrow =>
+        val key = lKeyProj(lrow)
+        val t = lTimeBound.eval(lrow)
+        val matched: InternalRow =
+          if (key.anyNull || t == null) nullRow
+          else build.get(key) match {
+            case None => nullRow
+            case Some(arr) =>
+              // greatest index with arr(i)._1 <= t
+              var lo = 0; var hi = arr.length - 1; var ans = -1
+              while (lo <= hi) {
+                val mid = (lo + hi) >>> 1
+                if (ord.lteq(arr(mid)._1, t)) { ans = mid; lo = mid + 1 }
+                else hi = mid - 1
+              }
+              if (ans < 0) nullRow else arr(ans)._2
+          }
+        outProj(joined(lrow, matched))
+      }
+    }
+  }
+}
+
+object AsOfJoin {
+
+  /** Ensure the planner knows the node, for sessions built without
+    * GraftExtensions (Verify/Bench/Cli). Idempotent. */
+  private def ensureStrategy(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+
+  /** Public as-of join API over DataFrames. Key/time columns must be
+    * resolved against `left`/`right` (use `df("col")`); the two outputs
+    * must not share attribute ids — alias the build side's columns.
+    */
+  def asof(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[Column], rightKeys: Seq[Column],
+      leftTime: Column, rightTime: Column): DataFrame = {
+    val spark = left.sparkSession
+    ensureStrategy(spark)
+    val lp = GraftSqlBridge.analyzedPlan(left)
+    val rp = GraftSqlBridge.analyzedPlan(right)
+    require(lp.outputSet.intersect(rp.outputSet).isEmpty,
+      "as-of children share attribute ids — alias the build side columns")
+    GraftSqlBridge.ofRows(spark, AsOfJoin(lp, rp,
+      leftKeys.map(GraftSqlBridge.expression),
+      rightKeys.map(GraftSqlBridge.expression),
+      GraftSqlBridge.expression(leftTime),
+      GraftSqlBridge.expression(rightTime)))
+  }
+}

@@ -32,6 +32,29 @@ object AdvancedQueries {
       .orderBy("event_id")
   }
 
+  /** The SAME as-of semantics through the NATIVE operator
+    * (graft.plans.AsOfJoin — custom LogicalPlan + SparkStrategy +
+    * SparkPlan): purchases probe, clicks broadcast-build. Zero shuffle and
+    * zero sort of the probe side, vs one full shuffle+sort for the window
+    * form above — the shape you want when the build side (clicks per
+    * dimension horizon) broadcasts but the probe side is the 100 TB fact.
+    * Oracle: DuckDB's own native ASOF LEFT JOIN.
+    */
+  def asofNative(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    graft.plans.AsOfJoin.asof(purchases, clicks,
+        leftKeys = Seq(purchases("user_id")), rightKeys = Seq(clicks("c_user")),
+        leftTime = purchases("ts"), rightTime = clicks("c_ts"))
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("long").as("purchase_ts"),
+        col("c_ts").cast("long").as("asof_click_ts"))
+      .orderBy("event_id")
+  }
+
   /** Skew-salted aggregation: two-stage groupBy over (key, salt) then key —
     * identical results to a direct groupBy (same oracle), but the first
     * shuffle spreads a hot key over 16 reducers. The pattern for power-law
@@ -135,6 +158,7 @@ object AdvancedQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> (asofJoin(_, _)),
+    "q_asof_native" -> (asofNative(_, _)),
     "q_salted_agg" -> (saltedAgg(_, _)),
     "q_percentiles" -> (percentiles(_, _)),
     "q_approx_distinct" -> (approxDistinct(_, _)),
@@ -155,6 +179,16 @@ object AdvancedQueries {
         |FROM events
         |QUALIFY event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
+    "q_asof_native" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id,
+        |       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_ts,
+        |       CAST(floor(epoch(c.ts)) AS BIGINT) AS asof_click_ts
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
     "q_salted_agg" ->
       """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

@@ -1,0 +1,58 @@
+package graft
+
+import graft.plans.AsOfJoin
+import graft.queries.AdvancedQueries
+import org.apache.spark.sql.functions._
+
+/** Native as-of join (custom LogicalPlan/Strategy/SparkPlan) semantics:
+  * handcrafted edge cases, plan shape, and equivalence with the
+  * window-composed form on the events fixture.
+  */
+class AsOfJoinSpec extends SparkSpec {
+
+  private def handcrafted = {
+    import spark.implicits._
+    val probe = Seq(
+      (1L, "a", 100L), // between b1 and b2 → matches t=90
+      (2L, "a", 90L),  // exact tie → matches t=90 (inclusive)
+      (3L, "a", 10L),  // before all builds → null
+      (4L, "b", 500L), // key with single build row
+      (5L, "c", 50L),  // key absent from build → null
+      (6L, null, 50L)  // null key → null
+    ).toDF("id", "k", "t")
+    val build = Seq(
+      ("a", 20L, "b0"), ("a", 90L, "b1"), ("a", 150L, "b2"),
+      ("b", 400L, "bb")
+    ).toDF("bk", "bt", "tag")
+    (probe, build)
+  }
+
+  test("as-of: inclusive match, no-match null, null keys never match") {
+    val (probe, build) = handcrafted
+    val out = AsOfJoin.asof(probe, build,
+        Seq(probe("k")), Seq(build("bk")), probe("t"), build("bt"))
+      .select("id", "bt", "tag").orderBy("id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq(
+      (1L, 90L, "b1"), (2L, 90L, "b1"), (3L, null, null),
+      (4L, 400L, "bb"), (5L, null, null), (6L, null, null)))
+  }
+
+  test("as-of physical plan: AsOfJoinExec present, probe side not shuffled") {
+    val (probe, build) = handcrafted
+    val out = AsOfJoin.asof(probe, build,
+      Seq(probe("k")), Seq(build("bk")), probe("t"), build("bt"))
+    val plan = out.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix in plan strings
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(!plan.contains("Exchange"), s"as-of join must not shuffle:\n$plan")
+  }
+
+  test("native as-of equals window-composed as-of on events (no tie collisions in fixture)") {
+    val native = AdvancedQueries.asofNative(spark, sf).collect().map(_.toSeq)
+    val window = AdvancedQueries.asofJoin(spark, sf).collect().map(_.toSeq)
+    assert(native.nonEmpty)
+    assert(native.toSeq == window.toSeq)
+  }
+}
