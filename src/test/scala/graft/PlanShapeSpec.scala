@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions.{lit, when}
+
+/** Physical-plan regression tests — the 100 TB design claims in DESIGN.md,
+  * asserted against the actual planner output so a refactor can't silently
+  * regress pushdown, broadcast choice, top-k placement, or codegen.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def executedPlan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+
+  test("q_tpch_q5: every dimension broadcast, no sort-merge join") {
+    val plan = executedPlan("q_tpch_q5")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"dim joins must broadcast, not shuffle both sides:\n$plan")
+  }
+
+  test("q_filter_range: range predicates pushed to the parquet scan") {
+    val plan = executedPlan("q_filter_range")
+    // (PushedFilters text is truncated at maxMetadataStringLength in
+    // toString — assert the visible prefix)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), " +
+      "GreaterThanOrEqual(l_shipdate"), plan)
+  }
+
+  test("q_topk_global: TakeOrderedAndProject, never a global sort+limit") {
+    val plan = executedPlan("q_topk_global")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q_project_compute: scan schema pruned to referenced columns only") {
+    val plan = executedPlan("q_project_compute")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_returnflag"),
+      s"projection must prune unreferenced columns: $readSchema")
+  }
+
+  test("sim_cosine_topk: rank<=k pushed below the shuffle (WindowGroupLimit)") {
+    // without this the window would shuffle |corpus|x|Q| scored rows; with
+    // the partial WindowGroupLimit only top-k per map partition crosses
+    val plan = executedPlan("sim_cosine_topk")
+    // two instances: Partial (map-side, below the qid exchange) + Final
+    val n = "WindowGroupLimit".r.findAllIn(plan).length
+    assert(n >= 2, s"expected partial+final WindowGroupLimit, found $n:\n$plan")
+  }
+
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // one hot key (~99% of a padded fact) joined without broadcast; with
+    // thresholds scaled to the fixture, AQE's OptimizeSkewedJoin must mark
+    // the sort-merge join skew=true and split the hot partition — the
+    // runtime half of the skew story (the static half is q_salted_join)
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      import spark.implicits._
+      // pad is incompressible (md5) and carried through the join so the
+      // hot partition's MapOutputStatistics bytes actually reflect the skew
+      val big = spark.range(0, 200000)
+        .select(when($"id" % 100 =!= 0, lit(1L)).otherwise($"id").as("k"),
+          org.apache.spark.sql.functions.md5($"id".cast("string")).as("pad"))
+      val small = spark.range(0, 1000).select($"id".as("k"), lit("r").as("tag"))
+      val df = big.join(small, "k").select($"k", $"pad")
+        .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      // 198000 hot-key rows + the 10 cold keys (0,100..900) inside 0..999
+      assert(df.count() == 198010)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"expected skew-split SMJ:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("aggregations run inside whole-stage codegen") {
+    // codegen stars only appear in the FINAL adaptive plan — execute first
+    val df = SparkEntry.queries("q_agg_basic")(spark, sf)
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    df.collect() // count() would execute a different (re-planned) query
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"expected WholeStageCodegen stages:\n$plan")
+    assert(plan.contains("HashAggregate"), plan)
+  }
+}
