@@ -78,6 +78,31 @@ object GraphQueries {
     labels.orderBy("vtx")
   }
 
+  /** PageRank, fixed 10 iterations, damping 0.85 — the second iterative
+    * graph workload. The undirected edge set gives every vertex an
+    * out-edge, so there is no dangling-mass term: PR_{t+1}(v) = 0.15/N +
+    * 0.85 · Σ_{u→v} PR_t(u)/deg(u). Per-iteration `localCheckpoint`
+    * truncates lineage exactly as in CC. FULLY ORACLED: a fixed iteration
+    * count unrolls into 10 chained DuckDB CTEs (no recursion needed);
+    * ranks rounded to 6dp because per-vertex contribution sums are
+    * order-dependent float aggregates.
+    */
+  def pagerank(s: SparkSession, d: String, iters: Int = 10): DataFrame = {
+    val e = edges(s, d).localCheckpoint()
+    val deg = e.groupBy("u").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val n = deg.count()
+    var pr = deg.select(col("u").as("vtx"), lit(1.0 / n).as("pr")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      pr = e.join(pr, e("u") === pr("vtx"))
+        .join(deg, "u")
+        .select(col("v"), (col("pr") / col("deg")).as("c"))
+        .groupBy(col("v").as("vtx"))
+        .agg((lit(0.15 / n) + lit(0.85) * sum(col("c"))).as("pr"))
+        .localCheckpoint()
+    }
+    pr.select(col("vtx"), round(col("pr"), 6).as("pr")).orderBy("vtx")
+  }
+
   /** Component size histogram — the usual downstream of CC. */
   def componentSizes(s: SparkSession, d: String): DataFrame =
     connectedComponents(s, d)
@@ -86,8 +111,31 @@ object GraphQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_components" -> (connectedComponents(_, _, 25)),
-    "graph_component_sizes" -> (componentSizes(_, _))
+    "graph_component_sizes" -> (componentSizes(_, _)),
+    "graph_pagerank" -> (pagerank(_, _))
   )
+
+  /** The 10 power iterations unrolled as chained CTEs — iterative float
+    * algorithms with a FIXED round count stay inside plain SQL. */
+  private def pagerankSql(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT e.v AS vtx,
+         |         0.15::DOUBLE / (SELECT n FROM nn)
+         |           + 0.85::DOUBLE * sum(r.pr / d.deg) AS pr
+         |  FROM und e
+         |  JOIN r${i - 1} r ON e.u = r.vtx
+         |  JOIN deg d ON e.u = d.u
+         |  GROUP BY e.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH und AS (
+       |  $undirectedSql
+       |), deg AS (SELECT u, count(*) AS deg FROM und GROUP BY u),
+       |nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
+       |r0 AS (SELECT u AS vtx, 1.0::DOUBLE / (SELECT n FROM nn) AS pr FROM deg),
+       |$iterCtes
+       |SELECT vtx, round(pr, 6) AS pr FROM r$iters ORDER BY vtx""".stripMargin
+  }
 
   private val undirectedSql =
     """SELECT DISTINCT l_partkey AS u, l_suppkey + 1000000 AS v
@@ -97,6 +145,7 @@ object GraphQueries {
       |  FROM lineitem WHERE l_partkey % 10 = l_suppkey % 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "graph_pagerank" -> pagerankSql(10),
     "graph_components" ->
       s"""WITH RECURSIVE und AS (
          |  $undirectedSql
