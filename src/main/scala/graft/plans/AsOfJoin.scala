@@ -52,7 +52,16 @@ case class AsOfJoin(
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+      // same physical-selection contract as Spark's equi-join planning:
+      // broadcast when build-side stats fit the broadcast threshold, else
+      // shuffle both sides and merge (distribution+ordering requirements
+      // make EnsureRequirements insert the exchanges and sorts)
+      val threshold =
+        org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      if (threshold >= 0 && r.stats.sizeInBytes <= threshold)
+        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+      else
+        SortMergeAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
     case _ => Nil
   }
 }
@@ -126,6 +135,114 @@ case class AsOfJoinExec(
                 else hi = mid - 1
               }
               if (ans < 0) nullRow else arr(ans)._2
+          }
+        outProj(joined(lrow, matched))
+      }
+    }
+  }
+}
+
+/** Shuffled sort-merge as-of join — the big-build path. Declares
+  * `requiredChildDistribution` (clustered on the keys) and
+  * `requiredChildOrdering` ((keys, time) ascending both sides), so
+  * EnsureRequirements plants the hash exchanges and sorts; doExecute then
+  * zips co-partitioned sorted partitions and merges with two pointers:
+  * build rows are buffered one key-group at a time, probe rows
+  * binary-search the group. Memory is bounded by the largest single
+  * key-group on the build side, not the partition.
+  */
+case class SortMergeAsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SortMergeAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override def requiredChildDistribution
+      : Seq[org.apache.spark.sql.catalyst.plans.physical.Distribution] =
+    org.apache.spark.sql.catalyst.plans.physical.ClusteredDistribution(leftKeys) ::
+      org.apache.spark.sql.catalyst.plans.physical.ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering
+      : Seq[Seq[org.apache.spark.sql.catalyst.expressions.SortOrder]] = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+    Seq(
+      (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+      (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+  }
+
+  @transient private lazy val timeOrdering: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(leftTime.dataType)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    require(leftTime.dataType == rightTime.dataType,
+      s"as-of time types differ: ${leftTime.dataType} vs ${rightTime.dataType}")
+    val ord = timeOrdering
+    val keyTypes = leftKeys.map(_.dataType)
+    val leftOut = left.output
+    val rightOut = right.output
+    val outAttrs = output
+    val lKeys = leftKeys; val rKeys = rightKeys
+    val lTime = leftTime; val rTime = rightTime
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // per-partition: the generated ordering class is not serializable
+      val keyOrdering = org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .createNaturalAscendingOrdering(keyTypes)
+      val lKeyProj = UnsafeProjection.create(lKeys, leftOut)
+      val rKeyProj = UnsafeProjection.create(rKeys, rightOut)
+      val lTimeBound = BindReferences.bindReference(lTime, leftOut)
+      val rTimeBound = BindReferences.bindReference(rTime, rightOut)
+      val outProj = UnsafeProjection.create(outAttrs, leftOut ++ outAttrs.drop(leftOut.length))
+      val joined = new JoinedRow
+      val nullRow = new GenericInternalRow(rightOut.length)
+      val rBuffered = rIter.buffered
+      // current build key-group (time-sorted by child ordering)
+      var groupKey: UnsafeRow = null
+      val groupTimes = new scala.collection.mutable.ArrayBuffer[Any]
+      val groupRows = new scala.collection.mutable.ArrayBuffer[InternalRow]
+      def loadGroup(target: UnsafeRow): Unit = {
+        // skip build groups with key < target, then buffer the == group
+        while (rBuffered.hasNext && {
+          val k = rKeyProj(rBuffered.head)
+          k.anyNull || keyOrdering.compare(k, target) < 0
+        }) rBuffered.next()
+        groupTimes.clear(); groupRows.clear()
+        if (rBuffered.hasNext && keyOrdering.compare(rKeyProj(rBuffered.head), target) == 0) {
+          groupKey = rKeyProj(rBuffered.head).copy()
+          while (rBuffered.hasNext &&
+              keyOrdering.compare(rKeyProj(rBuffered.head), target) == 0) {
+            val row = rBuffered.next()
+            val t = rTimeBound.eval(row)
+            if (t != null) { groupTimes += t; groupRows += row.copy() }
+          }
+        } else groupKey = target.copy() // remember we looked: empty group
+      }
+      lIter.map { lrow =>
+        val key = lKeyProj(lrow)
+        val t = lTimeBound.eval(lrow)
+        val matched: InternalRow =
+          if (key.anyNull || t == null) nullRow
+          else {
+            if (groupKey == null || keyOrdering.compare(key, groupKey) != 0)
+              loadGroup(key)
+            if (groupTimes.isEmpty) nullRow
+            else {
+              var lo = 0; var hi = groupTimes.length - 1; var ans = -1
+              while (lo <= hi) {
+                val mid = (lo + hi) >>> 1
+                if (ord.lteq(groupTimes(mid), t)) { ans = mid; lo = mid + 1 }
+                else hi = mid - 1
+              }
+              if (ans < 0) nullRow else groupRows(ans)
+            }
           }
         outProj(joined(lrow, matched))
       }

@@ -49,6 +49,39 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"as-of join must not shuffle:\n$plan")
   }
 
+  private def withSmjForced[A](body: => A): A = {
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try { spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1"); body }
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("sort-merge as-of (big build path): same results, exchanges+sorts planted") {
+    withSmjForced {
+      val (probe, build) = handcrafted
+      val out = AsOfJoin.asof(probe, build,
+        Seq(probe("k")), Seq(build("bk")), probe("t"), build("bt"))
+      val plan = out.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeAsOfJoin"), plan)
+      assert(plan.contains("Exchange hashpartitioning"),
+        s"EnsureRequirements must plant hash exchanges:\n$plan")
+      assert(plan.contains("Sort ["), s"EnsureRequirements must plant sorts:\n$plan")
+      val rows = out.select("id", "bt", "tag").orderBy("id")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1), r.getString(2)))
+      assert(rows.toSeq == Seq(
+        (1L, 90L, "b1"), (2L, 90L, "b1"), (3L, null, null),
+        (4L, 400L, "bb"), (5L, null, null), (6L, null, null)))
+    }
+  }
+
+  test("sort-merge as-of equals broadcast as-of on events") {
+    val smj = withSmjForced {
+      AdvancedQueries.asofNative(spark, sf).collect().map(_.toSeq).toSeq
+    }
+    val bcast = AdvancedQueries.asofNative(spark, sf).collect().map(_.toSeq).toSeq
+    assert(smj.nonEmpty && smj == bcast)
+  }
+
   test("native as-of equals window-composed as-of on events (no tie collisions in fixture)") {
     val native = AdvancedQueries.asofNative(spark, sf).collect().map(_.toSeq)
     val window = AdvancedQueries.asofJoin(spark, sf).collect().map(_.toSeq)
