@@ -48,12 +48,49 @@ object StreamingBridge {
       .orderBy("win_start", "event_type")
   }
 
+  /** Event-time session windows via the streaming engine (session_window
+    * state merges). Equals the batch gaps-and-islands sessionization
+    * (`q_events_session`) projected to (user, start, count, sum): the
+    * boundary semantics differ only at a gap of EXACTLY 30 minutes
+    * (session_window splits, the batch `> 1800` form doesn't) — impossible
+    * on this fixture's fractional-second timestamps.
+    */
+  def sessionViaStream(s: SparkSession, d: String): DataFrame = {
+    val name = s"graft_stream_session_${counter.incrementAndGet()}"
+    val q = StreamingOps.toMemorySink(
+      StreamingOps.sessionCounts(eventsStream(s, d)), name, OutputMode.Complete())
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .select(col("user_id"),
+        col("session_start").cast("long").as("session_start"),
+        col("n_events"), round(col("sum_value"), 2).as("sum_value"))
+      .orderBy("user_id", "session_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_events_tumbling" -> (tumblingViaStream(_, _))
+    "stream_events_tumbling" -> (tumblingViaStream(_, _)),
+    "stream_events_session" -> (sessionViaStream(_, _))
   )
 
   val oracles: Map[String, String] = Map(
     // identical oracle to q_events_tumbling — THAT is the equivalence claim
-    "stream_events_tumbling" -> EventQueries.oracles("q_events_tumbling")
+    "stream_events_tumbling" -> EventQueries.oracles("q_events_tumbling"),
+    // the batch sessionization oracle, projected to the streaming shape
+    "stream_events_session" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), numbered AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+        |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM numbered GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_start""".stripMargin
   )
 }
