@@ -22,6 +22,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // same inter-query hygiene as Bench: without it the persisted /
+      // checkpointed blocks of the iterative+sketch queries accumulate for
+      // the life of the JVM (matters at larger SFs)
+      queries.DedupQueries.reset()
+      queries.GraphQueries.reset()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -67,12 +67,40 @@ object StreamingBridge {
       .orderBy("user_id", "session_start")
   }
 
+  /** Arbitrary stateful processing (`mapGroupsWithState`) under the gate:
+    * running per-user totals, whose settled state must equal the batch
+    * groupBy. Update-mode memory sink; the bounded file source fits one
+    * micro-batch, and the max_by reduction keeps the read robust if it
+    * ever splits (n_events is monotone per key).
+    */
+  def userTotalsViaStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val name = s"graft_stream_utotals_${counter.incrementAndGet()}"
+    val ev = eventsStream(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[StreamingOps.Event]
+    val q = StreamingOps.toMemorySink(
+      StreamingOps.runningUserTotals(ev).toDF(), name, OutputMode.Update())
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"),
+        round(expr("max_by(total_value, n_events)"), 2).as("total_value"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_user_totals" -> (userTotalsViaStream(_, _)),
     "stream_events_tumbling" -> (tumblingViaStream(_, _)),
     "stream_events_session" -> (sessionViaStream(_, _))
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_user_totals" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       round(sum(value), 2) AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // identical oracle to q_events_tumbling — THAT is the equivalence claim
     "stream_events_tumbling" -> EventQueries.oracles("q_events_tumbling"),
     // the batch sessionization oracle, projected to the streaming shape
