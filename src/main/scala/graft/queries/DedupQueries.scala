@@ -174,6 +174,50 @@ object DedupQueries {
       .orderBy("va", "vb")
   }
 
+  /** The LINEAR-scale route to the same embedding near-dup answer:
+    * multi-table random-hyperplane LSH bucketing (same planes as
+    * `sim_ann_topk`), intra-bucket candidate pairs via per-bucket sorted id
+    * lists (the minhash no-self-join shape — the signature subplan is
+    * computed once), fused-cosine verification. O(n × tables) bucketing
+    * shuffle instead of O(n²) pairs; candidate volume collapses on corpora
+    * with real cluster structure (here, isotropic-random, it IS near
+    * all-pairs — the documented worst case). Deterministic planes → fully
+    * oracled, like `sim_ann_topk`.
+    */
+  def embeddingLsh(s: SparkSession, d: String, threshold: Double = 0.4,
+      bits: Int = 3, tables: Int = 24): DataFrame = {
+    import graft.plans.DotProduct.dot_product
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val plane: Int => org.apache.spark.sql.Column = j =>
+      array((0 until 64).map(i => lit(SimilarityQueries.splitmixDouble(j * 64L + i))): _*)
+    def tableSig(t: Int): org.apache.spark.sql.Column =
+      (0 until bits).map(i =>
+        when(dot_product(col("v"), plane(t * bits + i)) > 0, lit(1 << i))
+          .otherwise(lit(0)))
+        .reduce(_ + _)
+    val sigs = base.select(col("vec_id"),
+      posexplode(array((0 until tables).map(tableSig): _*)).as(Seq("tbl", "sig")))
+    val buckets = sigs.groupBy("tbl", "sig")
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val cand = buckets
+      .select(explode(flatten(transform(col("ids"),
+        (a, i) => transform(slice(col("ids"), i + 2, size(col("ids"))),
+          b => struct(a.as("va"), b.as("vb")))))).as("p"))
+      .select(col("p.va"), col("p.vb"))
+      .distinct()
+    val vecsById = base.select(col("vec_id"), col("v"))
+    cand
+      .join(vecsById.select(col("vec_id").as("va"), col("v").as("xa")), "va")
+      .join(vecsById.select(col("vec_id").as("vb"), col("v").as("xb")), "vb")
+      .withColumn("sim",
+        graft.plans.CosineSimilarity.cosine_sim(col("xa"), col("xb")))
+      .filter(col("sim") > threshold)
+      .select("va", "vb", "sim")
+      .orderBy("va", "vb")
+  }
+
   /** The composed corpus-cleaning pipeline every training-data run executes:
     * quality gate → language gate → exact dedup (keep min doc_id per
     * fingerprint) → cleaned corpus stats. One declarative plan; Catalyst
@@ -193,6 +237,7 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_embedding_cosine" -> (embeddingCosine(_, _)),
+    "dedup_embedding_lsh" -> (embeddingLsh(_, _)),
     "pipeline_clean_corpus" -> (cleanCorpus(_, _)),
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_ngram_jaccard" -> (ngramJaccard(_, _)),
@@ -209,6 +254,27 @@ object DedupQueries {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) > 0.4
         |ORDER BY va, vb""".stripMargin,
+    "dedup_embedding_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |p(j, pl) AS (VALUES ${SimilarityQueries.planeRowsSql(3, 24)}),
+         |bits AS (
+         |  SELECT e.vec_id, p.j // 3 AS tbl,
+         |         CASE WHEN list_dot_product(e.v, p.pl) > 0
+         |              THEN 1 << (p.j % 3) ELSE 0 END AS b
+         |  FROM e CROSS JOIN p),
+         |sigs AS (SELECT vec_id, tbl, CAST(sum(b) AS INT) AS sig
+         |         FROM bits GROUP BY vec_id, tbl),
+         |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+         |         FROM sigs a
+         |         JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig
+         |                     AND a.vec_id < b.vec_id)
+         |SELECT c.va, c.vb, list_cosine_similarity(ea.v, eb.v) AS sim
+         |FROM cand c
+         |JOIN e ea ON c.va = ea.vec_id
+         |JOIN e eb ON c.vb = eb.vec_id
+         |WHERE list_cosine_similarity(ea.v, eb.v) > 0.4
+         |ORDER BY va, vb""".stripMargin,
     "pipeline_clean_corpus" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS fp, count(*) AS n_copies
         |FROM documents

@@ -44,7 +44,7 @@ object SimilarityQueries {
     * components are fixed at plan-build time and become array literals, so
     * per-row work is just `bits` dot products.
     */
-  private def splitmixDouble(seed: Long): Double = {
+  private[queries] def splitmixDouble(seed: Long): Double = {
     var z = seed + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
@@ -139,7 +139,7 @@ object SimilarityQueries {
     * deterministic (fixed planes, sequential-fold dots on both engines), so
     * unlike the hash-family sketches it gets a complete SQL oracle.
     */
-  private def planeRowsSql(bits: Int, tables: Int): String =
+  private[queries] def planeRowsSql(bits: Int, tables: Int): String =
     (0 until bits * tables).map { j =>
       val comps =
         (0 until 64).map(i => splitmixDouble(j * 64L + i).toString).mkString(",")

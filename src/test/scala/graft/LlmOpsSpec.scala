@@ -100,6 +100,19 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("embedding LSH dedup: recall >= 0.9 vs exact all-pairs; precision 1 by construction") {
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = pairs(DedupQueries.embeddingCosine(spark, dir))
+      val lsh = pairs(DedupQueries.embeddingLsh(spark, dir))
+      assert(exact.nonEmpty, s"$dir: exact pairs should be non-empty")
+      assert((lsh -- exact).isEmpty, s"$dir: LSH emitted non-near-dup pairs")
+      val recall = (exact & lsh).size.toDouble / exact.size
+      assert(recall >= 0.9, s"$dir: embedding LSH recall $recall < 0.9")
+    }
+  }
+
   test("ann lsh buckets: partition the corpus exactly") {
     val buckets = SimilarityQueries.annLshBuckets(spark, sf)
     val total = buckets.agg(sum("n_vectors")).collect()(0).getLong(0)
