@@ -49,6 +49,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(n >= 2, s"expected partial+final WindowGroupLimit, found $n:\n$plan")
   }
 
+  test("sim_ann_topk: every join broadcast — corpus vectors never shuffled") {
+    val plan = executedPlan("sim_ann_topk")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"ANN retrieval must not shuffle corpus vectors:\n$plan")
+  }
+
+  test("q_asof_native: custom AsOfJoin exec, probe side never hash-shuffled") {
+    val plan = executedPlan("q_asof_native")
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"broadcast as-of must not shuffle the probe:\n$plan")
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true)") {
     // one hot key (~99% of a padded fact) joined without broadcast; with
     // thresholds scaled to the fixture, AQE's OptimizeSkewedJoin must mark
