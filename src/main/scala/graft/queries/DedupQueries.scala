@@ -201,11 +201,15 @@ object DedupQueries {
     val buckets = sigs.groupBy("tbl", "sig")
       .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
+    // pair generation as two codegen'd Generates (posexplode + sliced
+    // explode) — the nested-lambda struct form used for minhash is
+    // interpreted per element, fine for its tiny near-dup buckets but ~5×
+    // slower here where this corpus's isotropic worst case makes buckets
+    // fat (sf0.1: 2000 vectors → ~1.7M candidate pairs)
     val cand = buckets
-      .select(explode(flatten(transform(col("ids"),
-        (a, i) => transform(slice(col("ids"), i + 2, size(col("ids"))),
-          b => struct(a.as("va"), b.as("vb")))))).as("p"))
-      .select(col("p.va"), col("p.vb"))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "va")))
+      .select(col("va"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("vb"))
       .distinct()
     val vecsById = base.select(col("vec_id"), col("v"))
     cand
