@@ -29,6 +29,22 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("n_tokens"), countDistinct(col("word")).as("n_words"))
       .orderBy("bucket")
 
+  /** Deterministic ~10% hash sample: rows where ihash31(key) % 10 = 0,
+    * then aggregate the sample. Unlike `df.sample` (RNG-seeded, partition-
+    * layout-dependent) a content-hash sample reproduces EXACTLY on any
+    * cluster, any partitioning, any engine — the property a 100 TB corpus
+    * pipeline needs for debuggable subsets — and it pushes work to the
+    * scan side (no shuffle added). Runs the native Fnv1a64 expression;
+    * the oracle re-derives the same subset via the DuckDB HUGEINT fold.
+    */
+  def sampleHash(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(Fnv1a64.ihash31(col("l_orderkey").cast("string")) % 10 === 0)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_sampled"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("l_returnflag")
+
   /** wc computed through the registered custom Aggregator instead of the
     * builtin count: flatMap to (word, 1) then udaf-sum — the literal
     * MapFn/ReduceFn decomposition of the reference (wc.rs:23-49), with
@@ -55,11 +71,27 @@ object ExtensionQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fnv_buckets" -> (fnvBuckets(_, _)),
+    "q_sample_hash" -> (sampleHash(_, _)),
     "q_udaf_wordcount" -> (udafWordcount(_, _)),
     "q_udaf_mean" -> (udafMean(_, _))
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sample_hash" ->
+      """WITH h AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |         (list_reduce(
+        |            list_prepend(14695981039346656037::HUGEINT,
+        |              list_transform(string_split_regex(CAST(l_orderkey AS VARCHAR), ''),
+        |                             c -> unicode(c)::HUGEINT)),
+        |            (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+        |                      % 18446744073709551616::HUGEINT)
+        |          % 2147483648)::BIGINT AS ihash
+        |  FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n_sampled,
+        |       round(sum(l_extendedprice), 2) AS sum_price
+        |FROM h WHERE ihash % 10 = 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // FNV-1a 64 as a HUGEINT fold, masked to 31 bits like the reference's
     // ihash; Spark's signed-long % matches DuckDB % on the masked value.
     "q_fnv_buckets" ->
