@@ -33,7 +33,8 @@ case class AsOfJoin(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression) extends BinaryNode {
+    rightTime: Expression,
+    toleranceMicros: Long = -1L) extends BinaryNode {
 
   // LEFT OUTER: build-side columns become nullable
   override def output: Seq[Attribute] =
@@ -51,7 +52,7 @@ case class AsOfJoin(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol) =>
       // same physical-selection contract as Spark's equi-join planning:
       // broadcast when build-side stats fit the broadcast threshold, else
       // shuffle both sides and merge (distribution+ordering requirements
@@ -59,9 +60,9 @@ object AsOfJoinStrategy extends SparkStrategy {
       val threshold =
         org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
       if (threshold >= 0 && r.stats.sizeInBytes <= threshold)
-        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol) :: Nil
       else
-        SortMergeAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+        SortMergeAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol) :: Nil
     case _ => Nil
   }
 }
@@ -77,7 +78,8 @@ case class AsOfJoinExec(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression) extends BinaryExecNode {
+    rightTime: Expression,
+    toleranceMicros: Long = -1L) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -111,6 +113,8 @@ case class AsOfJoinExec(
     val leftOut = left.output
     val lKeys = leftKeys
     val lTime = leftTime
+    val tol = toleranceMicros
+    AsOfJoin.checkToleranceType(tol, leftTime.dataType)
     // ---- probe phase: stream left partitions, binary-search per row ----
     left.execute().mapPartitions { iter =>
       val build = broadcastBuild.value
@@ -134,7 +138,9 @@ case class AsOfJoinExec(
                 if (ord.lteq(arr(mid)._1, t)) { ans = mid; lo = mid + 1 }
                 else hi = mid - 1
               }
-              if (ans < 0) nullRow else arr(ans)._2
+              if (ans < 0 ||
+                  !AsOfJoin.withinTolerance(tol, t, arr(ans)._1)) nullRow
+              else arr(ans)._2
           }
         outProj(joined(lrow, matched))
       }
@@ -157,7 +163,8 @@ case class SortMergeAsOfJoinExec(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression) extends BinaryExecNode {
+    rightTime: Expression,
+    toleranceMicros: Long = -1L) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -192,6 +199,8 @@ case class SortMergeAsOfJoinExec(
     val outAttrs = output
     val lKeys = leftKeys; val rKeys = rightKeys
     val lTime = leftTime; val rTime = rightTime
+    val tol = toleranceMicros
+    AsOfJoin.checkToleranceType(tol, leftTime.dataType)
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // per-partition: the generated ordering class is not serializable
       val keyOrdering = org.apache.spark.sql.catalyst.expressions.RowOrdering
@@ -241,7 +250,9 @@ case class SortMergeAsOfJoinExec(
                 if (ord.lteq(groupTimes(mid), t)) { ans = mid; lo = mid + 1 }
                 else hi = mid - 1
               }
-              if (ans < 0) nullRow else groupRows(ans)
+              if (ans < 0 ||
+                  !AsOfJoin.withinTolerance(tol, t, groupTimes(ans))) nullRow
+              else groupRows(ans)
             }
           }
         outProj(joined(lrow, matched))
@@ -251,6 +262,22 @@ case class SortMergeAsOfJoinExec(
 }
 
 object AsOfJoin {
+
+  /** Bounded lookback: with a tolerance, a match additionally requires
+    * probeTime - buildTime <= toleranceMicros (inclusive). Times must be
+    * long-backed (timestamp = epoch micros, or integral). */
+  def withinTolerance(tol: Long, probeT: Any, buildT: Any): Boolean =
+    tol < 0L ||
+      probeT.asInstanceOf[Number].longValue -
+        buildT.asInstanceOf[Number].longValue <= tol
+
+  def checkToleranceType(tol: Long,
+      t: org.apache.spark.sql.types.DataType): Unit =
+    if (tol >= 0L) require(
+      t == org.apache.spark.sql.types.TimestampType ||
+        t == org.apache.spark.sql.types.LongType ||
+        t == org.apache.spark.sql.types.IntegerType,
+      s"as-of tolerance requires a long-backed time type, got $t")
 
   /** Ensure the planner knows the node, for sessions built without
     * GraftExtensions (Verify/Bench/Cli). Idempotent. */
@@ -265,7 +292,8 @@ object AsOfJoin {
     */
   def asof(left: DataFrame, right: DataFrame,
       leftKeys: Seq[Column], rightKeys: Seq[Column],
-      leftTime: Column, rightTime: Column): DataFrame = {
+      leftTime: Column, rightTime: Column,
+      toleranceMicros: Long = -1L): DataFrame = {
     val spark = left.sparkSession
     ensureStrategy(spark)
     val lp = GraftSqlBridge.analyzedPlan(left)
@@ -276,6 +304,7 @@ object AsOfJoin {
       leftKeys.map(GraftSqlBridge.expression),
       rightKeys.map(GraftSqlBridge.expression),
       GraftSqlBridge.expression(leftTime),
-      GraftSqlBridge.expression(rightTime)))
+      GraftSqlBridge.expression(rightTime),
+      toleranceMicros))
   }
 }

@@ -55,6 +55,26 @@ object AdvancedQueries {
       .orderBy("event_id")
   }
 
+  /** Bounded-lookback as-of: same as `asofNative` but a click older than
+    * 1 hour no longer matches (pandas merge_asof `tolerance` semantics).
+    * Oracle: plain SQL (left join bounded both ways + max per purchase).
+    */
+  def asofTolerance(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    graft.plans.AsOfJoin.asof(purchases, clicks,
+        leftKeys = Seq(purchases("user_id")), rightKeys = Seq(clicks("c_user")),
+        leftTime = purchases("ts"), rightTime = clicks("c_ts"),
+        toleranceMicros = 3600L * 1000000L)
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("long").as("purchase_ts"),
+        col("c_ts").cast("long").as("asof_click_ts"))
+      .orderBy("event_id")
+  }
+
   /** Skew-salted aggregation: two-stage groupBy over (key, salt) then key —
     * identical results to a direct groupBy (same oracle), but the first
     * shuffle spreads a hot key over 16 reducers. The pattern for power-law
@@ -159,6 +179,7 @@ object AdvancedQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> (asofJoin(_, _)),
     "q_asof_native" -> (asofNative(_, _)),
+    "q_asof_tolerance" -> (asofTolerance(_, _)),
     "q_salted_agg" -> (saltedAgg(_, _)),
     "q_percentiles" -> (percentiles(_, _)),
     "q_approx_distinct" -> (approxDistinct(_, _)),
@@ -188,6 +209,18 @@ object AdvancedQueries {
         |       CAST(floor(epoch(c.ts)) AS BIGINT) AS asof_click_ts
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q_asof_tolerance" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id,
+        |       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_ts,
+        |       CAST(floor(epoch(max(c.ts))) AS BIGINT) AS asof_click_ts
+        |FROM p LEFT JOIN c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |GROUP BY p.event_id, p.user_id, p.ts
         |ORDER BY p.event_id""".stripMargin,
     "q_salted_agg" ->
       """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty

@@ -74,6 +74,21 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("as-of tolerance: matches older than the bound fall to null (both paths)") {
+    val (probe, build) = handcrafted
+    def run(): Seq[(Long, Any)] =
+      AsOfJoin.asof(probe, build,
+        Seq(probe("k")), Seq(build("bk")), probe("t"), build("bt"),
+        toleranceMicros = 15L)
+        .select("id", "bt").orderBy("id")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1))).toSeq
+    // id=1 (t=100, match bt=90, dist 10 <= 15): kept; id=2 (dist 0): kept;
+    // id=4 (t=500, match bt=400, dist 100 > 15): nulled
+    val expected = Seq((1L, 90L), (2L, 90L), (3L, null), (4L, null), (5L, null), (6L, null))
+    assert(run() == expected)
+    withSmjForced { assert(run() == expected) }
+  }
+
   test("sort-merge as-of equals broadcast as-of on events") {
     val smj = withSmjForced {
       AdvancedQueries.asofNative(spark, sf).collect().map(_.toSeq).toSeq
