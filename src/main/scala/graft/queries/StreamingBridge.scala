@@ -90,13 +90,43 @@ object StreamingBridge {
       .orderBy("user_id")
   }
 
+  /** 0..N-emission stateful surface (`flatMapGroupsWithState`): one row per
+    * session-OPENING event; equals the batch gaps-and-islands flag rows.
+    */
+  def sessionStartsViaStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val name = s"graft_stream_sstarts_${counter.incrementAndGet()}"
+    val ev = eventsStream(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[StreamingOps.Event]
+    val q = StreamingOps.toMemorySink(
+      StreamingOps.sessionStarts(ev).toDF(), name, OutputMode.Append())
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .select(col("user_id"), col("session_start"))
+      .orderBy("user_id", "session_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_session_starts" -> (sessionStartsViaStream(_, _)),
     "stream_user_totals" -> (userTotalsViaStream(_, _)),
     "stream_events_tumbling" -> (tumblingViaStream(_, _)),
     "stream_events_session" -> (sessionViaStream(_, _))
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_session_starts" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS session_start
+        |FROM flagged WHERE new_session = 1
+        |ORDER BY user_id, session_start""".stripMargin,
     "stream_user_totals" ->
       """SELECT user_id, count(*) AS n_events,
         |       round(sum(value), 2) AS total_value

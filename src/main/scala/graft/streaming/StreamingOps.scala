@@ -74,6 +74,36 @@ object StreamingOps {
       }
   }
 
+  /** Session-START detection via `flatMapGroupsWithState` — the 0..N
+    * emission surface (mapGroupsWithState is exactly-1): emits one record
+    * per event that opens a new session (first event, or gap > 30 min from
+    * the previous). State carries the user's last event time across
+    * batches; within a batch events are sorted by (ts, event_id) because
+    * the group iterator has no order guarantee.
+    */
+  case class SessionStart(user_id: Long, session_start: Long)
+
+  def sessionStarts(events: Dataset[Event]): Dataset[SessionStart] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, SessionStart](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[Long]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionStart]
+          sorted.foreach { e =>
+            val sec = e.ts.getTime / 1000L // epoch seconds, truncated
+            if (last == Long.MinValue || sec - last > 1800L)
+              out += SessionStart(uid, sec)
+            last = sec
+          }
+          if (last != Long.MinValue) state.update(last)
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup on event_id within the watermark horizon —
     * `dropDuplicates` backed by the state store.
     */
