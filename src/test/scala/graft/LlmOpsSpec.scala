@@ -100,6 +100,18 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("ivf top-k retrieval: recall >= 0.9 vs brute force at ~25% scan") {
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select("qid", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = pairs(SimilarityQueries.cosineTopK(spark, dir))
+      val ivf = pairs(SimilarityQueries.ivfTopK(spark, dir))
+      val recall = (exact & ivf).size.toDouble / exact.size
+      assert(recall >= 0.9, s"$dir: IVF recall $recall < 0.9")
+    }
+  }
+
   test("embedding LSH dedup: recall >= 0.9 vs exact all-pairs; precision 1 by construction") {
     for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
       def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
