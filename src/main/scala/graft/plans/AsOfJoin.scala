@@ -45,6 +45,38 @@ case class AsOfJoin(
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule (SURVEY.md §4 path (c), the `Rule[LogicalPlan]` leg):
+  * column pruning THROUGH the custom node. A custom operator is an
+  * optimization barrier — Catalyst's ColumnPruning doesn't know its
+  * semantics — so without this, `asof(events, clicks).select(2 cols)`
+  * reads every column of both scans (including fat ones like the events
+  * JSON props). The rule pushes per-child Projects keeping only the
+  * attributes the parent references plus the join's own keys/times; once
+  * every output is referenced it no longer matches, so the fixed-point
+  * batch terminates.
+  */
+object AsOfJoinPruning
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(_, j: AsOfJoin) if (j.outputSet -- required(p, j)).nonEmpty =>
+      val req = required(p, j)
+      def prune(child: LogicalPlan): LogicalPlan = {
+        val keep = child.output.filter(req.contains)
+        if (keep.length == child.output.length) child else Project(keep, child)
+      }
+      p.copy(child = j.copy(left = prune(j.left), right = prune(j.right)))
+  }
+
+  private def required(p: Project, j: AsOfJoin): AttributeSet =
+    AttributeSet(p.projectList.flatMap(_.references)) ++
+      AttributeSet(j.leftKeys.flatMap(_.references)) ++
+      AttributeSet(j.rightKeys.flatMap(_.references)) ++
+      j.leftTime.references ++ j.rightTime.references
+}
+
 /** Planner rule: AsOfJoin → AsOfJoinExec. Installed by GraftExtensions
   * (`injectPlannerStrategy`) and idempotently by `AsOfJoin.asof` via
   * `spark.experimental.extraStrategies` for sessions built without the
@@ -279,12 +311,16 @@ object AsOfJoin {
         t == org.apache.spark.sql.types.IntegerType,
       s"as-of tolerance requires a long-backed time type, got $t")
 
-  /** Ensure the planner knows the node, for sessions built without
-    * GraftExtensions (Verify/Bench/Cli). Idempotent. */
-  private def ensureStrategy(spark: SparkSession): Unit =
+  /** Ensure the planner and optimizer know the node, for sessions built
+    * without GraftExtensions (Verify/Bench/Cli). Idempotent. */
+  private def ensureStrategy(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(AsOfJoinPruning))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsOfJoinPruning
+  }
 
   /** Public as-of join API over DataFrames. Key/time columns must be
     * resolved against `left`/`right` (use `df("col")`); the two outputs

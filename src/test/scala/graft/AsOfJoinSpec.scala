@@ -97,6 +97,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(smj.nonEmpty && smj == bcast)
   }
 
+  test("AsOfJoinPruning: projecting after asof prunes unreferenced columns to the scan") {
+    import org.apache.spark.sql.functions.col
+    // full-width events on BOTH sides (incl. the fat JSON props column)
+    val ev = Tables.events(spark, sf)
+    val probe = ev.filter(col("event_type") === "purchase")
+    val build = ev.filter(col("event_type") === "click")
+      .select(ev.columns.map(c => col(c).as(s"c_$c")): _*)
+    val out = AsOfJoin.asof(probe, build,
+        Seq(probe("user_id")), Seq(build("c_user_id")),
+        probe("ts"), build("c_ts"))
+      .select("event_id", "c_ts")
+    val plan = out.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("props"),
+      s"props must be pruned from both scans:\n$plan")
+    assert(out.count() > 0)
+  }
+
   test("native as-of equals window-composed as-of on events (no tie collisions in fixture)") {
     val native = AdvancedQueries.asofNative(spark, sf).collect().map(_.toSeq)
     val window = AdvancedQueries.asofJoin(spark, sf).collect().map(_.toSeq)
