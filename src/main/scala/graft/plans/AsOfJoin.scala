@@ -17,7 +17,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *
   * Semantics: LEFT OUTER as-of — every left (probe) row is joined to the
   * single right (build) row with equal keys and the greatest time ≤ the
-  * probe's time; unmatched probes carry nulls. Spark has no built-in as-of
+  * probe's time; unmatched probes carry nulls. If several build rows
+  * share that exact (key, time), which one's payload is returned is not
+  * defined (same caveat as DuckDB ASOF / pandas merge_asof) — add a
+  * tie-breaking column to the time expression if it matters. Spark has no built-in as-of
   * operator; the composable fallback is the union + last-over-window trick
   * (AdvancedQueries.asofJoin), which requires both relations through ONE
   * shuffle+sort. This exec instead broadcasts the (small) build side as
