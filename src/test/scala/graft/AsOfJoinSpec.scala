@@ -97,6 +97,17 @@ class AsOfJoinSpec extends SparkSpec {
     assert(smj.nonEmpty && smj == bcast)
   }
 
+  test("as-of with empty build side: all probes null-matched (both paths)") {
+    val (probe, build) = handcrafted
+    val empty = build.filter(org.apache.spark.sql.functions.lit(false))
+    def run(): Long =
+      AsOfJoin.asof(probe, empty,
+        Seq(probe("k")), Seq(empty("bk")), probe("t"), empty("bt"))
+        .filter(org.apache.spark.sql.functions.col("bt").isNull).count()
+    assert(run() == 6)
+    withSmjForced { assert(run() == 6) }
+  }
+
   test("AsOfJoinPruning: projecting after asof prunes unreferenced columns to the scan") {
     import org.apache.spark.sql.functions.col
     // full-width events on BOTH sides (incl. the fat JSON props column)
