@@ -37,10 +37,12 @@ object Tables {
       // (ParquetOptions: mergeSchema/compression/rebase only), so the
       // session must carry spark.sql.legacy.parquet.nanosAsLong=true — all
       // graft entry points (Bench/Verify/Cli/Explain/SparkSpec) set it at
-      // build; the set-if-unset below only rescues foreign sessions and
-      // runs at most once per session, never per query.
+      // build; the rescue below only fires for foreign sessions, at most
+      // once per session (conf.getOption returns the registered DEFAULT
+      // for unset keys, so compare the value — an isEmpty check never
+      // fires).
       if (name == "events" &&
-          spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
+          spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
       // ns → µs truncation — exactly what DuckDB does reading the same file,

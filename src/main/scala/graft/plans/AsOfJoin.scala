@@ -64,13 +64,16 @@ object AsOfJoinPruning
   import org.apache.spark.sql.catalyst.plans.logical.Project
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case p @ Project(_, j: AsOfJoin) if (j.outputSet -- required(p, j)).nonEmpty =>
+    case p @ Project(_, j: AsOfJoin) =>
       val req = required(p, j)
-      def prune(child: LogicalPlan): LogicalPlan = {
-        val keep = child.output.filter(req.contains)
-        if (keep.length == child.output.length) child else Project(keep, child)
+      if ((j.outputSet -- req).isEmpty) p
+      else {
+        def prune(child: LogicalPlan): LogicalPlan = {
+          val keep = child.output.filter(req.contains)
+          if (keep.length == child.output.length) child else Project(keep, child)
+        }
+        p.copy(child = j.copy(left = prune(j.left), right = prune(j.right)))
       }
-      p.copy(child = j.copy(left = prune(j.left), right = prune(j.right)))
   }
 
   private def required(p: Project, j: AsOfJoin): AttributeSet =
@@ -123,6 +126,17 @@ case class AsOfJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
+  // one output row per probe row, in probe order — the probe side's
+  // partitioning and ordering survive (mirrors BroadcastHashJoinExec), so
+  // a downstream groupBy on an already-partitioned probe key re-shuffles
+  // nothing
+  override def outputPartitioning
+      : org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+  override def outputOrdering
+      : Seq[org.apache.spark.sql.catalyst.expressions.SortOrder] =
+    left.outputOrdering
+
   @transient private lazy val timeOrdering: Ordering[Any] =
     TypeUtils.getInterpretedOrdering(leftTime.dataType)
 
@@ -137,8 +151,16 @@ case class AsOfJoinExec(
     right.executeCollect().foreach { row =>
       val key = rKeyProj(row)
       val t = rTime.eval(row)
-      if (!key.anyNull && t != null)
-        grouped.getOrElseUpdate(key.copy(), new scala.collection.mutable.ArrayBuffer) += ((t, row))
+      if (!key.anyNull && t != null) {
+        // copy the key only on first sight (getOrElseUpdate would copy per row)
+        val buf = grouped.get(key) match {
+          case Some(b) => b
+          case None =>
+            val b = new scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]
+            grouped.put(key.copy(), b); b
+        }
+        buf += ((t, row))
+      }
     }
     val buildMap: Map[UnsafeRow, Array[(Any, InternalRow)]] =
       grouped.view.mapValues(_.sortBy(_._1)(ord).toArray).toMap
@@ -213,6 +235,15 @@ case class SortMergeAsOfJoinExec(
     org.apache.spark.sql.catalyst.plans.physical.ClusteredDistribution(leftKeys) ::
       org.apache.spark.sql.catalyst.plans.physical.ClusteredDistribution(rightKeys) :: Nil
 
+  // probe rows stream through in (keys, time) order, one output row each —
+  // keep the probe side's partitioning/ordering visible downstream
+  override def outputPartitioning
+      : org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+  override def outputOrdering
+      : Seq[org.apache.spark.sql.catalyst.expressions.SortOrder] =
+    requiredChildOrdering.head
+
   override def requiredChildOrdering
       : Seq[Seq[org.apache.spark.sql.catalyst.expressions.SortOrder]] = {
     import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
@@ -263,9 +294,12 @@ case class SortMergeAsOfJoinExec(
           groupKey = rKeyProj(rBuffered.head).copy()
           while (rBuffered.hasNext &&
               keyOrdering.compare(rKeyProj(rBuffered.head), target) == 0) {
-            val row = rBuffered.next()
+            // copy FIRST: the shuffle reader reuses its row buffer, and a
+            // non-primitive time value (UTF8String/Decimal) evaluated from
+            // the live buffer would be clobbered by the next() that follows
+            val row = rBuffered.next().copy()
             val t = rTimeBound.eval(row)
-            if (t != null) { groupTimes += t; groupRows += row.copy() }
+            if (t != null) { groupTimes += t; groupRows += row }
           }
         } else groupKey = target.copy() // remember we looked: empty group
       }
@@ -339,6 +373,12 @@ object AsOfJoin {
     val rp = GraftSqlBridge.analyzedPlan(right)
     require(lp.outputSet.intersect(rp.outputSet).isEmpty,
       "as-of children share attribute ids — alias the build side columns")
+    // no analyzer coercion happens on a custom node: mismatched key types
+    // would silently never match (different UnsafeRow layouts), so fail loud
+    val lkT = leftKeys.map(GraftSqlBridge.expression(_).dataType)
+    val rkT = rightKeys.map(GraftSqlBridge.expression(_).dataType)
+    require(lkT == rkT,
+      s"as-of key types differ: $lkT vs $rkT — cast the keys explicitly")
     GraftSqlBridge.ofRows(spark, AsOfJoin(lp, rp,
       leftKeys.map(GraftSqlBridge.expression),
       rightKeys.map(GraftSqlBridge.expression),

@@ -186,18 +186,10 @@ object DedupQueries {
     */
   def embeddingLsh(s: SparkSession, d: String, threshold: Double = 0.4,
       bits: Int = 3, tables: Int = 24): DataFrame = {
-    import graft.plans.DotProduct.dot_product
     val base = Tables.embeddings(s, d)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-    val plane: Int => org.apache.spark.sql.Column = j =>
-      array((0 until 64).map(i => lit(SimilarityQueries.splitmixDouble(j * 64L + i))): _*)
-    def tableSig(t: Int): org.apache.spark.sql.Column =
-      (0 until bits).map(i =>
-        when(dot_product(col("v"), plane(t * bits + i)) > 0, lit(1 << i))
-          .otherwise(lit(0)))
-        .reduce(_ + _)
-    val sigs = base.select(col("vec_id"),
-      posexplode(array((0 until tables).map(tableSig): _*)).as(Seq("tbl", "sig")))
+    // single shared definition of the plane family — see lshTableSigs
+    val sigs = SimilarityQueries.lshTableSigs(base, bits, tables)
     val buckets = sigs.groupBy("tbl", "sig")
       .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
       .filter(size(col("ids")) > 1)

@@ -93,17 +93,8 @@ object SimilarityQueries {
     */
   def annTopK(s: SparkSession, d: String, k: Int = 5, bits: Int = 3,
       tables: Int = 24): DataFrame = {
-    import graft.plans.DotProduct.dot_product
     val base = vecs(s, d)
-    val plane: Int => Column = j =>
-      array((0 until 64).map(i => lit(splitmixDouble(j * 64L + i))): _*)
-    def tableSig(t: Int): Column =
-      (0 until bits).map(i =>
-        when(dot_product(col("v"), plane(t * bits + i)) > 0, lit(1 << i))
-          .otherwise(lit(0)))
-        .reduce(_ + _)
-    val sigs = base.select(col("vec_id"),
-      posexplode(array((0 until tables).map(tableSig): _*)).as(Seq("tbl", "sig")))
+    val sigs = lshTableSigs(base, bits, tables)
     val qsigs = sigs.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("tbl"), col("sig"))
     val cand = sigs.join(broadcast(qsigs), Seq("tbl", "sig"))
@@ -140,6 +131,10 @@ object SimilarityQueries {
       .select(col("vec_id"), col("v")).collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Double](1).toArray)
+    // the oracle keys cells by ACTUAL vec_id, the Spark side by array
+    // position — they only coincide when ids 0..cells-1 all exist
+    require(cents.length == cells,
+      s"IVF quantizer expects contiguous vec_ids 0..${cells - 1}; found ${cents.length}")
     val cLit: Int => Column = j => array(cents(j).map(lit(_)): _*)
     val simArr = array((0 until cells).map(j => cosine_sim(col("v"), cLit(j))): _*)
     // cell = FIRST index of the max similarity (ties → smallest id)
@@ -181,6 +176,25 @@ object SimilarityQueries {
     "sim_ivf_topk" -> (ivfTopK(_, _)),
     "emb_norm_stats" -> (normStats(_, _))
   )
+
+  /** Per-table LSH signatures (vec_id, tbl, sig) — the SINGLE definition
+    * of the multi-table plane family. Shared by `annTopK` and
+    * `DedupQueries.embeddingLsh` so band geometry / plane seeding can
+    * never drift between them and the `planeRowsSql` oracle side.
+    */
+  private[queries] def lshTableSigs(base: DataFrame, bits: Int,
+      tables: Int): DataFrame = {
+    import graft.plans.DotProduct.dot_product
+    val plane: Int => Column = j =>
+      array((0 until 64).map(i => lit(splitmixDouble(j * 64L + i))): _*)
+    def tableSig(t: Int): Column =
+      (0 until bits).map(i =>
+        when(dot_product(col("v"), plane(t * bits + i)) > 0, lit(1 << i))
+          .otherwise(lit(0)))
+        .reduce(_ + _)
+    base.select(col("vec_id"),
+      posexplode(array((0 until tables).map(tableSig): _*)).as(Seq("tbl", "sig")))
+  }
 
   /** The hyperplanes as a DuckDB VALUES list — the ANN pipeline is fully
     * deterministic (fixed planes, sequential-fold dots on both engines), so

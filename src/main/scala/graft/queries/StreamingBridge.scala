@@ -23,6 +23,17 @@ object StreamingBridge {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Materialize the settled sink table driver-side and DROP the temp view
+    * — without this every invocation leaks one in-memory result table for
+    * the JVM lifetime (neither clearCache nor the persistent-RDD sweep
+    * touches temp views). Results are small (≤ tens of thousands of rows).
+    */
+  private def settle(s: SparkSession, name: String, shaped: DataFrame): DataFrame = {
+    val rows = java.util.Arrays.asList(shaped.collect(): _*)
+    s.catalog.dropTempView(name)
+    s.createDataFrame(rows, shaped.schema)
+  }
+
   /** The events parquet as a bounded stream, with the same ns→µs timestamp
     * normalization the batch loader applies (streaming sources require an
     * explicit schema, so the raw — nanosAsLong — schema is probed first).
@@ -42,28 +53,31 @@ object StreamingBridge {
     val q = StreamingOps.toMemorySink(
       StreamingOps.tumblingCounts(eventsStream(s, d)), name, OutputMode.Complete())
     try q.processAllAvailable() finally q.stop()
-    s.table(name)
+    settle(s, name, s.table(name)
       .select(col("win_start").cast("long").as("win_start"), col("event_type"),
-        col("cnt"), round(col("sum_value"), 2).as("sum_value"))
+        col("cnt"), round(col("sum_value"), 2).as("sum_value")))
       .orderBy("win_start", "event_type")
   }
 
   /** Event-time session windows via the streaming engine (session_window
     * state merges). Equals the batch gaps-and-islands sessionization
-    * (`q_events_session`) projected to (user, start, count, sum): the
-    * boundary semantics differ only at a gap of EXACTLY 30 minutes
-    * (session_window splits, the batch `> 1800` form doesn't) — impossible
-    * on this fixture's fractional-second timestamps.
+    * (`q_events_session`) projected to (user, start, count, sum).
+    * Boundary caveat: session_window compares the exact-microsecond gap
+    * against 30 min while the oracle compares second-TRUNCATED epochs with
+    * `> 1800`, so gaps in [1800s, 1801s) whose floored difference is 1800
+    * would legitimately disagree — verified absent from this fixture at
+    * every SF ((exact > 1800) == (floored > 1800) for all consecutive
+    * same-user pairs).
     */
   def sessionViaStream(s: SparkSession, d: String): DataFrame = {
     val name = s"graft_stream_session_${counter.incrementAndGet()}"
     val q = StreamingOps.toMemorySink(
       StreamingOps.sessionCounts(eventsStream(s, d)), name, OutputMode.Complete())
     try q.processAllAvailable() finally q.stop()
-    s.table(name)
+    settle(s, name, s.table(name)
       .select(col("user_id"),
         col("session_start").cast("long").as("session_start"),
-        col("n_events"), round(col("sum_value"), 2).as("sum_value"))
+        col("n_events"), round(col("sum_value"), 2).as("sum_value")))
       .orderBy("user_id", "session_start")
   }
 
@@ -83,10 +97,10 @@ object StreamingBridge {
     val q = StreamingOps.toMemorySink(
       StreamingOps.runningUserTotals(ev).toDF(), name, OutputMode.Update())
     try q.processAllAvailable() finally q.stop()
-    s.table(name)
+    settle(s, name, s.table(name)
       .groupBy("user_id")
       .agg(max(col("n_events")).as("n_events"),
-        round(expr("max_by(total_value, n_events)"), 2).as("total_value"))
+        round(expr("max_by(total_value, n_events)"), 2).as("total_value")))
       .orderBy("user_id")
   }
 
@@ -103,8 +117,8 @@ object StreamingBridge {
     val q = StreamingOps.toMemorySink(
       StreamingOps.sessionStarts(ev).toDF(), name, OutputMode.Append())
     try q.processAllAvailable() finally q.stop()
-    s.table(name)
-      .select(col("user_id"), col("session_start"))
+    settle(s, name, s.table(name)
+      .select(col("user_id"), col("session_start")))
       .orderBy("user_id", "session_start")
   }
 
