@@ -61,18 +61,21 @@ object GraphQueries {
       .withColumn("comp", col("vtx")).localCheckpoint()
     var converged = false
     var i = 0
+    // Convergence via the label-sum invariant: min-propagation only ever
+    // DECREASES labels, so any change strictly decreases sum(comp); equal
+    // consecutive sums ⇔ fixpoint. One aggregate job per iteration instead
+    // of the join+count a changed-row comparison needs.
+    var lastSum = Long.MinValue
     while (!converged && i < maxIter) {
       val viaNeighbors = e.join(labels, e("u") === labels("vtx"))
         .select(col("v").as("vtx"), col("comp"))
       val next = labels.select(col("vtx"), col("comp")).union(viaNeighbors)
         .groupBy("vtx").agg(min("comp").as("comp"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("l"), col("n.vtx") === col("l.vtx"))
-        .filter(col("n.comp") =!= col("l.comp"))
-        .count()
+      val s = next.agg(sum(col("comp"))).collect()(0).getLong(0)
       labels = next
-      converged = changed == 0
+      converged = s == lastSum
+      lastSum = s
       i += 1
     }
     labels.orderBy("vtx")
