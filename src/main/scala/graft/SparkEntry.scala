@@ -31,7 +31,9 @@ object SparkEntry {
       (Q.MiscQueries.queries, Q.MiscQueries.oracles),
       (Q.AnalyticsQueries.queries, Q.AnalyticsQueries.oracles),
       (Q.StatsQueries.queries, Q.StatsQueries.oracles),
-      (Q.StreamingBridge.queries, Q.StreamingBridge.oracles)
+      (Q.StreamingBridge.queries, Q.StreamingBridge.oracles),
+      (Q.TpchQueries.queries, Q.TpchQueries.oracles),
+      (Q.PipelineQueries.queries, Q.PipelineQueries.oracles)
     )
 
   /** Per-module registry sizes — lets ContractSpec prove no cross-module

@@ -1,0 +1,170 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second-tier training-data-pipeline operators: near-dup CLUSTERING (the
+  * step after pair detection — every dedup pipeline must resolve pairs into
+  * keep/drop decisions), CDC-style latest-version compaction, corpus bigram
+  * statistics, and sketch-based percentiles.
+  *
+  * Scale notes: cluster resolution runs min-label propagation over the
+  * near-dup pair graph — pairs are a vanishing fraction of the corpus, so
+  * the iteration cost is negligible next to pair generation; keep-latest is
+  * one shuffle on the partition key with a single window pass; bigram stats
+  * are explode→hash-agg with map-side partials (vocabulary² keys, not
+  * corpus-sized); approx percentiles use the GK sketch (mergeable, bounded
+  * memory — THE percentile at 100 TB, where exact percentile means a global
+  * sort).
+  */
+object PipelineQueries {
+
+  /** Near-dup cluster resolution: connected components over the exact
+    * Jaccard ≥ 0.8 pair graph (`dedup_ngram_jaccard`), each doc labeled
+    * with the minimum doc_id reachable — its cluster representative. The
+    * keeper decision (`is_keeper`) is what a real pipeline feeds to the
+    * filter stage. Deterministic fixpoint → fully oracled via a recursive
+    * CTE over the same pair query.
+    */
+  def dedupClusters(s: SparkSession, d: String, maxIter: Int = 20): DataFrame = {
+    val pairs = DedupQueries.ngramJaccard(s, d).select(col("da"), col("db"))
+    // undirected edges; the pair set is tiny (near-dups are rare by
+    // construction) so localCheckpoint per round keeps lineage flat at
+    // negligible materialization cost — same idiom as GraphQueries.
+    val und = pairs
+      .union(pairs.select(col("db").as("da"), col("da").as("db")))
+      .localCheckpoint()
+    var labels = und.select(col("da").as("vtx")).distinct()
+      .withColumn("comp", col("vtx")).localCheckpoint()
+    var lastSum = Long.MinValue
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaNeighbors = und.join(labels, und("da") === labels("vtx"))
+        .select(col("db").as("vtx"), col("comp"))
+      val next = labels.select(col("vtx"), col("comp")).union(viaNeighbors)
+        .groupBy("vtx").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      val sum0 = next.agg(sum(col("comp"))).collect()(0).getLong(0)
+      labels = next
+      converged = sum0 == lastSum
+      lastSum = sum0
+      i += 1
+    }
+    labels
+      .select(col("vtx").as("doc_id"), col("comp").as("cluster_id"),
+        (col("vtx") === col("comp")).as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
+  /** CDC-style compaction: the LATEST event per user (by ts, tie-broken on
+    * event_id) — the keep-latest dedup every incremental ingest pipeline
+    * runs. One shuffle on the entity key; ranking never leaves the
+    * partition. Timestamps compared at µs precision in both engines.
+    */
+  def keepLatest(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+      .orderBy("user_id")
+  }
+
+  /** Corpus bigram document frequencies, top 20 — the n-gram statistics
+    * pass of corpus analysis (shingles are per-doc-distinct, so counts are
+    * document frequencies). Vocabulary-bounded hash agg; the total order
+    * (df DESC, bigram ASC) makes the cut deterministic.
+    */
+  def bigramsTop(s: SparkSession, d: String, k: Int = 20): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(bigramShingles(spaceTokens(col("text")))).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("bigram"))
+      .limit(k)
+
+  /** Mergeable-sketch percentiles (Greenwald-Khanna via percentile_approx):
+    * the distributed answer to quantiles at 100 TB, where the exact form
+    * (`q_percentiles`) needs a per-group sort. Rows-only driver check (the
+    * sketch is implementation-specific); LlmOpsSpec bounds its error
+    * against the exact percentiles at two SFs.
+    */
+  def approxPercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("approx_pcts"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> (dedupClusters(_, _)),
+    "dedup_keep_latest" -> (keepLatest(_, _)),
+    "text_bigrams_top" -> (bigramsTop(_, _)),
+    "q_approx_percentile" -> (approxPercentiles(_, _))
+  )
+
+  /** Shared CTE body: the Jaccard ≥ 0.8 pair graph (mirrors the
+    * dedup_ngram_jaccard oracle). */
+  private val pairsSql =
+    """sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(list_zip(l[1:len(l)-1], l[2:len(l)]),
+      |                                      x -> x[1] || ' ' || x[2])) AS shingles
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+      |        WHERE doc_id < 500)
+      |), sizes AS (SELECT doc_id, len(shingles) AS n FROM sh
+      |), ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh
+      |), inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_inter
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT da, db FROM inter
+      |  JOIN sizes sa ON da = sa.doc_id
+      |  JOIN sizes sb ON db = sb.doc_id
+      |  WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.8)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $pairsSql,
+         |und AS (SELECT da AS u, db AS v FROM pairs
+         |        UNION SELECT db, da FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS vtx FROM und),
+         |cc AS (
+         |  SELECT vtx, vtx AS comp FROM nodes
+         |  UNION
+         |  SELECT e.v AS vtx, c.comp FROM cc c JOIN und e ON c.vtx = e.u
+         |), final AS (SELECT vtx, min(comp) AS comp FROM cc GROUP BY vtx)
+         |SELECT vtx AS doc_id, comp AS cluster_id, vtx = comp AS is_keeper
+         |FROM final ORDER BY doc_id""".stripMargin,
+    "dedup_keep_latest" ->
+      """SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |       event_type, value
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id
+        |        ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+    "text_bigrams_top" ->
+      """SELECT bigram, count(*) AS df
+        |FROM (SELECT doc_id,
+        |             unnest(list_distinct(list_transform(
+        |               list_zip(l[1:len(l)-1], l[2:len(l)]),
+        |               x -> x[1] || ' ' || x[2]))) AS bigram
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))
+        |GROUP BY bigram
+        |ORDER BY df DESC, bigram
+        |LIMIT 20""".stripMargin
+    // q_approx_percentile: sketch-specific values → rows-only driver check;
+    // error envelope asserted in LlmOpsSpec at two SFs.
+  )
+}

@@ -131,6 +131,49 @@ class LlmOpsSpec extends SparkSpec {
     assert(total == spark.read.parquet(s"$sf/embeddings.parquet").count())
   }
 
+  test("dedup clusters: pair endpoints co-clustered, keeper is the min id (two scales)") {
+    import graft.queries.PipelineQueries
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val labels = PipelineQueries.dedupClusters(spark, dir).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+      val pairs = DedupQueries.ngramJaccard(spark, dir)
+        .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.nonEmpty, s"$dir: fixture should contain near-dup pairs")
+      // every pair's endpoints share a cluster label
+      pairs.foreach { case (a, b) =>
+        assert(labels(a)._1 == labels(b)._1, s"$dir: pair ($a,$b) split across clusters")
+      }
+      // cluster label is the min member; exactly that member is the keeper
+      labels.groupBy(_._2._1).foreach { case (cid, members) =>
+        assert(members.keys.min == cid, s"$dir: cluster $cid label != min member")
+        assert(members.count(_._2._2) == 1 && members(cid)._2,
+          s"$dir: cluster $cid keeper flag wrong")
+      }
+    }
+  }
+
+  test("approx percentiles sit within 1% rank error of exact (two scales)") {
+    // driver check is rows-only (sketch-specific); bound the GK sketch error
+    // against the exact percentile at both test and bench SF
+    for (dir <- Seq(sf, "/root/testdata/sf0.1")) {
+      val li = Tables.lineitem(spark, dir)
+      val exact = li.groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, array(0.49, 0.89, 0.98))").as("lo"),
+          expr("percentile(l_extendedprice, array(0.51, 0.91, 1.0))").as("hi"))
+        .collect().map(r => r.getString(0) ->
+          (r.getSeq[Double](1), r.getSeq[Double](2))).toMap
+      graft.queries.PipelineQueries.approxPercentiles(spark, dir).collect()
+        .foreach { r =>
+          val flag = r.getString(0)
+          val (lo, hi) = exact(flag)
+          r.getSeq[Double](1).zipWithIndex.foreach { case (v, i) =>
+            assert(v >= lo(i) && v <= hi(i),
+              s"$dir/$flag: approx pct $i = $v outside exact rank band [${lo(i)}, ${hi(i)}]")
+          }
+        }
+    }
+  }
+
   test("multimodal: resize + frame-sample stubs keep typed plumbing real") {
     val media = Multimodal.fromDocuments(spark, sf)
     val resized = Multimodal.resizeStub(media, 4)

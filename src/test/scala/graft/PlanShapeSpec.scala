@@ -63,6 +63,40 @@ class PlanShapeSpec extends SparkSpec {
       s"broadcast as-of must not shuffle the probe:\n$plan")
   }
 
+  test("q_tpch_q10: dims broadcast; the fact table shuffles at most once") {
+    val plan = executedPlan("q_tpch_q10")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // customer/nation joins must broadcast: no shuffle-requiring join
+    // operator may key on custkey/nationkey (the partial-agg regroup
+    // exchange naming c_custkey is fine — it carries 6-column group rows)
+    val shuffleJoins = plan.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    assert(shuffleJoins.forall(l => !l.contains("c_custkey") && !l.contains("n_nationkey")),
+      s"customer/nation joins must broadcast, not shuffle the fact:\n$plan")
+  }
+
+  test("q_tpch_q14: part broadcast — lineitem never shuffles") {
+    val plan = executedPlan("q_tpch_q14")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"single-agg broadcast join must not shuffle the fact:\n$plan")
+  }
+
+  test("q_tpch_q4: EXISTS plans as a semi join, not an aggregate+join") {
+    val plan = executedPlan("q_tpch_q4")
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
+  test("q_tpch_q1: pre-shuffle partial aggregation collapses the scan") {
+    val plan = executedPlan("q_tpch_q1")
+    // partial + final HashAggregate pair around one tiny exchange: only 6
+    // group rows per map task cross the wire, not 600k lineitems
+    val n = "HashAggregate".r.findAllIn(plan).length
+    assert(n >= 2, s"expected partial+final HashAggregate:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("PartialMerge") ||
+      plan.contains("Partial"), plan)
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true)") {
     // one hot key (~99% of a padded fact) joined without broadcast; with
     // thresholds scaled to the fixture, AQE's OptimizeSkewedJoin must mark
