@@ -122,7 +122,25 @@ object StreamingBridge {
       .orderBy("user_id", "session_start")
   }
 
+  /** Stream-stream interval join under the gate: signup→purchase
+    * attribution within an hour, per user. Equals the batch range join
+    * (the DuckDB oracle) because inner interval joins emit eagerly.
+    */
+  def intervalJoinViaStream(s: SparkSession, d: String): DataFrame = {
+    val name = s"graft_stream_ivjoin_${counter.incrementAndGet()}"
+    val q = StreamingOps.toMemorySink(
+      StreamingOps.purchasesAfterSignup(eventsStream(s, d)), name,
+      OutputMode.Append())
+    try q.processAllAvailable() finally q.stop()
+    settle(s, name, s.table(name)
+      .select(col("s_user").as("user_id"), col("signup_id"), col("purchase_id"),
+        col("s_ts").cast("long").as("signup_s"),
+        col("p_ts").cast("long").as("purchase_s"), col("value")))
+      .orderBy("signup_id", "purchase_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_interval_join" -> (intervalJoinViaStream(_, _)),
     "stream_session_starts" -> (sessionStartsViaStream(_, _)),
     "stream_user_totals" -> (userTotalsViaStream(_, _)),
     "stream_events_tumbling" -> (tumblingViaStream(_, _)),
@@ -130,6 +148,16 @@ object StreamingBridge {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_interval_join" ->
+      """SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id,
+        |       CAST(floor(epoch(s.ts)) AS BIGINT) AS signup_s,
+        |       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_s,
+        |       p.value
+        |FROM events s
+        |JOIN events p ON s.user_id = p.user_id
+        |  AND s.event_type = 'signup' AND p.event_type = 'purchase'
+        |  AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+        |ORDER BY signup_id, purchase_id""".stripMargin,
     "stream_session_starts" ->
       """WITH flagged AS (
         |  SELECT user_id, ts,

@@ -104,6 +104,30 @@ object StreamingOps {
       }
   }
 
+  /** Stream-stream INTERVAL join: each signup joined to the same user's
+    * purchases within the following hour. Both sides carry watermarks and
+    * the join condition bounds event-time distance, so the state store
+    * evicts rows once the watermark passes their join horizon — the
+    * pattern that keeps stream-stream join state finite at scale (an
+    * unconstrained join would buffer both streams forever). Inner joins
+    * emit matches eagerly (no watermark wait), so the settled result
+    * equals the batch range join.
+    */
+  def purchasesAfterSignup(events: DataFrame): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_id").as("signup_id"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", "30 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "30 minutes")
+    signups.join(purchases,
+      col("s_user") === col("p_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"))
+  }
+
   /** Streaming exact dedup on event_id within the watermark horizon —
     * `dropDuplicates` backed by the state store.
     */
