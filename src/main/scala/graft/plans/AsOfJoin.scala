@@ -349,8 +349,13 @@ object AsOfJoin {
       s"as-of tolerance requires a long-backed time type, got $t")
 
   /** Ensure the planner and optimizer know the node, for sessions built
-    * without GraftExtensions (Verify/Bench/Cli). Idempotent. */
+    * without GraftExtensions (Verify/Bench/Cli). Idempotent — and a no-op
+    * on extension-built sessions, where injectPlannerStrategy/
+    * injectOptimizerRule already installed both (the experimental
+    * `contains` checks can't see injected registrations, so without the
+    * planner probe we'd append duplicate copies there). */
   private def ensureStrategy(spark: SparkSession): Unit = {
+    if (GraftSqlBridge.hasPlannerStrategy(spark, AsOfJoinStrategy)) return
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy

@@ -40,26 +40,19 @@ object AdvancedQueries {
     * dimension horizon) broadcasts but the probe side is the 100 TB fact.
     * Oracle: DuckDB's own native ASOF LEFT JOIN.
     */
-  def asofNative(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("ts"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
-    graft.plans.AsOfJoin.asof(purchases, clicks,
-        leftKeys = Seq(purchases("user_id")), rightKeys = Seq(clicks("c_user")),
-        leftTime = purchases("ts"), rightTime = clicks("c_ts"))
-      .select(col("event_id"), col("user_id"),
-        col("ts").cast("long").as("purchase_ts"),
-        col("c_ts").cast("long").as("asof_click_ts"))
-      .orderBy("event_id")
-  }
+  def asofNative(s: SparkSession, d: String): DataFrame = asofEvents(s, d)
 
   /** Bounded-lookback as-of: same as `asofNative` but a click older than
     * 1 hour no longer matches (pandas merge_asof `tolerance` semantics).
     * Oracle: plain SQL (left join bounded both ways + max per purchase).
     */
-  def asofTolerance(s: SparkSession, d: String): DataFrame = {
+  def asofTolerance(s: SparkSession, d: String): DataFrame =
+    asofEvents(s, d, toleranceMicros = 3600L * 1000000L)
+
+  /** Shared purchase←click as-of shape (the two registry entries differ
+    * only in the lookback bound). */
+  private def asofEvents(s: SparkSession, d: String,
+      toleranceMicros: Long = -1L): DataFrame = {
     val ev = Tables.events(s, d)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"))
@@ -68,7 +61,7 @@ object AdvancedQueries {
     graft.plans.AsOfJoin.asof(purchases, clicks,
         leftKeys = Seq(purchases("user_id")), rightKeys = Seq(clicks("c_user")),
         leftTime = purchases("ts"), rightTime = clicks("c_ts"),
-        toleranceMicros = 3600L * 1000000L)
+        toleranceMicros = toleranceMicros)
       .select(col("event_id"), col("user_id"),
         col("ts").cast("long").as("purchase_ts"),
         col("c_ts").cast("long").as("asof_click_ts"))

@@ -48,15 +48,21 @@ object GraphQueries {
   def connectedComponents(s: SparkSession, d: String, maxIter: Int = 25): DataFrame =
     ccCache.getOrElseUpdate((s, d, maxIter), computeComponents(s, d, maxIter))
 
-  private def computeComponents(s: SparkSession, d: String, maxIter: Int): DataFrame = {
-    // localCheckpoint (not persist): persist caches the data but the logical
-    // plan still nests one level per iteration, and Catalyst re-analysis of
-    // the growing tree turns O(diameter) iterations into exponential planning
-    // time (measured: iter 7 = 103 s with persist, < 1 s checkpointed).
-    // Checkpointing truncates the plan to the materialized partitions —
-    // the iterative-algorithm idiom on Spark. On a cluster use
-    // checkpoint(reliable) against the DFS instead.
-    val e = edges(s, d).localCheckpoint()
+  /** Min-label propagation to fixpoint over an undirected edge set
+    * `(u long, v long)` (both directions present). Returns (vtx, comp)
+    * with comp = min vertex id reachable. Shared by connected components
+    * here and near-dup cluster resolution (PipelineQueries.dedupClusters).
+    *
+    * localCheckpoint (not persist) each round: persist caches the data but
+    * the logical plan still nests one level per iteration, and Catalyst
+    * re-analysis of the growing tree turns O(diameter) iterations into
+    * exponential planning time (measured: iter 7 = 103 s with persist,
+    * < 1 s checkpointed). Checkpointing truncates the plan to the
+    * materialized partitions — the iterative-algorithm idiom on Spark. On
+    * a cluster use checkpoint(reliable) against the DFS instead.
+    */
+  private[queries] def minLabelPropagation(und: DataFrame, maxIter: Int): DataFrame = {
+    val e = und.select(col("u"), col("v")).localCheckpoint()
     var labels = e.select(col("u").as("vtx")).distinct()
       .withColumn("comp", col("vtx")).localCheckpoint()
     var converged = false
@@ -64,7 +70,9 @@ object GraphQueries {
     // Convergence via the label-sum invariant: min-propagation only ever
     // DECREASES labels, so any change strictly decreases sum(comp); equal
     // consecutive sums ⇔ fixpoint. One aggregate job per iteration instead
-    // of the join+count a changed-row comparison needs.
+    // of the join+count a changed-row comparison needs. The sum is
+    // null-coalesced so an EMPTY graph (sum over zero rows is SQL null)
+    // converges to an empty result instead of NPEing on getLong.
     var lastSum = Long.MinValue
     while (!converged && i < maxIter) {
       val viaNeighbors = e.join(labels, e("u") === labels("vtx"))
@@ -72,14 +80,18 @@ object GraphQueries {
       val next = labels.select(col("vtx"), col("comp")).union(viaNeighbors)
         .groupBy("vtx").agg(min("comp").as("comp"))
         .localCheckpoint()
-      val s = next.agg(sum(col("comp"))).collect()(0).getLong(0)
+      val s = next.agg(coalesce(sum(col("comp")), lit(0L)))
+        .collect()(0).getLong(0)
       labels = next
       converged = s == lastSum
       lastSum = s
       i += 1
     }
-    labels.orderBy("vtx")
+    labels
   }
+
+  private def computeComponents(s: SparkSession, d: String, maxIter: Int): DataFrame =
+    minLabelPropagation(edges(s, d), maxIter).orderBy("vtx")
 
   /** PageRank, fixed 10 iterations, damping 0.85 — the second iterative
     * graph workload. The undirected edge set gives every vertex an

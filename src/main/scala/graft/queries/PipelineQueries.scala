@@ -29,32 +29,16 @@ object PipelineQueries {
     * filter stage. Deterministic fixpoint → fully oracled via a recursive
     * CTE over the same pair query.
     */
-  def dedupClusters(s: SparkSession, d: String, maxIter: Int = 20): DataFrame = {
-    val pairs = DedupQueries.ngramJaccard(s, d).select(col("da"), col("db"))
-    // undirected edges; the pair set is tiny (near-dups are rare by
-    // construction) so localCheckpoint per round keeps lineage flat at
-    // negligible materialization cost — same idiom as GraphQueries.
-    val und = pairs
-      .union(pairs.select(col("db").as("da"), col("da").as("db")))
-      .localCheckpoint()
-    var labels = und.select(col("da").as("vtx")).distinct()
-      .withColumn("comp", col("vtx")).localCheckpoint()
-    var lastSum = Long.MinValue
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      val viaNeighbors = und.join(labels, und("da") === labels("vtx"))
-        .select(col("db").as("vtx"), col("comp"))
-      val next = labels.select(col("vtx"), col("comp")).union(viaNeighbors)
-        .groupBy("vtx").agg(min("comp").as("comp"))
-        .localCheckpoint()
-      val sum0 = next.agg(sum(col("comp"))).collect()(0).getLong(0)
-      labels = next
-      converged = sum0 == lastSum
-      lastSum = sum0
-      i += 1
-    }
-    labels
+  def dedupClusters(s: SparkSession, d: String, maxIter: Int = 20,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = DedupQueries.ngramJaccard(s, d, threshold = threshold)
+      .select(col("da"), col("db"))
+    // undirected edges over the (tiny — near-dups are rare by
+    // construction) pair set; propagation shares GraphQueries' empty-safe
+    // min-label loop, so a pair-free corpus yields an empty frame.
+    val und = pairs.select(col("da").as("u"), col("db").as("v"))
+      .union(pairs.select(col("db").as("u"), col("da").as("v")))
+    GraphQueries.minLabelPropagation(und, maxIter)
       .select(col("vtx").as("doc_id"), col("comp").as("cluster_id"),
         (col("vtx") === col("comp")).as("is_keeper"))
       .orderBy("doc_id")

@@ -100,6 +100,15 @@ object SimilarityQueries {
     val cand = sigs.join(broadcast(qsigs), Seq("tbl", "sig"))
       .filter(col("vec_id") =!= col("qid"))
       .select("qid", "vec_id").distinct()
+    verifyTopK(base, cand, k)
+  }
+
+  /** Shared ANN tail: verify the candidate (qid, vec_id) set with the
+    * fused cosine against broadcast query vectors and keep the top k per
+    * query. The tie-break (`sim DESC, vec_id`) is the determinism contract
+    * both ANN oracles depend on — it lives only here.
+    */
+  private def verifyTopK(base: DataFrame, cand: DataFrame, k: Int): DataFrame = {
     val qvec = base.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
@@ -151,15 +160,7 @@ object SimilarityQueries {
     val cand = assigned.join(broadcast(probeCells), "cell")
       .filter(col("vec_id") =!= col("qid"))
       .select("qid", "vec_id").distinct()
-    val qvec = base.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
-    base.join(broadcast(cand), "vec_id")
-      .join(broadcast(qvec), "qid")
-      .withColumn("sim", cosine_sim(col("v"), col("qv")))
-      .select(col("qid"), col("vec_id"), col("sim"), row_number().over(w).as("rank"))
-      .filter(col("rank") <= k)
-      .orderBy("qid", "rank")
+    verifyTopK(base, cand, k)
   }
 
   /** Embedding statistics per label: count + average L2 norm. */

@@ -34,6 +34,19 @@ object StreamingBridge {
     s.createDataFrame(rows, shaped.schema)
   }
 
+  /** Run a streaming frame to its settled memory-sink table, shape it, and
+    * clean up. The run-to-completion + always-stop + drop-view contract
+    * for every bridge query lives only here: a new bridge entry cannot
+    * leak a running query or a temp view by forgetting the boilerplate.
+    */
+  private def runSettled(s: SparkSession, prefix: String, streamDf: DataFrame,
+      mode: OutputMode)(shape: DataFrame => DataFrame): DataFrame = {
+    val name = s"graft_stream_${prefix}_${counter.incrementAndGet()}"
+    val q = StreamingOps.toMemorySink(streamDf, name, mode)
+    try q.processAllAvailable() finally q.stop()
+    settle(s, name, shape(s.table(name)))
+  }
+
   /** The events parquet as a bounded stream, with the same ns→µs timestamp
     * normalization the batch loader applies (streaming sources require an
     * explicit schema, so the raw — nanosAsLong — schema is probed first).
@@ -48,16 +61,12 @@ object StreamingBridge {
   }
 
   /** Tumbling windows via the streaming engine; equals `q_events_tumbling`. */
-  def tumblingViaStream(s: SparkSession, d: String): DataFrame = {
-    val name = s"graft_stream_tumbling_${counter.incrementAndGet()}"
-    val q = StreamingOps.toMemorySink(
-      StreamingOps.tumblingCounts(eventsStream(s, d)), name, OutputMode.Complete())
-    try q.processAllAvailable() finally q.stop()
-    settle(s, name, s.table(name)
-      .select(col("win_start").cast("long").as("win_start"), col("event_type"),
-        col("cnt"), round(col("sum_value"), 2).as("sum_value")))
-      .orderBy("win_start", "event_type")
-  }
+  def tumblingViaStream(s: SparkSession, d: String): DataFrame =
+    runSettled(s, "tumbling", StreamingOps.tumblingCounts(eventsStream(s, d)),
+      OutputMode.Complete()) {
+      _.select(col("win_start").cast("long").as("win_start"), col("event_type"),
+        col("cnt"), round(col("sum_value"), 2).as("sum_value"))
+    }.orderBy("win_start", "event_type")
 
   /** Event-time session windows via the streaming engine (session_window
     * state merges). Equals the batch gaps-and-islands sessionization
@@ -69,17 +78,13 @@ object StreamingBridge {
     * every SF ((exact > 1800) == (floored > 1800) for all consecutive
     * same-user pairs).
     */
-  def sessionViaStream(s: SparkSession, d: String): DataFrame = {
-    val name = s"graft_stream_session_${counter.incrementAndGet()}"
-    val q = StreamingOps.toMemorySink(
-      StreamingOps.sessionCounts(eventsStream(s, d)), name, OutputMode.Complete())
-    try q.processAllAvailable() finally q.stop()
-    settle(s, name, s.table(name)
-      .select(col("user_id"),
+  def sessionViaStream(s: SparkSession, d: String): DataFrame =
+    runSettled(s, "session", StreamingOps.sessionCounts(eventsStream(s, d)),
+      OutputMode.Complete()) {
+      _.select(col("user_id"),
         col("session_start").cast("long").as("session_start"),
-        col("n_events"), round(col("sum_value"), 2).as("sum_value")))
-      .orderBy("user_id", "session_start")
-  }
+        col("n_events"), round(col("sum_value"), 2).as("sum_value"))
+    }.orderBy("user_id", "session_start")
 
   /** Arbitrary stateful processing (`mapGroupsWithState`) under the gate:
     * running per-user totals, whose settled state must equal the batch
@@ -89,19 +94,16 @@ object StreamingBridge {
     */
   def userTotalsViaStream(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val name = s"graft_stream_utotals_${counter.incrementAndGet()}"
     val ev = eventsStream(s, d)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"))
       .as[StreamingOps.Event]
-    val q = StreamingOps.toMemorySink(
-      StreamingOps.runningUserTotals(ev).toDF(), name, OutputMode.Update())
-    try q.processAllAvailable() finally q.stop()
-    settle(s, name, s.table(name)
-      .groupBy("user_id")
-      .agg(max(col("n_events")).as("n_events"),
-        round(expr("max_by(total_value, n_events)"), 2).as("total_value")))
-      .orderBy("user_id")
+    runSettled(s, "utotals", StreamingOps.runningUserTotals(ev).toDF(),
+      OutputMode.Update()) {
+      _.groupBy("user_id")
+        .agg(max(col("n_events")).as("n_events"),
+          round(expr("max_by(total_value, n_events)"), 2).as("total_value"))
+    }.orderBy("user_id")
   }
 
   /** 0..N-emission stateful surface (`flatMapGroupsWithState`): one row per
@@ -109,35 +111,28 @@ object StreamingBridge {
     */
   def sessionStartsViaStream(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val name = s"graft_stream_sstarts_${counter.incrementAndGet()}"
     val ev = eventsStream(s, d)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"))
       .as[StreamingOps.Event]
-    val q = StreamingOps.toMemorySink(
-      StreamingOps.sessionStarts(ev).toDF(), name, OutputMode.Append())
-    try q.processAllAvailable() finally q.stop()
-    settle(s, name, s.table(name)
-      .select(col("user_id"), col("session_start")))
-      .orderBy("user_id", "session_start")
+    runSettled(s, "sstarts", StreamingOps.sessionStarts(ev).toDF(),
+      OutputMode.Append()) {
+      _.select(col("user_id"), col("session_start"))
+    }.orderBy("user_id", "session_start")
   }
 
   /** Stream-stream interval join under the gate: signup→purchase
     * attribution within an hour, per user. Equals the batch range join
     * (the DuckDB oracle) because inner interval joins emit eagerly.
     */
-  def intervalJoinViaStream(s: SparkSession, d: String): DataFrame = {
-    val name = s"graft_stream_ivjoin_${counter.incrementAndGet()}"
-    val q = StreamingOps.toMemorySink(
-      StreamingOps.purchasesAfterSignup(eventsStream(s, d)), name,
-      OutputMode.Append())
-    try q.processAllAvailable() finally q.stop()
-    settle(s, name, s.table(name)
-      .select(col("s_user").as("user_id"), col("signup_id"), col("purchase_id"),
+  def intervalJoinViaStream(s: SparkSession, d: String): DataFrame =
+    runSettled(s, "ivjoin",
+      StreamingOps.purchasesAfterSignup(eventsStream(s, d)),
+      OutputMode.Append()) {
+      _.select(col("s_user").as("user_id"), col("signup_id"), col("purchase_id"),
         col("s_ts").cast("long").as("signup_s"),
-        col("p_ts").cast("long").as("purchase_s"), col("value")))
-      .orderBy("signup_id", "purchase_id")
-  }
+        col("p_ts").cast("long").as("purchase_s"), col("value"))
+    }.orderBy("signup_id", "purchase_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_interval_join" -> (intervalJoinViaStream(_, _)),

@@ -17,6 +17,14 @@ object GraftSqlBridge {
   def analyzedPlan(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
 
+  /** Whether the session's planner already carries `strategy` (installed
+    * via SparkSessionExtensions or experimental methods) — lets callers
+    * avoid double-registering on extension-built sessions. */
+  def hasPlannerStrategy(spark: SparkSession,
+      strategy: org.apache.spark.sql.execution.SparkStrategy): Boolean =
+    spark.asInstanceOf[classic.SparkSession]
+      .sessionState.planner.strategies.contains(strategy)
+
   /** Wrap a logical plan back into a DataFrame. */
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =

@@ -152,6 +152,14 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup clusters: a pair-free corpus yields an empty frame, not a crash") {
+    // threshold > 1 makes the Jaccard pair set provably empty — the shared
+    // min-label loop must converge on the empty graph (sum over zero rows
+    // is SQL null; regression guard for the null-coalesced convergence)
+    val out = graft.queries.PipelineQueries.dedupClusters(spark, sf, threshold = 1.01)
+    assert(out.count() == 0)
+  }
+
   test("approx percentiles sit within 1% rank error of exact (two scales)") {
     // driver check is rows-only (sketch-specific); bound the GK sketch error
     // against the exact percentile at both test and bench SF
