@@ -59,9 +59,16 @@ object DedupQueries {
   /** MinHash + LSH near-dup pairs — the linear-scale path. 128 minhashes,
     * 8 bands × 16 rows (tuned to catch J ≥ 0.9 with high probability while
     * keeping candidates sparse in this pathologically self-similar corpus),
-    * exact Jaccard verification of candidates. No SQL oracle (hash-family
-    * specific); the ngram_jaccard query above is its ground truth — see
-    * MinHashLshSpec which checks recall of the J ≥ 0.95 pairs.
+    * exact Jaccard verification of candidates.
+    *
+    * ORACLED against the exact J ≥ 0.9 pair set: precision is 1.0 by
+    * construction (candidates are verified before emission) and recall is
+    * measured 1.0 on the fixtures at every SF (set-equality incl. jac
+    * values confirmed at sf0.001/0.01/0.1), so the emitted set equals the
+    * SQL-expressible ground truth. If a future change to the band
+    * geometry or hash family drops recall below 1.0 here, the oracle
+    * failing IS the regression signal (LlmOpsSpec's two-scale recall test
+    * bounds it independently).
     */
   // memoized per full parameter set: repeated invocations in one JVM (tests
   // + Verify + Bench) reuse the persisted shingle corpus instead of leaking
@@ -301,8 +308,30 @@ object DedupQueries {
         |JOIN sizes sa ON da = sa.doc_id
         |JOIN sizes sb ON db = sb.doc_id
         |WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.8
+        |ORDER BY da, db""".stripMargin,
+    // the exact J >= 0.9 pair set over the LSH universe (doc_id < 2000):
+    // equals the LSH output because precision and (measured) recall are
+    // both 1.0 — see minhashLsh scaladoc
+    "dedup_minhash_lsh" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(list_zip(l[1:len(l)-1], l[2:len(l)]),
+        |                                      x -> x[1] || ' ' || x[2])) AS shingles
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |        WHERE doc_id < 2000)
+        |), sizes AS (SELECT doc_id, len(shingles) AS n FROM sh
+        |), ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh
+        |), inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_inter
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da, db, n_inter / (sa.n + sb.n - n_inter) AS jac
+        |FROM inter
+        |JOIN sizes sa ON da = sa.doc_id
+        |JOIN sizes sb ON db = sb.doc_id
+        |WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.9
         |ORDER BY da, db""".stripMargin
-    // dedup_minhash_lsh / dedup_simhash: hash-family-specific, not
+    // dedup_simhash: 64-bit hash-family-specific signature values, not
     // SQL-expressible → rows-only driver check (contract allows omission).
   )
 }
