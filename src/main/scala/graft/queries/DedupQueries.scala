@@ -150,11 +150,19 @@ object DedupQueries {
 
   /** SimHash signatures: 64-bit locality-sensitive fingerprints; identical
     * signatures (or small Hamming distance) flag near-dups in O(n).
-    * Emitted per doc — rows-only driver check (hash-specific values).
+    *
+    * Token hash family is FNV-1a (the native `Fnv1a64` expression, running
+    * inside codegen) rather than xxhash64 — deliberately: FNV-1a folds in
+    * DuckDB as a HUGEINT reduce (the `q_fnv_buckets` technique), which
+    * makes the full 64-bit signature SQL-expressible and turns this from a
+    * rows-only check into an exact oracle. Locality behavior is identical
+    * (LlmOpsSpec's Hamming tests don't care which universal family votes).
     */
   def simhashSignatures(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), tokenHashes(spaceTokens(col("text"))).as("hashes"))
+      .select(col("doc_id"),
+        transform(filter(spaceTokens(col("text")), t => t =!= lit("")),
+          t => graft.plans.Fnv1a64.fnv1a64(t)).as("hashes"))
       .select(col("doc_id"), simhash64(col("hashes")).as("simhash"))
       .orderBy("doc_id")
 
@@ -330,8 +338,38 @@ object DedupQueries {
         |JOIN sizes sa ON da = sa.doc_id
         |JOIN sizes sb ON db = sb.doc_id
         |WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.9
-        |ORDER BY da, db""".stripMargin
-    // dedup_simhash: 64-bit hash-family-specific signature values, not
-    // SQL-expressible → rows-only driver check (contract allows omission).
+        |ORDER BY da, db""".stripMargin,
+    // full 64-bit SimHash re-derived in SQL: FNV-1a per token as a HUGEINT
+    // fold (codepoint==byte on this ASCII corpus, as in q_fnv_buckets),
+    // per-bit ±1 votes over 64 unnested bit positions, signature assembled
+    // from positive-vote bits and wrapped to the signed BIGINT Spark emits
+    "dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        |), hashed AS (
+        |  SELECT doc_id,
+        |         list_reduce(
+        |           list_prepend(14695981039346656037::HUGEINT,
+        |             list_transform(string_split_regex(t, ''),
+        |                            c -> unicode(c)::HUGEINT)),
+        |           (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+        |                     % 18446744073709551616::HUGEINT) AS h
+        |  FROM toks WHERE t <> ''
+        |), bits AS (
+        |  SELECT doc_id, j,
+        |         sum(CASE WHEN (h // (1::HUGEINT << j)) % 2 = 1
+        |                  THEN 1 ELSE -1 END) AS vote
+        |  FROM hashed CROSS JOIN (SELECT unnest(range(64)) AS j) b
+        |  GROUP BY doc_id, j
+        |), sig AS (
+        |  SELECT doc_id,
+        |         sum(CASE WHEN vote > 0 THEN (1::HUGEINT << j)
+        |                  ELSE 0::HUGEINT END) AS u
+        |  FROM bits GROUP BY doc_id)
+        |SELECT doc_id,
+        |       CASE WHEN u >= (1::HUGEINT << 63)
+        |            THEN (u - (1::HUGEINT << 64))::BIGINT
+        |            ELSE u::BIGINT END AS simhash
+        |FROM sig ORDER BY doc_id""".stripMargin
   )
 }
