@@ -47,10 +47,64 @@ object StatsQueries {
       .orderBy("event_id")
   }
 
+  /** Deterministic per-group mode: most frequent p_brand per p_type, ties
+    * broken toward the smaller brand string. Spark's builtin `mode()` (and
+    * DuckDB's) break ties arbitrarily — useless under an exact oracle and
+    * under a deterministic-rerun contract — so the mode is derived as
+    * count + total-order ranking, which also scales as two hash aggs +
+    * one in-partition window instead of a per-group value buffer.
+    */
+  def modePerGroup(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.part(s, d)
+      .groupBy(col("p_type"), col("p_brand"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("p_type"))
+      .orderBy(col("n").desc, col("p_brand"))
+    counts
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("p_type"), col("p_brand").as("mode_brand"), col("n"))
+      .orderBy("p_type")
+  }
+
+  /** Fixed-width histogram of order totals: value → bin in one projection,
+    * then a hash agg — the O(n) histogram (no sort, bin count bounded by
+    * range/width, map-side partials collapse each task to ≤ #bins rows).
+    */
+  def histogram(s: SparkSession, d: String, width: Double = 25000.0): DataFrame =
+    Tables.orders(s, d)
+      .select(floor(col("o_totalprice") / width).cast("long").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_orders"))
+      .withColumn("lo", col("bin") * width)
+      .select("bin", "lo", "n_orders")
+      .orderBy("bin")
+
+  /** Zipf rank-frequency curve of the corpus vocabulary: global word
+    * counts ranked by (count DESC, word) — the distribution check every
+    * corpus-health pipeline runs. Two shuffles (word agg + rank exchange);
+    * vocabulary-sized, not corpus-sized, after the first agg.
+    */
+  def zipf(s: SparkSession, d: String, k: Int = 30): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .select(explode(graft.operators.WordCount.tokens(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("word"))))
+      .filter(col("rank") <= k)
+      .select("rank", "word", "n")
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_regression" -> (regression(_, _)),
     "q_edit_distance" -> (editDistance(_, _)),
-    "q_rolling_1h" -> (rollingHour(_, _))
+    "q_rolling_1h" -> (rollingHour(_, _)),
+    "q_mode_pergroup" -> (modePerGroup(_, _)),
+    "q_histogram" -> (histogram(_, _)),
+    "text_zipf" -> (zipf(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -73,6 +127,26 @@ object StatsQueries {
         |      FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY sec
         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    "q_mode_pergroup" ->
+      """SELECT p_type, p_brand AS mode_brand, n
+        |FROM (SELECT p_type, p_brand, count(*) AS n,
+        |             row_number() OVER (PARTITION BY p_type
+        |                                ORDER BY count(*) DESC, p_brand) AS rk
+        |      FROM part GROUP BY p_type, p_brand)
+        |WHERE rk = 1 ORDER BY p_type""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+        |       CAST(floor(o_totalprice / 25000.0) AS BIGINT) * 25000.0::DOUBLE AS lo,
+        |       count(*) AS n_orders
+        |FROM orders
+        |GROUP BY 1, 2 ORDER BY bin""".stripMargin,
+    "text_zipf" ->
+      """SELECT row_number() OVER (ORDER BY n DESC, word) AS rank, word, n
+        |FROM (SELECT word, count(*) AS n
+        |      FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        |            FROM documents)
+        |      WHERE word <> '' GROUP BY word)
+        |ORDER BY n DESC, word LIMIT 30""".stripMargin
   )
 }
