@@ -33,6 +33,7 @@ object SparkEntry {
       (Q.StatsQueries.queries, Q.StatsQueries.oracles),
       (Q.StreamingBridge.queries, Q.StreamingBridge.oracles),
       (Q.TpchQueries.queries, Q.TpchQueries.oracles),
+      (Q.TpchQueries2.queries, Q.TpchQueries2.oracles),
       (Q.PipelineQueries.queries, Q.PipelineQueries.oracles)
     )
 

@@ -1,0 +1,503 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The 13 TPC-H plan shapes not covered by `TpchQueries` — completing all
+  * 22. The reference engine (single-input MapReduce,
+  * /root/reference/src/app/) cannot express any of these; they are the
+  * canonical stress tests of what a *general* engine's planner must get
+  * right: correlated-min supplier selection (Q2), nation-pair volume (Q7),
+  * market share ratios (Q8), profit attribution (Q9), group-vs-global-total
+  * thresholds (Q11), left-join count distributions (Q13), argmax-by-scalar-
+  * subquery (Q15), distinct-count matrices with NOT IN (Q16), correlated-avg
+  * filters (Q17), disjunctive multi-predicate joins (Q19), nested
+  * semi-joins over aggregates (Q20), EXISTS/NOT-EXISTS self-joins (Q21),
+  * and anti-join + scalar-subquery gating (Q22).
+  *
+  * ADAPTATIONS (the driver schema is a reduced TPC-H: no partsupp table,
+  * no comment/phone/container/commitdate/receiptdate columns):
+  *  - the supply relation (Q2/Q16/Q20) derives from observed lineitem
+  *    (l_partkey, l_suppkey) pairs; Q2's supply cost is min unit price
+  *    min(l_extendedprice/l_quantity) — min/max of doubles are
+  *    order-independent, so the correlated-min equality is exact with no
+  *    rounding;
+  *  - "late" (Q21) is l_shipdate > o_orderdate + 90 days (same adaptation
+  *    family as Q4/Q12's +60 days);
+  *  - Q9's supply cost proxy is 0.1 * p_retailprice;
+  *  - Q13's order-exclusion filter is o_orderpriority <> '1-URGENT' (for
+  *    o_comment NOT LIKE); Q22's "no recent orders" is no order since
+  *    1999-01-01 (every customer has *some* order at this density);
+  *  - Q16's complaint-supplier exclusion is s_acctbal < 0; Q22's country
+  *    codes are nation names (no phone column).
+  *
+  * Scale notes (100 TB): in every query the fact table (lineitem, then
+  * orders) shuffles at most once per self-contained pass and every
+  * dimension (part 2k, supplier 100, nation/region ≤25 rows at sf1-ratio)
+  * is broadcast — the plans stay broadcast-chains over a single fact scan.
+  * Q21 is the exception by nature: its EXISTS/NOT-EXISTS semantics are two
+  * additional passes over lineitem co-partitioned on l_orderkey; all three
+  * exchanges hash on the same key so a cluster run colocates them (and
+  * bucketing lineitem by orderkey, BucketingSpec, would eliminate all
+  * three). Integer-valued doubles (l_quantity) sum exactly, so
+  * quantity-threshold HAVING clauses need no rounding; money sums are
+  * rounded in both engines per the repo-wide float-parity discipline.
+  */
+object TpchQueries2 {
+
+  /** Q2 (adapted) — min-cost supplier per part within a region. The
+    * correlated scalar-min subquery becomes a window min over the
+    * region-filtered supply relation — same semantics, one pass, no
+    * re-scan of the subquery (Catalyst would otherwise evaluate the
+    * correlated aggregate as a separate join anyway).
+    */
+  def q2(s: SparkSession, d: String): DataFrame = {
+    val supply = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
+    val suppGeo = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+    val euro = supply.join(broadcast(suppGeo), col("l_suppkey") === col("s_suppkey"))
+    val best = euro.withColumn("min_cost",
+      min(col("cost")).over(Window.partitionBy(col("l_partkey"))))
+    val p = Tables.part(s, d)
+      .filter(col("p_size") <= 5 && col("p_type") === "LARGE")
+    best.filter(col("cost") === col("min_cost"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+  }
+
+  /** Q7 — volume shipping between a nation pair, by direction and year.
+    * One lineitem⋈orders shuffle; customer/supplier/nation broadcast.
+    */
+  def q7(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val n1 = Tables.nation(s, d).select(col("n_nationkey").as("s_nkey"),
+      col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d).select(col("n_nationkey").as("c_nkey"),
+      col("n_name").as("cust_nation"))
+    li.filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** Q8 — national market share: the fraction of a region's revenue in a
+    * part class supplied by one nation, per year. Ratio of two conditional
+    * sums in a single aggregate — one pass over the joined fact.
+    */
+  def q8(s: SparkSession, d: String): DataFrame = {
+    val cGeo = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val sNat = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_type") === "STANDARD")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1998-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cGeo), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sNat), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_5", vol).otherwise(lit(0.0))) /
+          sum(vol), 6).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** Q9 — product-type profit attribution by supplier nation and year;
+    * supply cost proxied by 0.1*p_retailprice (no partsupp table).
+    */
+  def q9(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_name").like("%red%"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        lit(0.1) * col("p_retailprice") * col("l_quantity")), 2).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+
+  /** Q11 (adapted) — parts whose supply value from one nation's suppliers
+    * exceeds a fraction of the global total: group-agg vs scalar-subquery-
+    * over-the-same-agg. The total is a one-row broadcast cross join, not a
+    * recomputation.
+    */
+  def q11(s: SparkSession, d: String): DataFrame = {
+    val nat3 = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val value = Tables.lineitem(s, d)
+      .join(broadcast(nat3), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice")).as("value"))
+    val total = value.agg(sum(col("value")).as("grand_total"))
+    value.crossJoin(broadcast(total))
+      .filter(col("value") > lit(0.002) * col("grand_total"))
+      .select(col("l_partkey"), round(col("value"), 2).as("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  /** Q13 — customer order-count distribution: left join preserving
+    * zero-order customers, then a histogram of the counts. Two hash aggs;
+    * the second input is customer-sized, the third count-of-counts-sized.
+    */
+  def q13(s: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.orders(s, d)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    Tables.customer(s, d)
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Q15 — top supplier by quarterly revenue: the argmax-via-scalar-max
+    * shape. Revenue is rounded BEFORE the max/equality so both engines
+    * compare identical doubles.
+    */
+  def q15(s: SparkSession, d: String): DataFrame = {
+    val revenue = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1997-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("total_revenue"))
+    val top = revenue.agg(max(col("total_revenue")).as("max_rev"))
+    revenue.crossJoin(broadcast(top))
+      .filter(col("total_revenue") === col("max_rev"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Q16 (adapted) — supplier-count matrix per (brand, type, size),
+    * excluding one brand/type and flagged suppliers (s_acctbal < 0 for the
+    * complaints filter). NOT IN over a tiny set = broadcast anti-join.
+    */
+  def q16(s: SparkSession, d: String): DataFrame = {
+    val flagged = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    val p = Tables.part(s, d)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 5, 10, 15, 20, 25))
+    Tables.lineitem(s, d)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(flagged), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** Q17 (adapted) — revenue lost to small-quantity orders for one brand:
+    * the correlated-avg filter. Per-part averages of integer-valued
+    * quantities are EXACT doubles (sums of integers < 2^53), so the
+    * threshold comparison is deterministic with no rounding. The stats
+    * side is brand-filtered-part-sized → broadcast back.
+    */
+  def q17(s: SparkSession, d: String): DataFrame = {
+    val brandLi = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#5")),
+        col("l_partkey") === col("p_partkey"))
+    val stats = brandLi.groupBy(col("l_partkey").as("sp_key"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    brandLi.join(broadcast(stats), col("l_partkey") === col("sp_key"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+  }
+
+  /** Q19 — disjunctive brand/size/quantity predicates over a broadcast
+    * part join: one fact scan, the OR evaluated post-join in codegen.
+    */
+  def q19(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+
+  /** Q20 (adapted) — suppliers in one nation who moved real volume of a
+    * part class: nested semi-join over an agg-having subquery. Quantity
+    * sums are exact (integer-valued doubles), so the HAVING needs no
+    * rounding.
+    */
+  def q20(s: SparkSession, d: String): DataFrame = {
+    val movers = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .join(broadcast(Tables.part(s, d).filter(col("p_name").like("small%"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+      .filter(col("qty") > 40)
+      .select("l_suppkey")
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_7")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(movers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy("s_name")
+  }
+
+  /** Q21 (adapted) — suppliers who kept orders waiting: late lines (ship >
+    * order + 90d) on multi-supplier 'F' orders where NO OTHER supplier was
+    * late. EXISTS → left-semi, NOT EXISTS → left-anti, both self-joins on
+    * l_orderkey; all three lineitem passes exchange on the same key (a
+    * bucketed layout would make them shuffle-free).
+    */
+  def q21(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
+    val o = Tables.orders(s, d)
+    val lateAll = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .select(col("l_orderkey").as("la_okey"), col("l_suppkey").as("la_skey"))
+    val l1 = li.join(o.filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .join(broadcast(Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_2")),
+            col("s_nationkey") === col("n_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("s_name"))
+    val others = li.select(col("l_orderkey").as("o2_okey"), col("l_suppkey").as("o2_skey"))
+    l1.join(others,
+        col("l_orderkey") === col("o2_okey") && col("l_suppkey") =!= col("o2_skey"),
+        "left_semi")
+      .join(lateAll,
+        col("l_orderkey") === col("la_okey") && col("l_suppkey") =!= col("la_skey"),
+        "left_anti")
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  /** Q22 (adapted) — wealthy customers gone quiet: above-average balance
+    * (scalar subquery over positive balances) with no order since
+    * 1999-01-01 (anti-join), grouped by nation. The anti-join build side
+    * is the RECENT orders subset only.
+    */
+  def q22(s: SparkSession, d: String): DataFrame = {
+    val avgBal = Tables.customer(s, d).filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("avg_bal"))
+    val recent = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1999-01-01"))
+      .select(col("o_custkey"))
+    Tables.customer(s, d)
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 2).as("totacctbal"))
+      .orderBy("n_name")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q2" -> (q2(_, _)),
+    "q_tpch_q7" -> (q7(_, _)),
+    "q_tpch_q8" -> (q8(_, _)),
+    "q_tpch_q9" -> (q9(_, _)),
+    "q_tpch_q11" -> (q11(_, _)),
+    "q_tpch_q13" -> (q13(_, _)),
+    "q_tpch_q15" -> (q15(_, _)),
+    "q_tpch_q16" -> (q16(_, _)),
+    "q_tpch_q17" -> (q17(_, _)),
+    "q_tpch_q19" -> (q19(_, _)),
+    "q_tpch_q20" -> (q20(_, _)),
+    "q_tpch_q21" -> (q21(_, _)),
+    "q_tpch_q22" -> (q22(_, _))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_tpch_q2" ->
+      """WITH supply AS (
+        |  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS cost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, cost
+        |FROM supply
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE p_size <= 5 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+        |  AND cost = (SELECT min(s2.cost) FROM supply s2
+        |              JOIN supplier sp ON s2.l_suppkey = sp.s_suppkey
+        |              JOIN nation n2 ON sp.s_nationkey = n2.n_nationkey
+        |              JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |              WHERE s2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin,
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_tpch_q8" ->
+      """SELECT o_year,
+        |       round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume
+        |                      ELSE 0.0 END) / sum(volume), 6) AS mkt_share
+        |FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |             l_extendedprice * (1 - l_discount) AS volume,
+        |             n2.n_name AS supp_nation
+        |      FROM lineitem
+        |      JOIN part ON l_partkey = p_partkey
+        |      JOIN orders ON l_orderkey = o_orderkey
+        |      JOIN customer ON o_custkey = c_custkey
+        |      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |      JOIN region ON n1.n_regionkey = r_regionkey
+        |      JOIN supplier ON l_suppkey = s_suppkey
+        |      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |      WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+        |        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |        AND o_orderdate < TIMESTAMP '1998-01-01')
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q_tpch_q9" ->
+      """SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+        |FROM (SELECT n_name AS nation,
+        |             CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |             l_extendedprice * (1 - l_discount)
+        |               - 0.1 * p_retailprice * l_quantity AS amount
+        |      FROM lineitem
+        |      JOIN part ON l_partkey = p_partkey
+        |      JOIN supplier ON l_suppkey = s_suppkey
+        |      JOIN orders ON l_orderkey = o_orderkey
+        |      JOIN nation ON s_nationkey = n_nationkey
+        |      WHERE p_name LIKE '%red%')
+        |GROUP BY nation, o_year ORDER BY nation, o_year DESC""".stripMargin,
+    "q_tpch_q11" ->
+      """WITH val AS (
+        |  SELECT l_partkey, sum(l_extendedprice) AS value
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3' GROUP BY l_partkey)
+        |SELECT l_partkey, round(value, 2) AS value FROM val
+        |WHERE value > (SELECT 0.002 * sum(value) FROM val)
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+    "q_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q_tpch_q17" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#5'
+        |  AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "q_tpch_q19" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q_tpch_q20" ->
+      """SELECT s_name, s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_7' AND s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'small%'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY l_suppkey, l_partkey HAVING sum(l_quantity) > 40)
+        |ORDER BY s_name""".stripMargin,
+    "q_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON l1.l_orderkey = o_orderkey
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_2' AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q_tpch_q22" ->
+      """SELECT n_name, count(*) AS numcust,
+        |       round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin
+  )
+}

@@ -129,6 +129,41 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_tpch_q19: disjunctive-predicate join broadcasts part, never shuffles lineitem") {
+    val plan = executedPlan("q_tpch_q19")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"part must broadcast over a single fact scan:\n$plan")
+  }
+
+  test("q_tpch_q16: NOT IN suppliers plans as a broadcast anti-join") {
+    val plan = executedPlan("q_tpch_q16")
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"part + flagged-supplier joins must both broadcast:\n$plan")
+  }
+
+  test("q_tpch_q21: dims broadcast; self-joins exchange only on l_orderkey") {
+    val plan = executedPlan("q_tpch_q21")
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"), plan)
+    // supplier/nation must never be a shuffle join; the only shuffle joins
+    // allowed are the lineitem self-joins keyed on l_orderkey
+    val shuffleJoins = plan.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")).toList
+    assert(shuffleJoins.forall(l => !l.contains("s_suppkey") && !l.contains("n_nationkey")),
+      s"supplier/nation joins must broadcast:\n$plan")
+  }
+
+  test("q_tpch_q2: correlated min is one window pass, no re-aggregation join") {
+    val plan = executedPlan("q_tpch_q2")
+    assert(plan.contains("Window"), plan)
+    // the supply agg exchanges once on (partkey,suppkey); the window's
+    // partkey exchange is the second — there must be no third pass that
+    // recomputes the subquery per outer row
+    assert(!plan.contains("SortMergeJoin"),
+      s"geo/part joins must broadcast around the windowed supply agg:\n$plan")
+  }
+
   test("aggregations run inside whole-stage codegen") {
     // codegen stars only appear in the FINAL adaptive plan — execute first
     val df = SparkEntry.queries("q_agg_basic")(spark, sf)
