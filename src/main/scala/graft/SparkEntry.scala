@@ -34,7 +34,8 @@ object SparkEntry {
       (Q.StreamingBridge.queries, Q.StreamingBridge.oracles),
       (Q.TpchQueries.queries, Q.TpchQueries.oracles),
       (Q.TpchQueries2.queries, Q.TpchQueries2.oracles),
-      (Q.PipelineQueries.queries, Q.PipelineQueries.oracles)
+      (Q.PipelineQueries.queries, Q.PipelineQueries.oracles),
+      (Q.CurationQueries.queries, Q.CurationQueries.oracles)
     )
 
   /** Per-module registry sizes — lets ContractSpec prove no cross-module
