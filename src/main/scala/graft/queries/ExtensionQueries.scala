@@ -45,6 +45,27 @@ object ExtensionQueries {
         round(sum("l_extendedprice"), 2).as("sum_price"))
       .orderBy("l_returnflag")
 
+  /** Stratified deterministic sampling: a DIFFERENT hash-sample rate per
+    * stratum (10% of returned, 20% of neither, 50% of accepted lines) —
+    * the downsample-by-source knob every training-data mix uses
+    * (oversample curated sources, downsample crawl). Same reproducibility
+    * contract as `q_sample_hash` (content hash ⇒ engine/partition/
+    * cluster-independent), zero added shuffle: the gate fuses into the
+    * scan and only surviving rows reach the aggregate.
+    */
+  def sampleStratified(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .withColumn("rate_pct",
+        when(col("l_returnflag") === "R", 10)
+          .when(col("l_returnflag") === "N", 20)
+          .otherwise(50))
+      .filter(Fnv1a64.ihash31(
+        concat_ws("-", col("l_orderkey"), col("l_linenumber"))) % 100 < col("rate_pct"))
+      .groupBy("l_returnflag")
+      .agg(max(col("rate_pct")).as("rate_pct"), count(lit(1)).as("n_sampled"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("l_returnflag")
+
   /** wc computed through the registered custom Aggregator instead of the
     * builtin count: flatMap to (word, 1) then udaf-sum — the literal
     * MapFn/ReduceFn decomposition of the reference (wc.rs:23-49), with
@@ -72,6 +93,7 @@ object ExtensionQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fnv_buckets" -> (fnvBuckets(_, _)),
     "q_sample_hash" -> (sampleHash(_, _)),
+    "q_sample_stratified" -> (sampleStratified(_, _)),
     "q_udaf_wordcount" -> (udafWordcount(_, _)),
     "q_udaf_mean" -> (udafMean(_, _))
   )
@@ -91,6 +113,27 @@ object ExtensionQueries {
         |SELECT l_returnflag, count(*) AS n_sampled,
         |       round(sum(l_extendedprice), 2) AS sum_price
         |FROM h WHERE ihash % 10 = 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_sample_stratified" ->
+      """WITH h AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |         CASE WHEN l_returnflag = 'R' THEN 10
+        |              WHEN l_returnflag = 'N' THEN 20
+        |              ELSE 50 END AS rate_pct,
+        |         (list_reduce(
+        |            list_prepend(14695981039346656037::HUGEINT,
+        |              list_transform(string_split_regex(
+        |                CAST(l_orderkey AS VARCHAR) || '-' ||
+        |                CAST(l_linenumber AS VARCHAR), ''),
+        |                             c -> unicode(c)::HUGEINT)),
+        |            (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+        |                      % 18446744073709551616::HUGEINT)
+        |          % 2147483648)::BIGINT AS ihash
+        |  FROM lineitem)
+        |SELECT l_returnflag, max(rate_pct) AS rate_pct,
+        |       count(*) AS n_sampled,
+        |       round(sum(l_extendedprice), 2) AS sum_price
+        |FROM h WHERE ihash % 100 < rate_pct
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // FNV-1a 64 as a HUGEINT fold, masked to 31 bits like the reference's
     // ihash; Spark's signed-long % matches DuckDB % on the masked value.

@@ -134,7 +134,22 @@ object StreamingBridge {
         col("p_ts").cast("long").as("purchase_s"), col("value"))
     }.orderBy("signup_id", "purchase_id")
 
+  /** Stream-static enrichment under the gate: events joined per
+    * micro-batch to the static customer dimension (broadcast, no
+    * streaming state), settled to per-(segment, event_type) totals.
+    */
+  def enrichJoinViaStream(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    runSettled(s, "enrich",
+      StreamingOps.enrichWithDim(eventsStream(s, d), dim, "user_id", "c_custkey"),
+      OutputMode.Append()) {
+      _.groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+    }.orderBy("c_mktsegment", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_enrich_join" -> (enrichJoinViaStream(_, _)),
     "stream_interval_join" -> (intervalJoinViaStream(_, _)),
     "stream_session_starts" -> (sessionStartsViaStream(_, _)),
     "stream_user_totals" -> (userTotalsViaStream(_, _)),
@@ -143,6 +158,12 @@ object StreamingBridge {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_enrich_join" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n_events,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment, event_type
+        |ORDER BY c_mktsegment, event_type""".stripMargin,
     "stream_interval_join" ->
       """SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id,
         |       CAST(floor(epoch(s.ts)) AS BIGINT) AS signup_s,

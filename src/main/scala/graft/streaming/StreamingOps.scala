@@ -128,6 +128,17 @@ object StreamingOps {
         col("p_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"))
   }
 
+  /** Stream-static enrichment join: each streaming event picks up its
+    * dimension attributes from a BATCH table. The static side is planned
+    * per micro-batch as an ordinary broadcast hash join — no streaming
+    * state at all, which is why dimension enrichment is free at scale
+    * (contrast purchasesAfterSignup's stream-stream state store).
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, eventKey: String,
+      dimKey: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim),
+      col(eventKey) === col(dimKey))
+
   /** Streaming exact dedup on event_id within the watermark horizon —
     * `dropDuplicates` backed by the state store.
     */
