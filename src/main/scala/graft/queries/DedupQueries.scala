@@ -166,6 +166,44 @@ object DedupQueries {
       .select(col("doc_id"), simhash64(col("hashes")).as("simhash"))
       .orderBy("doc_id")
 
+  /** SimHash near-dup PAIRS — signatures to answers, linearly: 64-bit
+    * signatures split into 4 × 16-bit bands; docs sharing any band value
+    * become candidates (per-bucket sorted lists, never a self-join — the
+    * minhash shape); candidates verified by bit_count(xor) ≤ maxHamming.
+    * Recall is EXACT by pigeonhole: ≤ 3 differing bits cannot touch all 4
+    * bands, so every qualifying pair shares a band. Precision is exact by
+    * verification. O(docs × 4) bucketing shuffle of (long, long) rows vs
+    * O(docs²) comparisons — the Hamming analog of minhash banding.
+    */
+  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
+    val sigs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        transform(filter(spaceTokens(col("text")), t => t =!= lit("")),
+          t => graft.plans.Fnv1a64.fnv1a64(t)).as("hashes"))
+      .select(col("doc_id"), simhash64(col("hashes")).as("simhash"))
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("simhash"), b * 16)
+            .bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val buckets = banded.groupBy("band", "key")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("items"))
+      .filter(size(col("items")) > 1)
+    val cand = buckets
+      .select(col("items"), posexplode(col("items")).as(Seq("i", "a")))
+      .select(col("a.doc_id").as("da"), col("a.simhash").as("sa"),
+        explode(slice(col("items"), col("i") + lit(2), size(col("items")))).as("b"))
+      .select(col("da"), col("sa"), col("b.doc_id").as("db"), col("b.simhash").as("sb"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("da", "db", "hamming")
+      .orderBy("da", "db")
+  }
+
   /** Embedding-cosine near-dup pairs: vectors whose cosine similarity
     * exceeds the threshold, bounded candidate universe (the linear-scale
     * route is LSH bucketing first — sim_ann_lsh — then this verification
@@ -277,7 +315,8 @@ object DedupQueries {
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_ngram_jaccard" -> (ngramJaccard(_, _)),
     "dedup_minhash_lsh" -> (minhashLsh(_, _)),
-    "dedup_simhash" -> (simhashSignatures(_, _))
+    "dedup_simhash" -> (simhashSignatures(_, _)),
+    "dedup_simhash_pairs" -> (simhashPairs(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -380,33 +419,51 @@ object DedupQueries {
     // fold (codepoint==byte on this ASCII corpus, as in q_fnv_buckets),
     // per-bit ±1 votes over 64 unnested bit positions, signature assembled
     // from positive-vote bits and wrapped to the signed BIGINT Spark emits
+    // (the shared `signed` CTE chain in simhashSigSql)
     "dedup_simhash" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
-        |), hashed AS (
-        |  SELECT doc_id,
-        |         list_reduce(
-        |           list_prepend(14695981039346656037::HUGEINT,
-        |             list_transform(string_split_regex(t, ''),
-        |                            c -> unicode(c)::HUGEINT)),
-        |           (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
-        |                     % 18446744073709551616::HUGEINT) AS h
-        |  FROM toks WHERE t <> ''
-        |), bits AS (
-        |  SELECT doc_id, j,
-        |         sum(CASE WHEN (h // (1::HUGEINT << j)) % 2 = 1
-        |                  THEN 1 ELSE -1 END) AS vote
-        |  FROM hashed CROSS JOIN (SELECT unnest(range(64)) AS j) b
-        |  GROUP BY doc_id, j
-        |), sig AS (
-        |  SELECT doc_id,
-        |         sum(CASE WHEN vote > 0 THEN (1::HUGEINT << j)
-        |                  ELSE 0::HUGEINT END) AS u
-        |  FROM bits GROUP BY doc_id)
-        |SELECT doc_id,
-        |       CASE WHEN u >= (1::HUGEINT << 63)
-        |            THEN (u - (1::HUGEINT << 64))::BIGINT
-        |            ELSE u::BIGINT END AS simhash
-        |FROM sig ORDER BY doc_id""".stripMargin
+      s"""$simhashSigSql
+         |SELECT doc_id, simhash FROM signed ORDER BY doc_id""".stripMargin,
+    // band blocking is recall-exact by pigeonhole, so the oracle needs no
+    // bucketing — the answer set is simply all pairs at Hamming <= 3
+    "dedup_simhash_pairs" ->
+      s"""$simhashSigSql
+         |SELECT a.doc_id AS da, b.doc_id AS db,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM signed a JOIN signed b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY da, db""".stripMargin
   )
+
+  /** The signature re-derivation shared by both simhash oracles, ending in
+    * `signed(doc_id, simhash BIGINT)`.
+    */
+  private lazy val simhashSigSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+      |), hashed AS (
+      |  SELECT doc_id,
+      |         list_reduce(
+      |           list_prepend(14695981039346656037::HUGEINT,
+      |             list_transform(string_split_regex(t, ''),
+      |                            c -> unicode(c)::HUGEINT)),
+      |           (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+      |                     % 18446744073709551616::HUGEINT) AS h
+      |  FROM toks WHERE t <> ''
+      |), bits AS (
+      |  SELECT doc_id, j,
+      |         sum(CASE WHEN (h // (1::HUGEINT << j)) % 2 = 1
+      |                  THEN 1 ELSE -1 END) AS vote
+      |  FROM hashed CROSS JOIN (SELECT unnest(range(64)) AS j) b
+      |  GROUP BY doc_id, j
+      |), sig AS (
+      |  SELECT doc_id,
+      |         sum(CASE WHEN vote > 0 THEN (1::HUGEINT << j)
+      |                  ELSE 0::HUGEINT END) AS u
+      |  FROM bits GROUP BY doc_id
+      |), signed AS (
+      |  SELECT doc_id,
+      |         CASE WHEN u >= (1::HUGEINT << 63)
+      |              THEN (u - (1::HUGEINT << 64))::BIGINT
+      |              ELSE u::BIGINT END AS simhash
+      |  FROM sig)""".stripMargin
 }

@@ -61,10 +61,35 @@ object EventQueries {
       .orderBy("user_id", "session_seq")
   }
 
+  /** Gap-filled hourly resample: the dense (event_type × hour) grid from
+    * the observed time range, left-joined to actual hourly aggregates with
+    * zero-fill — the regularization step before any time-series model
+    * (missing buckets must exist as zeros, not be absent). The grid
+    * generates from a 1-row bounds aggregate via sequence() — dimension
+    * cross join is |types| × |hours|, never event-sized.
+    */
+  def resampleHourly(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"),
+        (floor(col("ts").cast("long") / 3600) * 3600).cast("long").as("hr"),
+        col("value"))
+    val grid = ev.agg(min("hr").as("lo"), max("hr").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hr"))
+      .crossJoin(ev.select("event_type").distinct())
+    val actual = ev.groupBy("event_type", "hr")
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+    grid.join(actual, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), col("hr"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy("event_type", "hr")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_tumbling" -> (tumbling(_, _)),
     "q_events_sliding" -> (sliding(_, _)),
-    "q_events_session" -> (sessionize(_, _))
+    "q_events_session" -> (sessionize(_, _)),
+    "q_resample_1h" -> (resampleHourly(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -96,6 +121,26 @@ object EventQueries {
         |       CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end,
         |       count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM numbered GROUP BY user_id, session_seq
-        |ORDER BY user_id, session_seq""".stripMargin
+        |ORDER BY user_id, session_seq""".stripMargin,
+    "q_resample_1h" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS hr,
+        |         value
+        |  FROM events),
+        |b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM ev),
+        |grid AS (
+        |  SELECT t.event_type, g.hr
+        |  FROM (SELECT DISTINCT event_type FROM ev) t,
+        |       (SELECT unnest(range((SELECT lo FROM b),
+        |                            (SELECT hi FROM b) + 3600, 3600)) AS hr) g),
+        |act AS (
+        |  SELECT event_type, hr, count(*) AS cnt,
+        |         round(sum(value), 2) AS sum_value
+        |  FROM ev GROUP BY event_type, hr)
+        |SELECT grid.event_type, grid.hr,
+        |       coalesce(cnt, 0) AS cnt, coalesce(sum_value, 0.0) AS sum_value
+        |FROM grid LEFT JOIN act USING (event_type, hr)
+        |ORDER BY event_type, hr""".stripMargin
   )
 }
