@@ -98,7 +98,49 @@ object StatsQueries {
       .orderBy("rank")
   }
 
+  /** EWMA (α = 0.1) over each user's event values, truncated to the last
+    * 20 events: the recency-weighted smoother time-series monitoring
+    * runs. Computed as a SERIAL left fold `acc*(1-α) + α*x` over the
+    * windowed value list — both engines fold left over identically
+    * ordered lists, so the doubles are bit-identical WITHOUT rounding
+    * (same IEEE ops in the same order), sidestepping the
+    * order-dependent-aggregate problem entirely. The 20-event truncation
+    * bounds per-row work and matches the (1-α)^k ≈ 0.12 decay horizon.
+    */
+  def ewma(s: SparkSession, d: String, alpha: Double = 0.1): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-19, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("xs", collect_list(col("value")).over(w))
+      .select(col("event_id"), col("user_id"),
+        aggregate(col("xs"), lit(0.0),
+          (acc, x) => acc * lit(1 - alpha) + lit(alpha) * x).as("ewma"))
+      .orderBy("event_id")
+  }
+
+  /** 3σ outlier detection per group: events whose value deviates more
+    * than 3 sample-stddevs from their type's mean (the events table is
+    * the one driver table with genuine heavy tails — the TPC-H money
+    * columns are bounded-uniform and never exceed ~1.8σ). The stats side
+    * is groups-sized → broadcast back over one fact pass; at 100 TB this
+    * is two scans (stats, then flag), never a sort.
+    */
+  def outliers(s: SparkSession, d: String): DataFrame = {
+    val stats = Tables.events(s, d)
+      .groupBy(col("event_type").as("et"))
+      .agg(avg(col("value")).as("mu"),
+        stddev_samp(col("value")).as("sigma"))
+    Tables.events(s, d)
+      .join(broadcast(stats), col("event_type") === col("et"))
+      .filter(abs(col("value") - col("mu")) > lit(3.0) * col("sigma"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("mu"), 2).as("mu"), round(col("sigma"), 2).as("sigma"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ewma" -> (ewma(_, _)),
+    "q_outliers" -> (outliers(_, _)),
     "q_regression" -> (regression(_, _)),
     "q_edit_distance" -> (editDistance(_, _)),
     "q_rolling_1h" -> (rollingHour(_, _)),
@@ -108,6 +150,30 @@ object StatsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // list(value) OVER the same frame yields the identically ordered list;
+    // list_reduce folds left exactly like Spark's aggregate() — raw
+    // doubles compare bit-exact, no rounding needed
+    "q_ewma" ->
+      """SELECT event_id, user_id,
+        |       list_reduce(list_prepend(0.0::DOUBLE, xs),
+        |                   (acc, x) -> acc * 0.9 + 0.1 * x) AS ewma
+        |FROM (SELECT event_id, user_id,
+        |             list(value) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id
+        |                               ROWS BETWEEN 19 PRECEDING
+        |                               AND CURRENT ROW) AS xs
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin,
+    "q_outliers" ->
+      """WITH stats AS (
+        |  SELECT event_type AS et, avg(value) AS mu,
+        |         stddev_samp(value) AS sigma
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, event_type, value,
+        |       round(mu, 2) AS mu, round(sigma, 2) AS sigma
+        |FROM events JOIN stats ON event_type = et
+        |WHERE abs(value - mu) > 3.0 * sigma
+        |ORDER BY event_id""".stripMargin,
     "q_regression" ->
       """SELECT l_returnflag,
         |       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
