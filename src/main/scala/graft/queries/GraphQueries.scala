@@ -124,10 +124,39 @@ object GraphQueries {
       .groupBy("comp").agg(count(lit(1)).as("n_vertices"))
       .orderBy("comp")
 
+  /** Triangle counting over the part co-occurrence graph (parts appearing
+    * together in ≥ 2 orders — the threshold keeps the projection sparse;
+    * unthresholded one-mode projections of order baskets go near-complete).
+    * Edges oriented u < v so each triangle is generated exactly once by
+    * the two-path + closing-edge join. All three join passes key on
+    * vertex ids; at scale the standard refinement is degree-based
+    * orientation (point edges from low to high degree) which bounds the
+    * two-path fan-out by sqrt(|E|) on skewed graphs — id order suffices
+    * for this near-uniform fixture.
+    */
+  def triangles(s: SparkSession, d: String, minCo: Long = 2L): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val e = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minCo)
+      .select("u", "v")
+    val twoPath = e.select(col("u").as("x"), col("v").as("y"))
+      .join(e.select(col("u").as("y2"), col("v").as("z")), col("y") === col("y2"))
+    val tri = twoPath.join(
+      e.select(col("u").as("x3"), col("v").as("z3")),
+      col("x") === col("x3") && col("z") === col("z3"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_components" -> (connectedComponents(_, _, 25)),
     "graph_component_sizes" -> (componentSizes(_, _)),
-    "graph_pagerank" -> (pagerank(_, _))
+    "graph_pagerank" -> (pagerank(_, _)),
+    "graph_triangles" -> (triangles(_, _))
   )
 
   /** The 10 power iterations unrolled as chained CTEs — iterative float
@@ -160,6 +189,16 @@ object GraphQueries {
       |  FROM lineitem WHERE l_partkey % 10 = l_suppkey % 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "graph_triangles" ->
+      """WITH e AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT (SELECT count(*) FROM e) AS n_edges,
+        |       (SELECT count(*) FROM e e1
+        |        JOIN e e2 ON e1.v = e2.u
+        |        JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v) AS n_triangles""".stripMargin,
     "graph_pagerank" -> pagerankSql(10),
     "graph_components" ->
       s"""WITH RECURSIVE und AS (

@@ -138,7 +138,25 @@ object StatsQueries {
       .orderBy("event_id")
   }
 
+  /** Equi-depth (decile) histogram of order totals: ntile over a total
+    * order (value, key tie-break) → per-bucket count/min/max. The
+    * complement of q_histogram's fixed-width bins. Global ntile needs a
+    * total sort — the honest exact cost; at 100 TB the substitution is
+    * approx-quantile boundaries (q_approx_percentile's GK sketch) +
+    * a broadcast bucket assignment, trading exactness for one pass.
+    */
+  def histogramEquidepth(s: SparkSession, d: String, buckets: Int = 10): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_totalprice"),
+        ntile(buckets).over(Window.orderBy(col("o_totalprice"), col("o_orderkey")))
+          .cast("long").as("decile")) // DuckDB ntile returns BIGINT
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      .orderBy("decile")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_histogram_equidepth" -> (histogramEquidepth(_, _)),
     "q_ewma" -> (ewma(_, _)),
     "q_outliers" -> (outliers(_, _)),
     "q_regression" -> (regression(_, _)),
@@ -150,6 +168,13 @@ object StatsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_histogram_equidepth" ->
+      """SELECT decile, count(*) AS n_orders,
+        |       min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM (SELECT o_totalprice,
+        |             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        |      FROM orders)
+        |GROUP BY decile ORDER BY decile""".stripMargin,
     // list(value) OVER the same frame yields the identically ordered list;
     // list_reduce folds left exactly like Spark's aggregate() — raw
     // doubles compare bit-exact, no rounding needed
