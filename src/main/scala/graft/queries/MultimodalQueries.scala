@@ -28,9 +28,38 @@ object MultimodalQueries {
         min("n_bytes").cast("long").as("min_bytes"), max("n_bytes").cast("long").as("max_bytes"))
       .orderBy("kind")
 
+  /** The 1→N video-ingest shape under the gate: frame-sample each blob
+    * (64-byte frames, every 2nd kept) through the typed flatMap, then
+    * per-media frame stats. The stub is byte arithmetic, so frame counts
+    * and byte totals re-derive in SQL from octet_length alone.
+    */
+  def frameStats(s: SparkSession, d: String, frameSize: Int = 64,
+      stride: Int = 2): DataFrame =
+    Multimodal.frameSampleStub(Multimodal.fromDocuments(s, d), frameSize, stride)
+      .toDF()
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(octet_length(col("frame"))).cast("long").as("frame_bytes"))
+      .orderBy("id")
+
+  /** The decode→transform shape: "resize" (deterministic 1-in-4 byte
+    * subsample) through per-partition execution; original vs resized
+    * sizes per media row.
+    */
+  def resizeSizes(s: SparkSession, d: String, factor: Int = 4): DataFrame = {
+    val orig = Multimodal.fromDocuments(s, d)
+    Multimodal.resizeStub(orig, factor).toDF()
+      .select(col("id"), octet_length(col("media")).cast("long").as("n_resized"))
+      .join(Multimodal.withMeta(orig).select(col("id"), col("n_bytes").cast("long").as("n_orig")), "id")
+      .select("id", "n_orig", "n_resized")
+      .orderBy("id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (binaryMeta(_, _)),
-    "mm_media_sizes" -> (mediaSizes(_, _))
+    "mm_media_sizes" -> (mediaSizes(_, _)),
+    "mm_frame_stats" -> (frameStats(_, _)),
+    "mm_resize_sizes" -> (resizeSizes(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -46,6 +75,24 @@ object MultimodalQueries {
         |       CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
         |       CAST(min(octet_length(CAST(text AS BLOB))) AS BIGINT) AS min_bytes,
         |       CAST(max(octet_length(CAST(text AS BLOB))) AS BIGINT) AS max_bytes
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // chunking arithmetic: n_chunks = ceil(L/64); kept frames are the even
+    // chunk indices; the (possibly short) last chunk contributes its true
+    // size only when its index is even
+    "mm_frame_stats" ->
+      """WITH m AS (
+        |  SELECT doc_id AS id, octet_length(CAST(text AS BLOB)) AS L,
+        |         (octet_length(CAST(text AS BLOB)) + 63) // 64 AS n_chunks
+        |  FROM documents)
+        |SELECT id, CAST((n_chunks + 1) // 2 AS BIGINT) AS n_frames,
+        |       CAST(CASE WHEN (n_chunks - 1) % 2 = 0
+        |                 THEN 64 * ((n_chunks + 1) // 2 - 1) + (L - 64 * (n_chunks - 1))
+        |                 ELSE 64 * ((n_chunks + 1) // 2) END AS BIGINT) AS frame_bytes
+        |FROM m ORDER BY id""".stripMargin,
+    "mm_resize_sizes" ->
+      """SELECT doc_id AS id,
+        |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_orig,
+        |       CAST((octet_length(CAST(text AS BLOB)) + 3) // 4 AS BIGINT) AS n_resized
+        |FROM documents ORDER BY id""".stripMargin
   )
 }
