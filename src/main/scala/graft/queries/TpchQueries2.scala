@@ -271,7 +271,10 @@ object TpchQueries2 {
     Tables.supplier(s, d)
       .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_7")),
         col("s_nationkey") === col("n_nationkey"))
-      .join(movers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      // movers collapses to qualifying (supplier) keys after the agg-having
+      // — broadcast it; without the hint post-agg stats are unknown and the
+      // planner falls back to a sort-merge semi join
+      .join(broadcast(movers), col("s_suppkey") === col("l_suppkey"), "left_semi")
       .select(col("s_name"), col("s_acctbal"))
       .orderBy("s_name")
   }

@@ -1,0 +1,62 @@
+package graft
+
+/** Registry-wide join-strategy audit: every query's physical plan is swept
+  * for the operators that become scale killers when unintended — cartesian
+  * products, broadcast-nested-loop joins, and shuffle joins — against an
+  * explicit whitelist of queries where each is the DOCUMENTED design
+  * (1-row scalar cross joins, bounded theta joins, fact-fact merges). A new
+  * query that accidentally plans a cartesian or an unhinted shuffle join
+  * fails here instead of surfacing as a 100× regression on a cluster.
+  *
+  * Complements PlanShapeSpec (which pins load-bearing properties of
+  * specific headline plans) with breadth: the WHOLE registry, one property.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  // stream_* execute eagerly at build time (memory-sink settle) — their
+  // batch-side plans are covered by the shared batch queries they mirror
+  private def auditable: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    SparkEntry.queries.filterNot(_._1.startsWith("stream_"))
+
+  private def planOf(name: String): String =
+    auditable(name)(spark, sf)
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+
+  // every entry is a deliberate, documented plan choice (see scaladoc at
+  // the query): scalar one-row cross joins, bounded-universe theta joins,
+  // pure-inequality range joins, or fact-fact merges with no broadcastable
+  // side
+  private val allowCartesianOrBnlj = Set(
+    "dedup_embedding_cosine", // bounded all-pairs theta join (va < vb)
+    "q_cross_join",           // the cross-join demonstration itself
+    "q_join_range",           // pure inequality join — BNLJ is OSS Spark's only strategy
+    "q_resample_1h",          // 1-row bounds × tiny type dimension
+    "q_tpch_q11",             // 1-row grand-total scalar
+    "q_tpch_q22",             // 1-row avg-balance scalar
+    "graph_triangles",        // final 1-row × 1-row count cross join
+    "sim_cosine_topk",        // broadcast query set × corpus stream (the design)
+    "text_tfidf",             // broadcast 1-row doc-count scalar
+    "q_scalar_subquery",      // scalar subquery becomes a 1-row broadcast
+    "q_lateral"               // lateral explode over a 1-row aggregate
+  )
+  private val allowShuffleJoin = Set(
+    "q_join_full",    // full outer: no broadcastable side by semantics
+    "q_tpch_q21",     // lineitem self-joins co-keyed on l_orderkey (documented)
+    "graph_triangles" // edge-set self-joins, both sides same relation
+  )
+
+  test("no query plans an UNDOCUMENTED cartesian/BNLJ/shuffle join") {
+    val offenders = auditable.keys.toSeq.sorted.flatMap { q =>
+      val plan = planOf(q)
+      val bad = Seq(
+        ((plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"))
+          && !allowCartesianOrBnlj(q), "cartesian/BNLJ"),
+        ((plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+          && !allowShuffleJoin(q), "shuffle join")).collect { case (true, w) => w }
+      if (bad.isEmpty) None else Some(s"$q: ${bad.mkString(", ")}")
+    }
+    assert(offenders.isEmpty,
+      s"unexpected join strategies (document or fix):\n${offenders.mkString("\n")}")
+  }
+}
