@@ -164,6 +164,35 @@ class PlanShapeSpec extends SparkSpec {
       s"geo/part joins must broadcast around the windowed supply agg:\n$plan")
   }
 
+  test("runtime bloom-filter pruning injects into the probe side (shuffle join)") {
+    // when a selective filter sits on one join side and the other is too
+    // big to broadcast, Spark 4's runtime row-level filtering builds a
+    // bloom filter from the filtered side and applies might_contain on the
+    // probe scan — rows for never-matching keys die before the exchange.
+    // The 100 TB lever for selective fact-fact joins; thresholds scaled to
+    // the fixture to trigger the same injection a large cluster would see.
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val o = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val df = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("l_returnflag").count()
+        .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("bloom_filter_agg"), s"expected bloom build side:\n$plan")
+      assert(plan.contains("might_contain"), s"expected probe-side filter:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("aggregations run inside whole-stage codegen") {
     // codegen stars only appear in the FINAL adaptive plan — execute first
     val df = SparkEntry.queries("q_agg_basic")(spark, sf)
