@@ -88,7 +88,44 @@ object PipelineQueries {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Data-quality constraint report (the Deequ/great-expectations shape):
+    * one row per (table, metric) — volumes, key-uniqueness violations,
+    * referential-integrity orphans, null counts, domain violations — as a
+    * single unioned plan the scheduler runs as independent parallel
+    * aggregates. The ingest gate a pipeline evaluates before promoting a
+    * snapshot; violation metrics are 0 on this clean fixture BY DESIGN
+    * (that is the assertion) while the volume/distinct metrics prove the
+    * report measures the real tables.
+    */
+  def dqChecks(s: SparkSession, d: String): DataFrame = {
+    def row(table: String, metric: String, v: org.apache.spark.sql.Column,
+        from: DataFrame): DataFrame =
+      from.agg(v.cast("long").as("value"))
+        .select(lit(table).as("tbl"), lit(metric).as("metric"), col("value"))
+    val o = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    val c = Tables.customer(s, d)
+    val ev = Tables.events(s, d)
+    row("orders", "rows", count(lit(1)), o)
+      .unionAll(row("orders", "dup_orderkeys",
+        count(lit(1)) - countDistinct(col("o_orderkey")), o))
+      .unionAll(row("lineitem", "rows", count(lit(1)), li))
+      .unionAll(row("lineitem", "orphan_orderkeys", count(lit(1)),
+        li.join(o.select("o_orderkey"),
+          li("l_orderkey") === col("o_orderkey"), "left_anti")))
+      .unionAll(row("lineitem", "bad_quantity", count(when(
+        col("l_quantity") < 1 || col("l_quantity") > 50, 1)), li))
+      .unionAll(row("customer", "rows", count(lit(1)), c))
+      .unionAll(row("customer", "null_acctbal",
+        count(when(col("c_acctbal").isNull, 1)), c))
+      .unionAll(row("events", "rows", count(lit(1)), ev))
+      .unionAll(row("events", "distinct_users",
+        countDistinct(col("user_id")), ev))
+      .orderBy("tbl", "metric")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_checks" -> (dqChecks(_, _)),
     "dedup_clusters" -> (dedupClusters(_, _)),
     "dedup_keep_latest" -> (keepLatest(_, _)),
     "text_bigrams_top" -> (bigramsTop(_, _)),
@@ -117,6 +154,35 @@ object PipelineQueries {
       |  WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.8)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_dq_checks" ->
+      """SELECT tbl, metric, value FROM (
+        |  SELECT 'orders' AS tbl, 'rows' AS metric,
+        |         CAST(count(*) AS BIGINT) AS value FROM orders
+        |  UNION ALL
+        |  SELECT 'orders', 'dup_orderkeys',
+        |         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem', 'rows', CAST(count(*) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem', 'orphan_orderkeys', CAST(count(*) AS BIGINT)
+        |  FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |  UNION ALL
+        |  SELECT 'lineitem', 'bad_quantity',
+        |         CAST(count(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |                         THEN 1 END) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'customer', 'rows', CAST(count(*) AS BIGINT) FROM customer
+        |  UNION ALL
+        |  SELECT 'customer', 'null_acctbal',
+        |         CAST(count(CASE WHEN c_acctbal IS NULL THEN 1 END) AS BIGINT)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'events', 'rows', CAST(count(*) AS BIGINT) FROM events
+        |  UNION ALL
+        |  SELECT 'events', 'distinct_users',
+        |         CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+        |ORDER BY tbl, metric""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE $pairsSql,
          |und AS (SELECT da AS u, db AS v FROM pairs
