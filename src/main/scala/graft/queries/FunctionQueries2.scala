@@ -172,7 +172,25 @@ object FunctionQueries2 {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Cryptographic digests + binary encodings — the content-address /
+    * fingerprint surface (md5/sha256 for content ids, base64/hex for
+    * binary transport). hex is lower()ed on both sides: Spark emits
+    * uppercase A-F, DuckDB lowercase.
+    */
+  def hashFuncs(s: SparkSession, d: String): DataFrame =
+    graft.Tables.part(s, d)
+      .select(col("p_partkey"), col("p_name"),
+        md5(col("p_name").cast("binary")).as("name_md5"),
+        sha2(col("p_name").cast("binary"), 256).as("name_sha256"),
+        base64(col("p_name").cast("binary")).as("name_b64"),
+        lower(hex(col("p_name").cast("binary"))).as("name_hex"),
+        // round-trip proof: decode(unbase64(base64(x))) == x
+        (decode(unbase64(base64(col("p_name").cast("binary"))), "UTF-8")
+          === col("p_name")).as("b64_roundtrip"))
+      .orderBy("p_partkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hash_funcs" -> (hashFuncs(_, _)),
     "q_window_firstlast" -> (windowFirstLast(_, _)),
     "q_array_setops" -> (arraySetOps(_, _)),
     "q_minmax_by" -> (minmaxBy(_, _)),
@@ -190,6 +208,15 @@ object FunctionQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_hash_funcs" ->
+      """SELECT p_partkey, p_name,
+        |       md5(p_name) AS name_md5,
+        |       sha256(p_name) AS name_sha256,
+        |       to_base64(CAST(p_name AS BLOB)) AS name_b64,
+        |       lower(hex(p_name)) AS name_hex,
+        |       (CAST(from_base64(to_base64(CAST(p_name AS BLOB))) AS VARCHAR)
+        |          = p_name) AS b64_roundtrip
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "q_window_firstlast" ->
       """SELECT o_custkey, o_orderkey,
         |       first_value(o_orderkey) OVER w AS first_ok,
