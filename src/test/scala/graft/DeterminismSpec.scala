@@ -1,0 +1,43 @@
+package graft
+
+/** Partition-count independence: the reproducibility contract behind the
+  * driver's hash oracle AND any cross-cluster rerun — the same query on the
+  * same data must produce IDENTICAL rows no matter how the data is split.
+  * Exercised by re-running representative queries under a different
+  * spark.sql.shuffle.partitions and comparing collected results exactly
+  * (floats included — the repo's rounding/serial-fold discipline is what
+  * makes this hold; a violation here would eventually surface as a flaky
+  * oracle on a real cluster).
+  */
+class DeterminismSpec extends SparkSpec {
+
+  // spans the risk classes: rounded float aggs over joins (q_tpch_q9),
+  // wide rounded aggs (q_tpch_q1), raw-double serial folds (q_ewma),
+  // sketch pipelines with persists (dedup_minhash_lsh), windowed
+  // analytics (q_window_frame), and hash-bucketed sampling (q_sample_hash)
+  private val probes = Seq("q_tpch_q1", "q_tpch_q9", "q_ewma",
+    "dedup_minhash_lsh", "q_window_frame", "q_sample_hash")
+
+  private def runAll(parts: String): Map[String, Seq[String]] = {
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      probes.map { q =>
+        // reset module memos so each configuration truly recomputes
+        queries.DedupQueries.reset()
+        queries.GraphQueries.reset()
+        q -> SparkEntry.queries(q)(spark, sf).collect().toSeq.map(_.toString)
+      }.toMap
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
+  test("identical results at shuffle.partitions=3 and =13") {
+    val a = runAll("3")
+    val b = runAll("13")
+    probes.foreach { q =>
+      assert(a(q) == b(q),
+        s"$q differs across partition counts: ${a(q).size} vs ${b(q).size} rows, " +
+          s"first diff: ${a(q).zip(b(q)).find { case (x, y) => x != y }}")
+    }
+  }
+}
