@@ -52,10 +52,20 @@ case class WordGramFnv(child: Expression, n: Int) extends UnaryExpression {
 object WordGramFnv {
 
   /** The fused loop — called from both interpreted eval and generated
-    * code. Tokens must be non-null (upstream tokenizers filter empties).
+    * code. Null elements are dropped up front (the same filtering the
+    * upstream tokenizers apply) rather than NPEing: the type check admits
+    * ArrayType(String, containsNull=true) because typed-Dataset encoders
+    * mark element nullability even for never-null data.
     */
   def gramHashes(tokens: ArrayData, n: Int): ArrayData = {
-    val len = tokens.numElements()
+    val raw = tokens.numElements()
+    val toks = new Array[UTF8String](raw)
+    var len = 0
+    var r = 0
+    while (r < raw) {
+      if (!tokens.isNullAt(r)) { toks(len) = tokens.getUTF8String(r); len += 1 }
+      r += 1
+    }
     if (len < n) return new GenericArrayData(Array.emptyLongArray)
     val out = new Array[Long](len - n + 1)
     var i = 0
@@ -67,7 +77,7 @@ object WordGramFnv {
           h ^= 0x20L
           h *= Fnv1a64.Prime
         }
-        val bytes = tokens.getUTF8String(i + j).getBytes
+        val bytes = toks(i + j).getBytes
         var k = 0
         while (k < bytes.length) {
           h ^= (bytes(k) & 0xffL)

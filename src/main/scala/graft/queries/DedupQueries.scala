@@ -158,13 +158,19 @@ object DedupQueries {
     * rows-only check into an exact oracle. Locality behavior is identical
     * (LlmOpsSpec's Hamming tests don't care which universal family votes).
     */
-  def simhashSignatures(s: SparkSession, d: String): DataFrame =
+  /** The shared tokenize→fnv1a64→simhash64 derivation — single source of
+    * truth for both the signature query and the pairs query (mirrors the
+    * shared `simhashSigSql` on the oracle side).
+    */
+  private def simhashSigs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
         transform(filter(spaceTokens(col("text")), t => t =!= lit("")),
           t => graft.plans.Fnv1a64.fnv1a64(t)).as("hashes"))
       .select(col("doc_id"), simhash64(col("hashes")).as("simhash"))
-      .orderBy("doc_id")
+
+  def simhashSignatures(s: SparkSession, d: String): DataFrame =
+    simhashSigs(s, d).orderBy("doc_id")
 
   /** SimHash near-dup PAIRS — signatures to answers, linearly: 64-bit
     * signatures split into 4 × 16-bit bands; docs sharing any band value
@@ -176,11 +182,12 @@ object DedupQueries {
     * O(docs²) comparisons — the Hamming analog of minhash banding.
     */
   def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
-    val sigs = Tables.documents(s, d)
-      .select(col("doc_id"),
-        transform(filter(spaceTokens(col("text")), t => t =!= lit("")),
-          t => graft.plans.Fnv1a64.fnv1a64(t)).as("hashes"))
-      .select(col("doc_id"), simhash64(col("hashes")).as("simhash"))
+    // pigeonhole recall holds only for maxHamming <= bands-1: 4 differing
+    // bits can touch all 4 bands and the pair would silently never become
+    // a candidate while still passing the verify threshold
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit banding is recall-exact only for Hamming <= 3, got $maxHamming")
+    val sigs = simhashSigs(s, d)
     val banded = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

@@ -34,13 +34,23 @@ object MultimodalQueries {
     * and byte totals re-derive in SQL from octet_length alone.
     */
   def frameStats(s: SparkSession, d: String, frameSize: Int = 64,
-      stride: Int = 2): DataFrame =
-    Multimodal.frameSampleStub(Multimodal.fromDocuments(s, d), frameSize, stride)
+      stride: Int = 2): DataFrame = {
+    val media = Multimodal.fromDocuments(s, d)
+    val perFrame = Multimodal.frameSampleStub(media, frameSize, stride)
       .toDF()
       .groupBy("id")
       .agg(count(lit(1)).as("n_frames"),
         sum(octet_length(col("frame"))).cast("long").as("frame_bytes"))
+    // left join from the media catalog so ZERO-byte media report
+    // (n_frames=0, frame_bytes=0) instead of silently vanishing — the
+    // oracle's arithmetic path emits a row for every document
+    media.toDF().select(col("id"))
+      .join(perFrame, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_frames"), lit(0L)).as("n_frames"),
+        coalesce(col("frame_bytes"), lit(0L)).as("frame_bytes"))
       .orderBy("id")
+  }
 
   /** The decode→transform shape: "resize" (deterministic 1-in-4 byte
     * subsample) through per-partition execution; original vs resized

@@ -126,15 +126,18 @@ object StatsQueries {
     * is two scans (stats, then flag), never a sort.
     */
   def outliers(s: SparkSession, d: String): DataFrame = {
+    // mu/sigma are order-dependent double aggregates — round them BEFORE
+    // the threshold compare (the q_tpch_q15 discipline) so both engines
+    // gate membership on identical doubles, not last-ulp-divergent ones
     val stats = Tables.events(s, d)
       .groupBy(col("event_type").as("et"))
-      .agg(avg(col("value")).as("mu"),
-        stddev_samp(col("value")).as("sigma"))
+      .agg(round(avg(col("value")), 2).as("mu"),
+        round(stddev_samp(col("value")), 2).as("sigma"))
     Tables.events(s, d)
       .join(broadcast(stats), col("event_type") === col("et"))
       .filter(abs(col("value") - col("mu")) > lit(3.0) * col("sigma"))
       .select(col("event_id"), col("event_type"), col("value"),
-        round(col("mu"), 2).as("mu"), round(col("sigma"), 2).as("sigma"))
+        col("mu"), col("sigma"))
       .orderBy("event_id")
   }
 
@@ -178,24 +181,27 @@ object StatsQueries {
     // list(value) OVER the same frame yields the identically ordered list;
     // list_reduce folds left exactly like Spark's aggregate() — raw
     // doubles compare bit-exact, no rounding needed
+    // window ordered by epoch_us (not raw ns ts): Spark sees µs-truncated
+    // timestamps, so a sub-µs tie must reach the event_id tie-break in
+    // BOTH engines or the fold order (and the unrounded doubles) diverge
     "q_ewma" ->
       """SELECT event_id, user_id,
         |       list_reduce(list_prepend(0.0::DOUBLE, xs),
         |                   (acc, x) -> acc * 0.9 + 0.1 * x) AS ewma
         |FROM (SELECT event_id, user_id,
         |             list(value) OVER (PARTITION BY user_id
-        |                               ORDER BY ts, event_id
+        |                               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
+        |                                        event_id
         |                               ROWS BETWEEN 19 PRECEDING
         |                               AND CURRENT ROW) AS xs
         |      FROM events)
         |ORDER BY event_id""".stripMargin,
     "q_outliers" ->
       """WITH stats AS (
-        |  SELECT event_type AS et, avg(value) AS mu,
-        |         stddev_samp(value) AS sigma
+        |  SELECT event_type AS et, round(avg(value), 2) AS mu,
+        |         round(stddev_samp(value), 2) AS sigma
         |  FROM events GROUP BY event_type)
-        |SELECT event_id, event_type, value,
-        |       round(mu, 2) AS mu, round(sigma, 2) AS sigma
+        |SELECT event_id, event_type, value, mu, sigma
         |FROM events JOIN stats ON event_type = et
         |WHERE abs(value - mu) > 3.0 * sigma
         |ORDER BY event_id""".stripMargin,

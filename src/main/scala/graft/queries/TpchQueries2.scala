@@ -162,8 +162,11 @@ object TpchQueries2 {
       .groupBy(col("l_partkey"))
       .agg(sum(col("l_extendedprice")).as("value"))
     val total = value.agg(sum(col("value")).as("grand_total"))
+    // both comparands rounded BEFORE the threshold compare — unrounded
+    // order-dependent sums can differ in last ulps across engines and
+    // flip membership at the boundary (the q15 discipline)
     value.crossJoin(broadcast(total))
-      .filter(col("value") > lit(0.002) * col("grand_total"))
+      .filter(round(col("value"), 2) > lit(0.002) * round(col("grand_total"), 2))
       .select(col("l_partkey"), round(col("value"), 2).as("value"))
       .orderBy(col("value").desc, col("l_partkey"))
   }
@@ -318,8 +321,11 @@ object TpchQueries2 {
     * is the RECENT orders subset only.
     */
   def q22(s: SparkSession, d: String): DataFrame = {
+    // threshold rounded before the compare: avg over doubles is
+    // order-dependent and a customer at the boundary could otherwise gain/
+    // lose membership between engines
     val avgBal = Tables.customer(s, d).filter(col("c_acctbal") > 0)
-      .agg(avg(col("c_acctbal")).as("avg_bal"))
+      .agg(round(avg(col("c_acctbal")), 2).as("avg_bal"))
     val recent = Tables.orders(s, d)
       .filter(col("o_orderdate") >= lit("1999-01-01"))
       .select(col("o_custkey"))
@@ -422,7 +428,7 @@ object TpchQueries2 {
         |  JOIN nation ON s_nationkey = n_nationkey
         |  WHERE n_name = 'NATION_3' GROUP BY l_partkey)
         |SELECT l_partkey, round(value, 2) AS value FROM val
-        |WHERE value > (SELECT 0.002 * sum(value) FROM val)
+        |WHERE round(value, 2) > (SELECT 0.002 * round(sum(value), 2) FROM val)
         |ORDER BY value DESC, l_partkey""".stripMargin,
     "q_tpch_q13" ->
       """SELECT c_count, count(*) AS custdist
@@ -498,7 +504,8 @@ object TpchQueries2 {
       """SELECT n_name, count(*) AS numcust,
         |       round(sum(c_acctbal), 2) AS totacctbal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2)
+        |                   FROM customer WHERE c_acctbal > 0)
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY n_name ORDER BY n_name""".stripMargin

@@ -39,6 +39,16 @@ class WordGramFnvSpec extends SparkSpec {
     assert(fused == direct)
   }
 
+  test("null elements are dropped, not NPE'd") {
+    import spark.implicits._
+    val got = Seq(1).toDF("i")
+      .select(WordGramFnv.wordGramFnv(
+        array(lit("a"), lit(null).cast("string"), lit("b")), 2).as("hs"))
+      .select(explode(col("hs")).as("h")).collect().map(_.getLong(0)).toSeq
+    val want = Seq(Fnv1a64.hashBytes("a b".getBytes("UTF-8")))
+    assert(got == want)
+  }
+
   test("non-array input is an analysis-time type error") {
     import spark.implicits._
     val e = intercept[Exception] {
