@@ -188,7 +188,7 @@ object AdvancedQueries {
       """SELECT event_id, user_id,
         |       CAST(floor(epoch(ts)) AS BIGINT) AS purchase_ts,
         |       CAST(floor(epoch(last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
-        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) AS BIGINT) AS asof_click_ts
         |FROM events
         |QUALIFY event_type = 'purchase'

@@ -181,7 +181,7 @@ object StreamingBridge {
         |                OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
         |              THEN 1 ELSE 0 END AS new_session
         |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id))
         |SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS session_start
         |FROM flagged WHERE new_session = 1
         |ORDER BY user_id, session_start""".stripMargin,
@@ -199,9 +199,9 @@ object StreamingBridge {
         |                OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
         |              THEN 1 ELSE 0 END AS new_session
         |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
         |), numbered AS (
-        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
         |  FROM flagged)
         |SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
