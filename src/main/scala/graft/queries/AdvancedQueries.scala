@@ -32,6 +32,27 @@ object AdvancedQueries {
       .orderBy("event_id")
   }
 
+  /** FORWARD as-of: each purchase paired with the NEXT click at-or-after
+    * it by the same user — the direction the window form flips for free
+    * (first_value over the mirrored frame), completing the as-of family
+    * (backward / backward+tolerance / forward). Same single user_id
+    * shuffle, no quadratic candidate set.
+    */
+  def asofForward(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ev.select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .withColumn("click_ts",
+        first(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("long").as("purchase_ts"),
+        col("click_ts").cast("long").as("next_click_ts"))
+      .orderBy("event_id")
+  }
+
   /** The SAME as-of semantics through the NATIVE operator
     * (graft.plans.AsOfJoin — custom LogicalPlan + SparkStrategy +
     * SparkPlan): purchases probe, clicks broadcast-build. Zero shuffle and
@@ -171,6 +192,7 @@ object AdvancedQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> (asofJoin(_, _)),
+    "q_asof_forward" -> (asofForward(_, _)),
     "q_asof_native" -> (asofNative(_, _)),
     "q_asof_tolerance" -> (asofTolerance(_, _)),
     "q_salted_agg" -> (saltedAgg(_, _)),
@@ -184,6 +206,15 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_asof_forward" ->
+      """SELECT event_id, user_id,
+        |       CAST(floor(epoch(ts)) AS BIGINT) AS purchase_ts,
+        |       CAST(floor(epoch(first_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |         OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+        |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))) AS BIGINT) AS next_click_ts
+        |FROM events
+        |QUALIFY event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
     "q_asof_join" ->
       """SELECT event_id, user_id,
         |       CAST(floor(epoch(ts)) AS BIGINT) AS purchase_ts,
