@@ -336,10 +336,11 @@ object DedupQueries {
         |           list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fp
         |  FROM documents),
         |store AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 400)
-        |SELECT fp, min(doc_id) AS keep_id, count(*) AS n_batch_copies
-        |FROM fp
-        |WHERE doc_id >= 400 AND fp NOT IN (SELECT fp FROM store)
-        |GROUP BY fp ORDER BY keep_id""".stripMargin,
+        |SELECT f.fp, min(f.doc_id) AS keep_id, count(*) AS n_batch_copies
+        |FROM fp f
+        |WHERE f.doc_id >= 400
+        |  AND NOT EXISTS (SELECT 1 FROM store s WHERE s.fp = f.fp)
+        |GROUP BY f.fp ORDER BY keep_id""".stripMargin,
     "dedup_embedding_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings WHERE vec_id < 500)

@@ -87,6 +87,13 @@ object GraphQueries {
       lastSum = s
       i += 1
     }
+    // The oracle (recursive CTE) computes the TRUE fixpoint; returning
+    // partially-propagated labels on a graph whose diameter exceeds the
+    // iteration budget would silently diverge from it. Fail loudly instead.
+    if (!converged)
+      throw new IllegalStateException(
+        s"min-label propagation did not converge within $maxIter iterations" +
+          " — raise maxIter (component diameter exceeds the budget)")
     labels
   }
 

@@ -77,15 +77,22 @@ object PipelineQueries {
     * the distributed answer to quantiles at 100 TB, where the exact form
     * (`q_percentiles`) needs a per-group sort. Rows-only driver check (the
     * sketch is implementation-specific); LlmOpsSpec bounds its error
-    * against the exact percentiles at two SFs.
+    * against the exact percentiles at two SFs. The sketch array is
+    * flattened to scalar p50/p90/p99 columns — the driver's rows-only
+    * checker hashes values, and array cells are unhashable on its side.
     */
   def approxPercentiles(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
         percentile_approx(col("l_extendedprice"),
-          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("approx_pcts"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("pcts"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        element_at(col("pcts"), 1).as("p50"),
+        element_at(col("pcts"), 2).as("p90"),
+        element_at(col("pcts"), 3).as("p99"),
+        col("n"))
       .orderBy("l_returnflag")
 
   /** Data-quality constraint report (the Deequ/great-expectations shape):

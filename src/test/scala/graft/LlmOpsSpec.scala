@@ -174,10 +174,12 @@ class LlmOpsSpec extends SparkSpec {
         .foreach { r =>
           val flag = r.getString(0)
           val (lo, hi) = exact(flag)
-          r.getSeq[Double](1).zipWithIndex.foreach { case (v, i) =>
-            assert(v >= lo(i) && v <= hi(i),
-              s"$dir/$flag: approx pct $i = $v outside exact rank band [${lo(i)}, ${hi(i)}]")
-          }
+          // p50/p90/p99 scalar columns (flattened for the driver gate)
+          Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)).zipWithIndex
+            .foreach { case (v, i) =>
+              assert(v >= lo(i) && v <= hi(i),
+                s"$dir/$flag: approx pct $i = $v outside exact rank band [${lo(i)}, ${hi(i)}]")
+            }
         }
     }
   }
