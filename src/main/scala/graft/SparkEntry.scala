@@ -35,7 +35,8 @@ object SparkEntry {
       (Q.TpchQueries.queries, Q.TpchQueries.oracles),
       (Q.TpchQueries2.queries, Q.TpchQueries2.oracles),
       (Q.PipelineQueries.queries, Q.PipelineQueries.oracles),
-      (Q.CurationQueries.queries, Q.CurationQueries.oracles)
+      (Q.CurationQueries.queries, Q.CurationQueries.oracles),
+      (Q.CorpusQueries.queries, Q.CorpusQueries.oracles)
     )
 
   /** Per-module registry sizes — lets ContractSpec prove no cross-module
