@@ -45,5 +45,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, s"cosine_sim takes 2 arguments, got ${exprs.length}")
         CosineSimilarity(exprs.head, exprs(1))
       }))
+    e.injectFunction((
+      new FunctionIdentifier("char_grams"),
+      new ExpressionInfo(classOf[CharGrams].getName, "char_grams"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 3,
+          s"char_grams takes (text, gramLen, stride), got ${exprs.length} args")
+        def lit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
+          require(e.foldable, s"char_grams gramLen/stride must be literals, got $e")
+          e.eval().asInstanceOf[Number].intValue()
+        }
+        CharGrams(exprs.head, lit(exprs(1)), lit(exprs(2)))
+      }))
   }
 }

@@ -107,13 +107,12 @@ object CorpusQueries {
     */
   def substringPairs(s: SparkSession, d: String, gramLen: Int = 24,
       stride: Int = 2, maxDocId: Long = 300L, minShared: Long = 2L): DataFrame = {
+    // gram generation via the native CharGrams Generator (one fused pass;
+    // no start-index array, no Generate→Project round trip)
     val grams = Tables.documents(s, d)
       .filter(col("doc_id") < maxDocId)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1),
-          greatest(length(col("text")) - (gramLen - 1), lit(1)), lit(stride)))
-          .as("start"))
-      .select(col("doc_id"), col("text").substr(col("start"), lit(gramLen)).as("gram"))
+      .select(col("doc_id"),
+        graft.plans.CharGrams.charGrams(col("text"), gramLen, stride).as("gram"))
     val buckets = grams.groupBy("gram")
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)

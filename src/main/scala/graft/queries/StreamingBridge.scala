@@ -39,8 +39,13 @@ object StreamingBridge {
     * for every bridge query lives only here: a new bridge entry cannot
     * leak a running query or a temp view by forgetting the boilerplate.
     */
+  /** `singleBatch = false` is for sinks whose content is only complete
+    * after the trailing watermark micro-batch (stream-stream OUTER joins:
+    * unmatched rows emit on state eviction). Everything else runs
+    * Trigger.Once. */
   private def runSettled(s: SparkSession, prefix: String, streamDf: DataFrame,
-      mode: OutputMode)(shape: DataFrame => DataFrame): DataFrame = {
+      mode: OutputMode, singleBatch: Boolean = true)
+      (shape: DataFrame => DataFrame): DataFrame = {
     val name = s"graft_stream_${prefix}_${counter.incrementAndGet()}"
     // Trigger.Once: the bounded source fits one micro-batch (Once processes
     // ALL available input regardless of maxFilesPerTrigger), every bridge's
@@ -48,8 +53,10 @@ object StreamingBridge {
     // eagerly; Complete mode rewrites; the stateful ops emit while
     // processing), and skipping the trailing eviction-only batch saves ~40%
     // of the stream-stream join's wall time. See StreamingOps.toMemorySink.
-    val q = StreamingOps.toMemorySink(streamDf, name, mode, singleBatch = true)
-    try q.awaitTermination() finally q.stop()
+    val q = StreamingOps.toMemorySink(streamDf, name, mode, singleBatch)
+    try {
+      if (singleBatch) q.awaitTermination() else q.processAllAvailable()
+    } finally q.stop()
     settle(s, name, shape(s.table(name)))
   }
 
@@ -140,6 +147,31 @@ object StreamingBridge {
         col("p_ts").cast("long").as("purchase_s"), col("value"))
     }.orderBy("signup_id", "purchase_id")
 
+  /** Stream-stream LEFT OUTER interval join under the gate: outer rows
+    * (signups with no purchase within the hour) emit only when the
+    * watermark closes their join window, so this is the one bridge that
+    * NEEDS the trailing watermark micro-batch (`singleBatch = false`).
+    * Equals the batch left range join over the same bounded universe.
+    */
+  def intervalLeftViaStream(s: SparkSession, d: String): DataFrame = {
+    // max watermark policy for THIS query only (see purchasesAfterSignupOuter
+    // scaladoc); conf is read at stream start, restored after
+    val key = "spark.sql.streaming.multipleWatermarkPolicy"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "max")
+    try runSettled(s, "ivleft",
+      StreamingOps.purchasesAfterSignupOuter(eventsStream(s, d)),
+      OutputMode.Append(), singleBatch = false) {
+      _.select(col("s_user").as("user_id"), col("signup_id"), col("purchase_id"),
+        col("s_ts").cast("long").as("signup_s"),
+        col("p_ts").cast("long").as("purchase_s"), col("value"))
+    }.orderBy("signup_id", "purchase_id")
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Stream-static enrichment under the gate: events joined per
     * micro-batch to the static customer dimension (broadcast, no
     * streaming state), settled to per-(segment, event_type) totals.
@@ -155,6 +187,7 @@ object StreamingBridge {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_interval_left" -> (intervalLeftViaStream(_, _)),
     "stream_enrich_join" -> (enrichJoinViaStream(_, _)),
     "stream_interval_join" -> (intervalJoinViaStream(_, _)),
     "stream_session_starts" -> (sessionStartsViaStream(_, _)),
@@ -180,6 +213,19 @@ object StreamingBridge {
         |  AND s.event_type = 'signup' AND p.event_type = 'purchase'
         |  AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
         |ORDER BY signup_id, purchase_id""".stripMargin,
+    "stream_interval_left" ->
+      """SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id,
+        |       CAST(floor(epoch(s.ts)) AS BIGINT) AS signup_s,
+        |       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_s,
+        |       p.value
+        |FROM (SELECT * FROM events
+        |      WHERE event_type = 'signup' AND user_id % 3 = 0
+        |        AND ts < TIMESTAMP '2024-01-28 00:00:00') s
+        |LEFT JOIN (SELECT * FROM events
+        |           WHERE event_type = 'purchase' AND user_id % 3 = 0) p
+        |  ON s.user_id = p.user_id
+        |  AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+        |ORDER BY signup_id, purchase_id NULLS FIRST""".stripMargin,
     "stream_session_starts" ->
       """WITH flagged AS (
         |  SELECT user_id, ts,

@@ -128,6 +128,49 @@ object StreamingOps {
         col("p_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — the semantically distinct
+    * sibling of [[purchasesAfterSignup]]: signups with NO purchase in the
+    * following hour must still emit (with nulls), and that emission is
+    * WATERMARK-DRIVEN — an outer row is only provably unmatched once the
+    * watermark passes its join horizon, so this query genuinely needs the
+    * trailing watermark micro-batch that inner joins can skip. Two bounds
+    * keep it oracle-equal and state-light: the left side stops at a fixed
+    * cutoff 2 days before the fixture's last event (every outer row's
+    * horizon closes before the final watermark — without this the last
+    * ~1.5 h of signups would sit in state forever and the settled result
+    * would disagree with the batch left join), and both sides restrict to
+    * a deterministic third of users (`user_id % 3 = 0`, a bounded-universe
+    * demo like the dedup queries — state is what this shape pays for).
+    */
+  def purchasesAfterSignupOuter(events: DataFrame,
+      cutoff: String = "2024-01-28"): DataFrame = {
+    val third = events.filter(col("user_id") % 3 === 0)
+    // Caller must run with spark.sql.streaming.multipleWatermarkPolicy=max:
+    // the default (min) global watermark stalls 30 min before the
+    // cutoff-bounded signup stream's end, stranding the final ~1.5 h of
+    // signups in state un-emitted (observed: exactly the boundary rows
+    // missing vs the batch oracle). With max policy the global watermark
+    // follows the purchase stream — the documented Spark answer for joined
+    // streams progressing at different rates — so every signup's join
+    // window provably closes. (Dropping the signup watermark instead kills
+    // outer emission entirely: outer-side state needs its own event-time
+    // watermark column to be eviction-eligible.)
+    val signups = third.filter(col("event_type") === "signup" &&
+        col("ts") < lit(cutoff).cast("timestamp"))
+      .select(col("user_id").as("s_user"), col("event_id").as("signup_id"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", "30 minutes")
+    val purchases = third.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "30 minutes")
+    signups.join(purchases,
+      col("s_user") === col("p_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+  }
+
   /** Stream-static enrichment join: each streaming event picks up its
     * dimension attributes from a BATCH table. The static side is planned
     * per micro-batch as an ordinary broadcast hash join — no streaming
