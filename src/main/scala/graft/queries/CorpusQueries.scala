@@ -220,7 +220,59 @@ object CorpusQueries {
         round(kurtosis(col("l_quantity")), 6).as("kurt"))
       .orderBy("l_returnflag")
 
+  /** Trigram language-model statistics: the most likely next token per
+    * 2-token context (count ≥ 20 contexts), with exact conditional
+    * probability — the corpus-LM profiling pass. Explode + one
+    * context-keyed shuffle + one window pass; vocabulary-bounded keys.
+    * p = cnt/total is a BIGINT÷BIGINT double division — bit-exact across
+    * engines, no rounding needed.
+    */
+  def trigramLm(s: SparkSession, d: String, minTotal: Long = 20L): DataFrame = {
+    val toks = spaceTokens(col("text"))
+    val n = size(toks)
+    val tri = zip_with(
+      zip_with(slice(toks, lit(1), greatest(n - 2, lit(0))),
+        slice(toks, lit(2), greatest(n - 2, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2"))),
+      slice(toks, lit(3), greatest(n - 2, lit(0))),
+      (p, c) => struct(p.getField("w1").as("w1"), p.getField("w2").as("w2"),
+        c.as("w3")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("w1", "w2")
+    Tables.documents(s, d)
+      .select(explode(tri).as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"), col("g.w3").as("w3"))
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum("cnt").over(w))
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("cnt").desc, col("w3").asc)))
+      .filter(col("rk") === 1 && col("total") >= minTotal)
+      .select(col("w1"), col("w2"), col("w3"), col("cnt"), col("total"),
+        (col("cnt") / col("total")).as("p"))
+      .orderBy("w1", "w2")
+  }
+
+  /** DataFrameNaFunctions surface (`na.fill` / `na.replace`): nulls are
+    * synthesized deterministically (the fixture is clean by design), then
+    * filled and recoded through the na API — the missing-data hygiene pass.
+    * Oracle expresses the same semantics as COALESCE/CASE.
+    */
+  def naFill(s: SparkSession, d: String): DataFrame = {
+    val withNulls = Tables.lineitem(s, d)
+      .select(
+        when(col("l_returnflag") === "N", null).otherwise(col("l_returnflag"))
+          .as("flag"),
+        when(col("l_discount") < 0.02, null).otherwise(col("l_discount"))
+          .as("disc"))
+    withNulls.na.fill(Map("flag" -> "UNK", "disc" -> 0.0))
+      .na.replace("flag", Map("R" -> "RETURNED"))
+      .groupBy("flag")
+      .agg(count(lit(1)).as("n"), round(sum("disc"), 2).as("sum_disc"))
+      .orderBy("flag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_trigram_lm" -> (trigramLm(_, _)),
+    "q_na_fill" -> (naFill(_, _)),
     "text_chunk_overlap" -> (chunkOverlap(_, _)),
     "pipeline_pack_sequences" -> (packSequences(_, _)),
     "text_inverted_index" -> (invertedIndex(_, _)),
@@ -244,6 +296,29 @@ object CorpusQueries {
        | % 2147483648)::BIGINT""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_trigram_lm" ->
+      """WITH t AS (
+        |  SELECT unnest(list_zip(l[1:len(l)-2], l[2:len(l)-1], l[3:len(l)])) AS g
+        |  FROM (SELECT string_split(text, ' ') AS l FROM documents)),
+        |c AS (SELECT g[1] AS w1, g[2] AS w2, g[3] AS w3, count(*) AS cnt
+        |      FROM t GROUP BY 1, 2, 3),
+        |r AS (SELECT *, sum(cnt) OVER (PARTITION BY w1, w2) AS total,
+        |             row_number() OVER (PARTITION BY w1, w2
+        |                                ORDER BY cnt DESC, w3) AS rk
+        |      FROM c)
+        |SELECT w1, w2, w3, cnt, total, cnt::DOUBLE / total AS p
+        |FROM r WHERE rk = 1 AND total >= 20
+        |ORDER BY w1, w2""".stripMargin,
+    "q_na_fill" ->
+      """SELECT CASE WHEN flag = 'R' THEN 'RETURNED' ELSE flag END AS flag,
+        |       count(*) AS n, round(sum(disc), 2) AS sum_disc
+        |FROM (SELECT coalesce(
+        |               CASE WHEN l_returnflag = 'N' THEN NULL
+        |                    ELSE l_returnflag END, 'UNK') AS flag,
+        |             coalesce(CASE WHEN l_discount < 0.02 THEN NULL
+        |                           ELSE l_discount END, 0.0) AS disc
+        |      FROM lineitem)
+        |GROUP BY 1 ORDER BY flag""".stripMargin,
     "text_chunk_overlap" ->
       """SELECT doc_id, (start - 1) // 24 AS chunk_idx,
         |       len(chunk) AS n_tokens,
