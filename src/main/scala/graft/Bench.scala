@@ -52,11 +52,26 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     resetState(spark)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query detail goes to a file (and an early stdout line): the
+    // harness only retains a short tail of stdout, so the FINAL line must
+    // stay compact — headline queries only — or it gets truncated mid-JSON
+    // and never parses (observed in rounds 1-2).
+    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"n_queries":${results.size},"queries":${jmap(results)},"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"), detail.getBytes("UTF-8"))
+    println(detail)
+    val headline = Seq(
+      "wc_wordcount", "grep_contains", "vertex_degree",
+      "q_tpch_q1", "q_tpch_q5", "q_tpch_q9", "q_tpch_q18", "q_tpch_q21",
+      "q_join_left", "q_window_frame", "q_events_session",
+      "dedup_minhash_lsh", "dedup_embedding_lsh", "dedup_clusters",
+      "sim_ann_topk", "sim_cosine_topk", "text_tfidf",
+      "graph_components", "stream_interval_join", "pipeline_decontam")
+    val head = results.filter(r => headline.contains(r._1))
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"n_queries":${results.size},"queries":${jmap(head)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -36,7 +36,8 @@ object SparkEntry {
       (Q.TpchQueries2.queries, Q.TpchQueries2.oracles),
       (Q.PipelineQueries.queries, Q.PipelineQueries.oracles),
       (Q.CurationQueries.queries, Q.CurationQueries.oracles),
-      (Q.CorpusQueries.queries, Q.CorpusQueries.oracles)
+      (Q.CorpusQueries.queries, Q.CorpusQueries.oracles),
+      (Q.QualityQueries.queries, Q.QualityQueries.oracles)
     )
 
   /** Per-module registry sizes — lets ContractSpec prove no cross-module

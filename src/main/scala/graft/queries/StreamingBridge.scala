@@ -186,7 +186,26 @@ object StreamingBridge {
     }.orderBy("c_mktsegment", "event_type")
   }
 
+  /** Streaming exact dedup under the gate: the events stream is unioned
+    * with itself (every event_id delivered twice — at-least-once delivery
+    * simulated deterministically; the raw table's ids are unique, which
+    * would make a dedup vacuous), then `dropDuplicatesWithinWatermark`
+    * keeps exactly one copy per id. Settled to per-type counts. Equals the
+    * batch DISTINCT: each id counted once — proving the stream path drops
+    * precisely the redelivered copies.
+    */
+  def dedupViaStream(s: SparkSession, d: String): DataFrame = {
+    val ev = eventsStream(s, d)
+    runSettled(s, "dedup",
+      StreamingOps.streamingDedup(ev.union(ev)),
+      OutputMode.Append()) {
+      _.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+    }.orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_dedup" -> (dedupViaStream(_, _)),
     "stream_interval_left" -> (intervalLeftViaStream(_, _)),
     "stream_enrich_join" -> (enrichJoinViaStream(_, _)),
     "stream_interval_join" -> (intervalJoinViaStream(_, _)),
@@ -197,6 +216,10 @@ object StreamingBridge {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_dedup" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_enrich_join" ->
       """SELECT c_mktsegment, event_type, count(*) AS n_events,
         |       round(sum(value), 2) AS sum_value
