@@ -37,7 +37,8 @@ object SparkEntry {
       (Q.PipelineQueries.queries, Q.PipelineQueries.oracles),
       (Q.CurationQueries.queries, Q.CurationQueries.oracles),
       (Q.CorpusQueries.queries, Q.CorpusQueries.oracles),
-      (Q.QualityQueries.queries, Q.QualityQueries.oracles)
+      (Q.QualityQueries.queries, Q.QualityQueries.oracles),
+      (Q.ScaleQueries.queries, Q.ScaleQueries.oracles)
     )
 
   /** Per-module registry sizes — lets ContractSpec prove no cross-module

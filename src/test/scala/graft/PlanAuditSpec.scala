@@ -38,10 +38,14 @@ class PlanAuditSpec extends SparkSpec {
     "sim_cosine_topk",        // broadcast query set × corpus stream (the design)
     "text_tfidf",             // broadcast 1-row doc-count scalar
     "q_scalar_subquery",      // scalar subquery becomes a 1-row broadcast
-    "q_lateral"               // lateral explode over a 1-row aggregate
+    "q_lateral",              // lateral explode over a 1-row aggregate
+    "pipeline_token_budget",  // 1-row broadcast budget scalar × selection filter
+    "layout_pruning_stats",   // 10-band × file-zone-stat metadata cross (both tiny)
+    "q_interpolate"           // 1-row t0 scalar + type-dim × 24-slot grid
   )
   private val allowShuffleJoin = Set(
     "q_join_full",    // full outer: no broadcastable side by semantics
+    "q_merge_upsert", // MERGE core is a full outer join — same semantics
     "q_tpch_q21",     // lineitem self-joins co-keyed on l_orderkey (documented)
     "graph_triangles" // edge-set self-joins, both sides same relation
   )
