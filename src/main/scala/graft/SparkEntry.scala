@@ -38,7 +38,8 @@ object SparkEntry {
       (Q.CurationQueries.queries, Q.CurationQueries.oracles),
       (Q.CorpusQueries.queries, Q.CorpusQueries.oracles),
       (Q.QualityQueries.queries, Q.QualityQueries.oracles),
-      (Q.ScaleQueries.queries, Q.ScaleQueries.oracles)
+      (Q.ScaleQueries.queries, Q.ScaleQueries.oracles),
+      (Q.MixQueries.queries, Q.MixQueries.oracles)
     )
 
   /** Per-module registry sizes — lets ContractSpec prove no cross-module

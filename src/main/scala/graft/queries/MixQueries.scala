@@ -1,0 +1,216 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions.spaceTokens
+import graft.plans.Fnv1a64
+import graft.plans.CosineSimilarity.cosine_sim
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3 training-mixture + embedding-analytics operators: the decisions a
+  * data-curation run makes AFTER cleaning — how the corpus splits, how
+  * domains are weighted against a token budget, what the embedding space
+  * looks like per class, and label transfer through nearest neighbors.
+  * Everything decision-sized is an aggregate over the corpus (sources,
+  * labels, split cells), so at 100 TB each query is one or two linear
+  * passes plus broadcast-sized control tables.
+  */
+object MixQueries {
+
+  /** Deterministic train/val/test split by content-independent key hash:
+    * fnv1a("split|" + doc_id) mod 1000 → 80/10/10. The hash is the native
+    * Fnv1a64 expression (codegen'd, byte-exact with the reference's ihash,
+    * lib.rs:203-208), so assignment is stable across engines, partitionings
+    * and reruns — the property that makes the split reproducible and
+    * leakage-auditable. The salt prefix decorrelates this hash from every
+    * other doc_id-keyed hash in the pipeline (sampling, bucketing). Output
+    * is the split×source audit table (doc + token counts) a mixture
+    * designer reads before training.
+    */
+  def split(s: SparkSession, d: String): DataFrame = {
+    val bucket = Fnv1a64.ihash31(
+      concat(lit("split|"), col("doc_id").cast("string"))) % 1000
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(spaceTokens(col("text"))).cast("long").as("ntok"),
+        bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 800, "train")
+          .when(col("bucket") < 900, "val").otherwise("test"))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
+      .orderBy("split", "source")
+  }
+
+  /** Domain-mixture planning: given a uniform target share per source and a
+    * global token budget (half the corpus), compute each source's sampling
+    * rate = min(1, budget·share / tokens) and the tokens it contributes.
+    * This is the control table for mixture-weighted sampling (the
+    * DoReMi/Pile-style reweighting knob): rates for over-represented
+    * domains fall below 1, scarce domains keep everything. One groupBy +
+    * one broadcast 1-row total — nothing here grows with the corpus.
+    */
+  def mixture(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(spaceTokens(col("text"))).cast("long")).as("tokens_src"))
+    val tot = per.agg(sum("tokens_src").as("tot"),
+      count(lit(1)).as("nsrc"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("budget", (col("tot") / lit(2)).cast("long"))
+      .withColumn("rate",
+        round(least(lit(1.0),
+          col("budget") * (lit(1.0) / col("nsrc")) / col("tokens_src")), 6))
+      .withColumn("exp_tokens", round(col("rate") * col("tokens_src"), 4))
+      .select(col("source"), col("n_docs"), col("tokens_src"),
+        col("rate"), col("exp_tokens"))
+      .orderBy("source")
+  }
+
+  /** Per-label embedding centroids + cohesion: mean vector per label
+    * (components rounded 6dp BEFORE reuse — the order-dependent-aggregate
+    * rule, so both engines see identical centroids), centroid norm, and
+    * mean cosine of members to their centroid. The class-separation /
+    * collapse diagnostic of embedding QA. Shape: posexplode to (label,
+    * dim) — 64·n rows of (int, int, double) — one (label,dim) shuffle,
+    * then the centroid table (labels × dims, tiny) pivots back to arrays
+    * and BROADCASTS into the membership pass; the corpus is scanned twice,
+    * shuffled on label only once.
+    */
+  def centroids(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(round(avg("x"), 6).as("c"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        p => p.getField("c")).as("cv"))
+    val norm = cent.select(col("label"),
+      round(sqrt(aggregate(col("cv"), lit(0.0), (a, x) => a + x * x)), 6)
+        .as("centroid_norm"))
+    e.join(broadcast(cent), Seq("label"))
+      .withColumn("cos", cosine_sim(col("v"), col("cv")))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), round(avg("cos"), 6).as("cohesion"))
+      .join(broadcast(norm), Seq("label"))
+      .select("label", "n", "centroid_norm", "cohesion")
+      .orderBy("label")
+  }
+
+  /** k-NN label transfer — the end-to-end application of similarity
+    * search: hold out vec_id < 20 as queries, rank the rest by cosine,
+    * majority-vote the top-5 labels (ties → smaller label), report the
+    * prediction against the held-out truth. Same scale story as
+    * sim_cosine_topk: the query set broadcasts, the corpus streams once
+    * through a fused codegen'd cosine, and per-query top-k is a bounded
+    * window over qid (20 groups) — no corpus shuffle at any size.
+    */
+  def knnClassify(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("label").as("true_label"),
+        col("v").as("qv"))
+    val corpus = e.filter(col("vec_id") >= 20)
+    val wTop = Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val wVote = Window.partitionBy("qid")
+      .orderBy(col("votes").desc, col("label").asc)
+    corpus.join(broadcast(queries))
+      .withColumn("sim", cosine_sim(col("v"), col("qv")))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .groupBy("qid", "true_label", "label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("qid"), col("true_label"), col("label").as("pred_label"),
+        col("votes"), (col("label") === col("true_label")).as("correct"))
+      .orderBy("qid")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_split" -> (split(_, _)),
+    "pipeline_mixture" -> (mixture(_, _)),
+    "emb_centroids" -> (centroids(_, _)),
+    "emb_knn_classify" -> (knnClassify(_, _))
+  )
+
+  /** FNV-1a over UTF-8 bytes re-expressed as a DuckDB fold (same pattern
+    * as the q_fnv_buckets oracle — ASCII input, so unicode(c) == byte). */
+  private def fnvIhash31(expr: String): String =
+    s"""(list_reduce(
+       |    list_prepend(14695981039346656037::HUGEINT,
+       |      list_transform(string_split_regex($expr, ''),
+       |                     c -> unicode(c)::HUGEINT)),
+       |    (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+       |              % 18446744073709551616::HUGEINT)
+       |  % 2147483648)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "pipeline_split" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS ntok,
+         |         (${fnvIhash31("'split|' || doc_id::VARCHAR")} % 1000)::BIGINT AS bucket
+         |  FROM documents)
+         |SELECT CASE WHEN bucket < 800 THEN 'train'
+         |            WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split,
+         |       source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(ntok) AS BIGINT) AS n_tokens
+         |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "pipeline_mixture" ->
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens_src
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(tokens_src) AS BIGINT) AS tot,
+        |               CAST(count(*) AS BIGINT) AS nsrc FROM per)
+        |SELECT source, n_docs, tokens_src,
+        |       round(least(1.0, (tot // 2) * (1.0 / nsrc) / tokens_src), 6) AS rate,
+        |       round(round(least(1.0, (tot // 2) * (1.0 / nsrc) / tokens_src), 6)
+        |             * tokens_src, 4) AS exp_tokens
+        |FROM per, tot ORDER BY source""".stripMargin,
+    "emb_centroids" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |p AS (SELECT label, unnest(generate_series(1, len(v))) AS pos,
+        |             unnest(v) AS x FROM e),
+        |cent AS (SELECT label, pos, round(avg(x), 6) AS c
+        |         FROM p GROUP BY 1, 2),
+        |carr AS (SELECT label, list(c ORDER BY pos) AS cv
+        |         FROM cent GROUP BY label),
+        |norm AS (SELECT label,
+        |                round(sqrt(list_sum(list_transform(cv, x -> x * x))), 6)
+        |                  AS centroid_norm
+        |         FROM carr),
+        |coh AS (SELECT e.label, CAST(count(*) AS BIGINT) AS n,
+        |               round(avg(list_cosine_similarity(e.v, carr.cv)), 6)
+        |                 AS cohesion
+        |        FROM e JOIN carr USING (label) GROUP BY e.label)
+        |SELECT label, n, centroid_norm, cohesion
+        |FROM coh JOIN norm USING (label) ORDER BY label""".stripMargin,
+    "emb_knn_classify" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS qid, label AS true_label, v AS qv
+        |      FROM e WHERE vec_id < 20),
+        |sims AS (
+        |  SELECT q.qid, q.true_label, c.label, c.vec_id,
+        |         row_number() OVER (PARTITION BY q.qid
+        |           ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id)
+        |           AS rk
+        |  FROM e c, q WHERE c.vec_id >= 20),
+        |votes AS (
+        |  SELECT qid, true_label, label, CAST(count(*) AS BIGINT) AS votes,
+        |         row_number() OVER (PARTITION BY qid
+        |           ORDER BY count(*) DESC, label) AS vr
+        |  FROM sims WHERE rk <= 5 GROUP BY qid, true_label, label)
+        |SELECT qid, true_label, label AS pred_label, votes,
+        |       label = true_label AS correct
+        |FROM votes WHERE vr = 1 ORDER BY qid""".stripMargin
+  )
+}

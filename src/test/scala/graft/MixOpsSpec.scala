@@ -1,0 +1,70 @@
+package graft
+
+import graft.queries.MixQueries
+import org.apache.spark.sql.functions._
+
+/** Invariant tests for the training-mixture + embedding-analytics
+  * operators (MixQueries). */
+class MixOpsSpec extends SparkSpec {
+
+  test("split partitions every doc once, near the 80/10/10 design") {
+    val out = MixQueries.split(spark, sf).collect()
+    val total = out.map(_.getAs[Long]("n_docs")).sum
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(total == nDocs, s"split covers $total of $nDocs docs")
+    val bySplit = out.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    val trainFrac = bySplit("train").toDouble / nDocs
+    assert(trainFrac > 0.7 && trainFrac < 0.9,
+      s"train fraction $trainFrac far from 0.8")
+  }
+
+  test("split assignment is content-hash stable across partitionings") {
+    val a = MixQueries.split(spark, sf).collect().toSeq
+    val repartitioned = spark.read.parquet(s"$sf/documents.parquet")
+      .repartition(13)
+    repartitioned.createOrReplaceTempView("unused_view") // force distinct lineage
+    val b = MixQueries.split(spark, sf).collect().toSeq
+    assert(a == b)
+  }
+
+  test("mixture rates are valid probabilities and never oversample") {
+    val rows = MixQueries.mixture(spark, sf).collect()
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("rate")
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(r.getAs[Double]("exp_tokens") <= r.getAs[Long]("tokens_src") + 1e-6)
+    }
+    // the budget is half the corpus, so the planned mixture must not exceed it
+    val planned = rows.map(_.getAs[Double]("exp_tokens")).sum
+    val totalTok = rows.map(_.getAs[Long]("tokens_src")).sum
+    assert(planned <= totalTok / 2.0 + rows.length) // +rounding slack
+  }
+
+  test("centroids cover every label; cohesion and norm are consistent") {
+    val rows = MixQueries.centroids(spark, sf).collect()
+    val nLabels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("label").distinct().count()
+    assert(rows.length == nLabels)
+    val nTotal = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nTotal)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("centroid_norm") > 0.0)
+      val coh = r.getAs[Double]("cohesion")
+      assert(coh >= -1.0 - 1e-9 && coh <= 1.0 + 1e-9)
+    }
+  }
+
+  test("knn votes are bounded by k and predictions come from real labels") {
+    val rows = MixQueries.knnClassify(spark, sf).collect()
+    assert(rows.length == 20)
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("label").distinct().collect().map(_.getInt(0)).toSet
+    rows.foreach { r =>
+      val v = r.getAs[Long]("votes")
+      assert(v >= 1L && v <= 5L)
+      assert(labels.contains(r.getAs[Int]("pred_label")))
+    }
+  }
+}

@@ -41,7 +41,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_lateral",              // lateral explode over a 1-row aggregate
     "pipeline_token_budget",  // 1-row broadcast budget scalar × selection filter
     "layout_pruning_stats",   // 10-band × file-zone-stat metadata cross (both tiny)
-    "q_interpolate"           // 1-row t0 scalar + type-dim × 24-slot grid
+    "q_interpolate",          // type-dim × 24-slot grid (both tiny)
+    "pipeline_mixture",       // 1-row corpus-total scalar × per-source table
+    "emb_knn_classify"        // broadcast 20-query set × corpus stream (sim_cosine_topk shape)
   )
   private val allowShuffleJoin = Set(
     "q_join_full",    // full outer: no broadcastable side by semantics
