@@ -90,7 +90,25 @@ object ExtensionQueries {
       .orderBy("l_returnflag")
   }
 
+  /** The DataSourceV2 surface end-to-end: scan the custom SeqSource
+    * (graft.sources.SeqSource — column pruning + filter pushdown +
+    * partition pruning implemented in the source) with an id-range
+    * predicate the source absorbs and a residual (mod10) Spark keeps.
+    * Only 8 of 16 planned slices survive pruning; the aggregate rides on
+    * the narrowed generator output. Dsv2SourceSpec pins the pruning
+    * behavior; this query pins the results.
+    */
+  def dsv2Scan(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.SeqSource")
+      .option("rows", "100000").option("slices", "16").load()
+      .filter(col("id") >= 25000 && col("id") < 75000 && col("mod10") < 5)
+      .groupBy("mod10")
+      .agg(count(lit(1)).as("n"), sum("id").as("sum_id"),
+        min("label").as("min_label"), max("label").as("max_label"))
+      .orderBy("mod10")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsv2_scan" -> (dsv2Scan(_, _)),
     "q_fnv_buckets" -> (fnvBuckets(_, _)),
     "q_sample_hash" -> (sampleHash(_, _)),
     "q_sample_stratified" -> (sampleStratified(_, _)),
@@ -99,6 +117,13 @@ object ExtensionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dsv2_scan" ->
+      """SELECT id % 10 AS mod10, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(id) AS BIGINT) AS sum_id,
+        |       min('n' || id::VARCHAR) AS min_label,
+        |       max('n' || id::VARCHAR) AS max_label
+        |FROM (SELECT unnest(generate_series(25000, 74999))::BIGINT AS id)
+        |WHERE id % 10 < 5 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_sample_hash" ->
       """WITH h AS (
         |  SELECT l_returnflag, l_extendedprice,
