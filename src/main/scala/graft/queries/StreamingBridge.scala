@@ -204,7 +204,47 @@ object StreamingBridge {
     }.orderBy("event_type")
   }
 
+  /** Complete-mode sorted leaderboard under the gate: the sink holds the
+    * per-user ranking the streaming engine maintains (sort-after-agg, the
+    * one place streaming sort is legal). rank is derived in the shape
+    * (the sink table's order is the streaming result; rank pins it into
+    * a checkable column). */
+  def leaderboardViaStream(s: SparkSession, d: String): DataFrame =
+    runSettled(s, "board", StreamingOps.userLeaderboard(eventsStream(s, d)),
+      OutputMode.Complete()) {
+      _.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_events").desc, col("user_id").asc)))
+    }.orderBy("rank")
+
+  /** The foreachBatch sink pattern under the gate: each micro-batch is
+    * aggregated to a per-user snapshot and MERGEd into an accumulating
+    * store (counts add, latest-event struct takes the greater) — the
+    * exact per-batch upsert a production foreachBatch runs against
+    * Delta/JDBC. The settled store equals the batch aggregate.
+    */
+  def foreachUpsertViaStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    val empty = s.createDataFrame(s.sparkContext.emptyRDD[Row],
+      StreamingOps.userSnapshot(Tables.events(s, d).limit(0)).schema)
+    @volatile var store = empty
+    val q = eventsStream(s, d).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        store = StreamingOps.mergeUserSnapshots(
+          store, StreamingOps.userSnapshot(batch)).localCheckpoint()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+      .start(): @annotation.nowarn("cat=deprecation")
+    try q.awaitTermination() finally q.stop()
+    store.select(col("user_id"), col("n_events"),
+      col("latest.ts").cast("long").as("last_s"),
+      round(col("latest.value"), 2).as("last_value"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_leaderboard" -> (leaderboardViaStream(_, _)),
+    "stream_foreach_upsert" -> (foreachUpsertViaStream(_, _)),
     "stream_dedup" -> (dedupViaStream(_, _)),
     "stream_interval_left" -> (intervalLeftViaStream(_, _)),
     "stream_enrich_join" -> (enrichJoinViaStream(_, _)),
@@ -216,6 +256,22 @@ object StreamingBridge {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_leaderboard" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(row_number() OVER (ORDER BY count(*) DESC, user_id)
+        |            AS INT) AS rank
+        |FROM events GROUP BY user_id ORDER BY rank""".stripMargin,
+    "stream_foreach_upsert" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, value, event_id,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts DESC, event_id DESC) AS rn,
+        |         count(*) OVER (PARTITION BY user_id) AS n_events
+        |  FROM events)
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+        |       CAST(floor(epoch(ts)) AS BIGINT) AS last_s,
+        |       round(value, 2) AS last_value
+        |FROM l WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "stream_dedup" ->
       """SELECT event_type, count(*) AS n_events,
         |       round(sum(value), 2) AS sum_value

@@ -190,6 +190,42 @@ object StreamingOps {
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Complete-mode streaming leaderboard: per-user event counts kept
+    * globally sorted in the sink (sorting is legal on streaming frames
+    * only after aggregation in Complete mode — this exercises exactly
+    * that carve-out). The sink table is the always-current ranking; state
+    * is one row per user (bounded by the key universe, not the stream).
+    */
+  def userLeaderboard(events: DataFrame): DataFrame =
+    events.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("n_events").desc, col("user_id").asc)
+
+  /** One per-user state snapshot of a micro-batch: event count + the
+    * latest (ts, event_id, value) struct — struct max IS the max_by with
+    * total tie order. The per-batch half of the foreachBatch upsert. */
+  def userSnapshot(batch: DataFrame): DataFrame =
+    batch.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("latest"))
+
+  /** Merge a micro-batch snapshot into the accumulated store — the MERGE
+    * step a foreachBatch sink runs per batch against Delta/JDBC in
+    * production: counts add, latest-struct takes the greater. Both sides
+    * are keyed aggregates (≤ one row per user), so at scale this is a
+    * key-partitioned join of two bounded state tables, never of streams.
+    */
+  def mergeUserSnapshots(store: DataFrame, batch: DataFrame): DataFrame =
+    store.select(col("user_id"), col("n_events").as("n_a"), col("latest").as("l_a"))
+      .join(batch.select(col("user_id"), col("n_events").as("n_b"),
+        col("latest").as("l_b")), Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        (coalesce(col("n_a"), lit(0L)) + coalesce(col("n_b"), lit(0L)))
+          .as("n_events"),
+        when(col("l_a").isNull, col("l_b"))
+          .when(col("l_b").isNull, col("l_a"))
+          .otherwise(greatest(col("l_a"), col("l_b"))).as("latest"))
+
   /** Canonical sink wiring (memory sink for tests, any sink in prod).
     * `singleBatch = true` runs with Trigger.Once — the batch-over-streaming
     * trigger for run-to-completion jobs. Unlike AvailableNow (its official
