@@ -76,14 +76,63 @@ object AnalyticsQueries {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Manual bloom-filter semi-join reduction — the explicit form of the
+    * runtime bloom pruning PlanShapeSpec demonstrates Spark injecting
+    * automatically: build a bloom filter over the selective build side's
+    * keys (one ~50 KB sketch, shipped as a literal — the persistable
+    * cross-job form), drop probe rows that cannot join BEFORE the
+    * exchange, then run the real join (which erases the bloom's false
+    * positives — the result is exact regardless of fpp, which is why the
+    * oracle is the plain join). The manual form matters at 100 TB when
+    * you want to control NDV/fpp or persist the filter across jobs; the
+    * probe side sheds ~97% of its rows pre-shuffle here.
+    */
+  def bloomPrejoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // the same expressions InjectRuntimeFilter plants, built explicitly
+    // (they are optimizer-internal, not in the SQL function registry)
+    def bloomAgg(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      column(new BloomFilterAggregate(expression(c),
+        Literal(50000L), Literal(400000L)).toAggregateExpression())
+    def mightContain(bf: org.apache.spark.sql.Column,
+        v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      column(BloomFilterMightContain(expression(bf), expression(v)))
+    val sel = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 300000)
+      .select(col("o_orderkey"), col("o_custkey"))
+    // might_contain requires a CONSTANT filter (or scalar subquery): one
+    // ~50 KB sketch materialized driver-side and shipped as a literal —
+    // the persistable, cross-job-reusable form of the filter
+    val bfBytes = sel.agg(bloomAgg(col("o_orderkey")).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .filter(mightContain(lit(bfBytes), col("l_orderkey")))
+      .join(sel, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_salted_join" -> (saltedJoin(_, _)),
     "q_profile_nulls" -> (profileNulls(_, _)),
     "q_funnel" -> (funnel(_, _)),
-    "q_cohort_retention" -> (cohortRetention(_, _))
+    "q_cohort_retention" -> (cohortRetention(_, _)),
+    "q_bloom_prejoin" -> (bloomPrejoin(_, _))
   )
 
   val oracles: Map[String, String] = Map(
+    "q_bloom_prejoin" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_items,
+        |       round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 300000
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q_salted_join" ->
       """SELECT o_orderpriority, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

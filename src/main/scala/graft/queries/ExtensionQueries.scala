@@ -107,7 +107,34 @@ object ExtensionQueries {
         min("label").as("min_label"), max("label").as("max_label"))
       .orderBy("mod10")
 
+  /** The typed KeyValueGroupedDataset.reduceGroups surface — the literal
+    * ReduceFn signature of the reference ((V, V) => V per key,
+    * /root/reference/src/app/mod.rs:29-63) expressed on a typed Dataset.
+    * Spark still runs it as partial-reduce → shuffle → final-reduce
+    * (ObjectHashAggregate over the lambda), so the MapReduce combiner
+    * optimization is preserved even though the fold is opaque Scala. The
+    * builtin-aggregate form (q_agg_basic) beats this in codegen; this
+    * entry exists because the typed fold IS the reference's API shape.
+    * round-2dp on the double sum: reduceGroups folds in partition order
+    * (the order-dependent-aggregate rule).
+    */
+  def typedReduce(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, q) => (q, 1L) }
+      .reduceGroups((a: (Double, Long), b: (Double, Long)) =>
+        (a._1 + b._1, a._2 + b._2))
+      .map { case (flag, (qty, n)) => (flag, qty, n) }
+      .toDF("flag", "sum_qty", "n")
+      .select(col("flag"), round(col("sum_qty"), 2).as("sum_qty"), col("n"))
+      .orderBy("flag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_typed_reduce" -> (typedReduce(_, _)),
     "q_dsv2_scan" -> (dsv2Scan(_, _)),
     "q_fnv_buckets" -> (fnvBuckets(_, _)),
     "q_sample_hash" -> (sampleHash(_, _)),
@@ -117,6 +144,10 @@ object ExtensionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_typed_reduce" ->
+      """SELECT l_returnflag AS flag, round(sum(l_quantity), 2) AS sum_qty,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dsv2_scan" ->
       """SELECT id % 10 AS mod10, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(id) AS BIGINT) AS sum_id,
