@@ -193,6 +193,42 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("text_perplexity: both model windows share ONE exchange") {
+    // the join-free rewrite's point: hash partitioning on the (w1,w2)
+    // context satisfies the (w1,w2,w3) window too — a regression to the
+    // model-join form would re-introduce two more exchanges
+    val plan = executedPlan("text_perplexity")
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("+- Exchange")) +
+      plan.linesIterator.count(_.trim.startsWith(":- Exchange"))
+    val windows = "Window".r.findAllIn(plan).length
+    assert(windows >= 2, s"expected two window operators:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"perplexity must be join-free:\n$plan")
+    assert(exchanges <= 3, // window repartition + doc_id regroup + orderBy
+      s"expected ≤3 exchanges (found $exchanges):\n$plan")
+  }
+
+  test("q_bloom_prejoin: probe filtered by might_contain BEFORE its exchange") {
+    val plan = executedPlan("q_bloom_prejoin")
+    assert(plan.contains("might_contain"), s"expected bloom probe filter:\n$plan")
+    val filterIdx = plan.linesIterator.indexWhere(_.contains("might_contain"))
+    val scanIdx = plan.linesIterator.indexWhere(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    // the filter sits between the lineitem scan and anything above it
+    // (tree prints top-down: filter line must appear before the scan line)
+    assert(filterIdx >= 0 && scanIdx > filterIdx,
+      s"bloom filter must gate the lineitem scan:\n$plan")
+  }
+
+  test("q_dsv2_scan: source prunes planned partitions to the pushed bounds") {
+    // 16 slices of 100k rows; bounds [25000,75000) touch exactly 8
+    val b = new graft.sources.SeqScanBuilder(100000L, 16)
+    b.pushFilters(Array(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("id", 25000L),
+      org.apache.spark.sql.sources.LessThan("id", 75000L)))
+    assert(b.build().toBatch.planInputPartitions().length == 8)
+  }
+
   test("aggregations run inside whole-stage codegen") {
     // codegen stars only appear in the FINAL adaptive plan — execute first
     val df = SparkEntry.queries("q_agg_basic")(spark, sf)
