@@ -133,7 +133,36 @@ object MixQueries {
       .orderBy("qid")
   }
 
+  /** Deterministic weighted sampling without replacement (Efraimidis-
+    * Spirakis A-ES): each doc draws a reproducible uniform u from a salted
+    * content hash and gets priority u^(1/w) — computed as ln(u)/w, same
+    * monotone order — with w = distinct-token-ratio quality. The top-k
+    * priorities ARE a weighted sample without replacement, so "sample the
+    * best-skewed subset, reproducibly, on any cluster" is one scan + one
+    * TakeOrderedAndProject: no RNG state, no partition dependence, and
+    * re-running with the same salt re-selects the identical subset (the
+    * debuggability property q_sample_hash establishes, extended to
+    * weights). Ordering ties ride on round-6dp + doc_id so a last-ulp libm
+    * difference between engines cannot flip a boundary row (the
+    * threshold-compare rounding rule, DESIGN.md).
+    */
+  def sampleWeighted(s: SparkSession, d: String, k: Int = 50): DataFrame = {
+    val u = (Fnv1a64.ihash31(concat(lit("wrs|"), col("doc_id").cast("string")))
+      .cast("double") + 1.0) / 2147483649.0
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), spaceTokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        (size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")).cast("double")).as("w"))
+      .withColumn("priority", round(log(u) / col("w"), 6))
+      .orderBy(col("priority").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("source"), round(col("w"), 6).as("w"),
+        col("priority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_sample_weighted" -> (sampleWeighted(_, _)),
     "pipeline_split" -> (split(_, _)),
     "pipeline_mixture" -> (mixture(_, _)),
     "emb_centroids" -> (centroids(_, _)),
@@ -152,6 +181,18 @@ object MixQueries {
        |  % 2147483648)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "pipeline_sample_weighted" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |         len(list_distinct(l))::DOUBLE / len(l)::DOUBLE AS w,
+         |         ((${fnvIhash31("'wrs|' || doc_id::VARCHAR")})::DOUBLE + 1.0)
+         |           / 2147483649.0 AS u
+         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS l
+         |        FROM documents))
+         |SELECT doc_id, source, round(w, 6) AS w,
+         |       round(ln(u) / w, 6) AS priority
+         |FROM d
+         |ORDER BY round(ln(u) / w, 6) DESC, doc_id LIMIT 50""".stripMargin,
     "pipeline_split" ->
       s"""WITH h AS (
          |  SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS ntok,
