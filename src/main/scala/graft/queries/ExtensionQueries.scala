@@ -156,57 +156,39 @@ object ExtensionQueries {
         |FROM (SELECT unnest(generate_series(25000, 74999))::BIGINT AS id)
         |WHERE id % 10 < 5 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_sample_hash" ->
-      """WITH h AS (
-        |  SELECT l_returnflag, l_extendedprice,
-        |         (list_reduce(
-        |            list_prepend(14695981039346656037::HUGEINT,
-        |              list_transform(string_split_regex(CAST(l_orderkey AS VARCHAR), ''),
-        |                             c -> unicode(c)::HUGEINT)),
-        |            (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
-        |                      % 18446744073709551616::HUGEINT)
-        |          % 2147483648)::BIGINT AS ihash
-        |  FROM lineitem)
-        |SELECT l_returnflag, count(*) AS n_sampled,
-        |       round(sum(l_extendedprice), 2) AS sum_price
-        |FROM h WHERE ihash % 10 = 0
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      s"""WITH h AS (
+         |  SELECT l_returnflag, l_extendedprice,
+         |         ${OracleSql.fnvIhash31("CAST(l_orderkey AS VARCHAR)")}::BIGINT AS ihash
+         |  FROM lineitem)
+         |SELECT l_returnflag, count(*) AS n_sampled,
+         |       round(sum(l_extendedprice), 2) AS sum_price
+         |FROM h WHERE ihash % 10 = 0
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_sample_stratified" ->
-      """WITH h AS (
-        |  SELECT l_returnflag, l_extendedprice,
-        |         CASE WHEN l_returnflag = 'R' THEN 10
-        |              WHEN l_returnflag = 'N' THEN 20
-        |              ELSE 50 END AS rate_pct,
-        |         (list_reduce(
-        |            list_prepend(14695981039346656037::HUGEINT,
-        |              list_transform(string_split_regex(
-        |                CAST(l_orderkey AS VARCHAR) || '-' ||
-        |                CAST(l_linenumber AS VARCHAR), ''),
-        |                             c -> unicode(c)::HUGEINT)),
-        |            (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
-        |                      % 18446744073709551616::HUGEINT)
-        |          % 2147483648)::BIGINT AS ihash
-        |  FROM lineitem)
-        |SELECT l_returnflag, max(rate_pct) AS rate_pct,
-        |       count(*) AS n_sampled,
-        |       round(sum(l_extendedprice), 2) AS sum_price
-        |FROM h WHERE ihash % 100 < rate_pct
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    // FNV-1a 64 as a HUGEINT fold, masked to 31 bits like the reference's
-    // ihash; Spark's signed-long % matches DuckDB % on the masked value.
+      s"""WITH h AS (
+         |  SELECT l_returnflag, l_extendedprice,
+         |         CASE WHEN l_returnflag = 'R' THEN 10
+         |              WHEN l_returnflag = 'N' THEN 20
+         |              ELSE 50 END AS rate_pct,
+         |         ${OracleSql.fnvIhash31(
+               "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)")}::BIGINT AS ihash
+         |  FROM lineitem)
+         |SELECT l_returnflag, max(rate_pct) AS rate_pct,
+         |       count(*) AS n_sampled,
+         |       round(sum(l_extendedprice), 2) AS sum_price
+         |FROM h WHERE ihash % 100 < rate_pct
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // FNV-1a 64 as a HUGEINT fold (shared OracleSql helper), masked to 31
+    // bits like the reference's ihash; Spark's signed-long % matches
+    // DuckDB % on the masked value.
     "q_fnv_buckets" ->
-      """WITH toks AS (
-        |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
-        |  FROM documents
-        |), hashed AS (
-        |  SELECT word,
-        |         (list_reduce(
-        |            list_prepend(14695981039346656037::HUGEINT,
-        |              list_transform(string_split_regex(word, ''),
-        |                             c -> unicode(c)::HUGEINT)),
-        |            (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
-        |                      % 18446744073709551616::HUGEINT)
-        |          % 2147483648)::BIGINT AS ihash
-        |  FROM toks WHERE word <> '')
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+         |  FROM documents
+         |), hashed AS (
+         |  SELECT word,
+         |         ${OracleSql.fnvIhash31("word")}::BIGINT AS ihash
+         |  FROM toks WHERE word <> '')
         |SELECT ihash % 5 AS bucket, count(*) AS n_tokens,
         |       count(DISTINCT word) AS n_words
         |FROM hashed GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -28,10 +28,16 @@ object MixQueries {
     * is the split×source audit table (doc + token counts) a mixture
     * designer reads before training.
     */
-  def split(s: SparkSession, d: String): DataFrame = {
+  def split(s: SparkSession, d: String): DataFrame =
+    splitOf(Tables.documents(s, d))
+
+  /** The split over an arbitrary documents frame — separated so the
+    * partition-stability test can feed the SAME data under a different
+    * physical layout and prove identical assignment. */
+  def splitOf(docs: DataFrame): DataFrame = {
     val bucket = Fnv1a64.ihash31(
       concat(lit("split|"), col("doc_id").cast("string"))) % 1000
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), col("source"),
         size(spaceTokens(col("text"))).cast("long").as("ntok"),
         bucket.as("bucket"))
@@ -169,16 +175,7 @@ object MixQueries {
     "emb_knn_classify" -> (knnClassify(_, _))
   )
 
-  /** FNV-1a over UTF-8 bytes re-expressed as a DuckDB fold (same pattern
-    * as the q_fnv_buckets oracle — ASCII input, so unicode(c) == byte). */
-  private def fnvIhash31(expr: String): String =
-    s"""(list_reduce(
-       |    list_prepend(14695981039346656037::HUGEINT,
-       |      list_transform(string_split_regex($expr, ''),
-       |                     c -> unicode(c)::HUGEINT)),
-       |    (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
-       |              % 18446744073709551616::HUGEINT)
-       |  % 2147483648)""".stripMargin
+  import OracleSql.fnvIhash31
 
   val oracles: Map[String, String] = Map(
     "pipeline_sample_weighted" ->

@@ -91,12 +91,15 @@ object ScaleQueries {
     val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
     val natural = o.withColumn("file_id",
       ntile(15).over(Window.orderBy(col("o_orderkey"))).cast("long"))
-    val nFiles = natural.select(countDistinct(col("file_id")).as("nf"))
     val sorted = o.withColumn("file_id",
       ntile(15).over(Window.orderBy(col("o_totalprice"), col("o_orderkey"))).cast("long"))
     def zones(df: DataFrame): DataFrame =
       df.groupBy("file_id")
         .agg(min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+    // file count from the 15-row zone aggregate, not a third pass over
+    // the global-window sort
+    val zonesNat = zones(natural)
+    val nFiles = zonesNat.agg(count(lit(1)).as("nf"))
     val bands = s.range(0, 10).select(col("id").as("band"),
       (col("id") * 50000.0).as("lo"), ((col("id") + 1) * 50000.0).as("hi"))
     def scanned(zs: DataFrame, name: String): DataFrame =
@@ -104,7 +107,7 @@ object ScaleQueries {
         .groupBy("band", "lo", "hi")
         .agg(sum(when(col("mn") <= col("hi") && col("mx") >= col("lo"), 1L)
           .otherwise(0L)).as(name))
-    scanned(zones(natural), "scan_natural")
+    scanned(zonesNat, "scan_natural")
       .join(scanned(zones(sorted), "scan_sorted"), Seq("band", "lo", "hi"))
       .crossJoin(nFiles)
       .select(col("band"), col("lo"), col("hi"),

@@ -131,8 +131,13 @@ class SeqReaderFactory(required: StructType) extends PartitionReaderFactory {
     new PartitionReader[InternalRow] {
       private var cur = p.start - 1
       override def next(): Boolean = { cur += 1; cur < p.end }
-      override def get(): InternalRow =
-        InternalRow.fromSeq(fields.toIndexedSeq.map(_(cur)))
+      override def get(): InternalRow = {
+        // one array per row — no per-row Seq wrappers
+        val values = new Array[Any](fields.length)
+        var i = 0
+        while (i < fields.length) { values(i) = fields(i)(cur); i += 1 }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
+      }
       override def close(): Unit = ()
     }
   }

@@ -222,9 +222,8 @@ object StreamingOps {
       .select(col("user_id"),
         (coalesce(col("n_a"), lit(0L)) + coalesce(col("n_b"), lit(0L)))
           .as("n_events"),
-        when(col("l_a").isNull, col("l_b"))
-          .when(col("l_b").isNull, col("l_a"))
-          .otherwise(greatest(col("l_a"), col("l_b"))).as("latest"))
+        // greatest skips nulls, so the one-sided cases need no guards
+        greatest(col("l_a"), col("l_b")).as("latest"))
 
   /** Canonical sink wiring (memory sink for tests, any sink in prod).
     * `singleBatch = true` runs with Trigger.Once — the batch-over-streaming

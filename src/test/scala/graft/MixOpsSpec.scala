@@ -21,11 +21,9 @@ class MixOpsSpec extends SparkSpec {
   }
 
   test("split assignment is content-hash stable across partitionings") {
-    val a = MixQueries.split(spark, sf).collect().toSeq
-    val repartitioned = spark.read.parquet(s"$sf/documents.parquet")
-      .repartition(13)
-    repartitioned.createOrReplaceTempView("unused_view") // force distinct lineage
-    val b = MixQueries.split(spark, sf).collect().toSeq
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val a = MixQueries.splitOf(docs.coalesce(1)).collect().toSeq
+    val b = MixQueries.splitOf(docs.repartition(13)).collect().toSeq
     assert(a == b)
   }
 
