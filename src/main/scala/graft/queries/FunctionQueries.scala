@@ -72,6 +72,23 @@ object FunctionQueries {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .orderBy("event_id")
 
+  /** The Spark 4 VARIANT path: parse_json to the shredded binary VARIANT
+    * type, typed extraction via variant_get — the semi-structured column
+    * format that replaces string-JSON re-parsing per access. At 100 TB
+    * variant columns shred once at ingest and every downstream access is
+    * a binary field read, not a parse; this query pins the surface (and
+    * its null/typing rules) under the oracle gate.
+    */
+  def variantFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("v", expr("parse_json(props)"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'long')").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
   /** Pivot: event counts per user across the five event types. */
   def pivotEvents(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -87,6 +104,7 @@ object FunctionQueries {
     "q_math_funcs" -> (mathFuncs(_, _)),
     "q_array_funcs" -> (arrayFuncs(_, _)),
     "q_json_funcs" -> (jsonFuncs(_, _)),
+    "q_variant" -> (variantFuncs(_, _)),
     "q_pivot_events" -> (pivotEvents(_, _))
   )
 
@@ -123,6 +141,15 @@ object FunctionQueries {
         |       count(*) AS n_lines,
         |       bool_or(l_linenumber = 7) AS has_line7
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q_variant" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(k) AS BIGINT) AS sum_k,
+        |       min(k) AS min_k, max(k) AS max_k
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_json_funcs" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,

@@ -7,17 +7,19 @@ import org.apache.spark.sql.functions._
   * operators (MixQueries). */
 class MixOpsSpec extends SparkSpec {
 
-  test("split partitions every doc once, near the 80/10/10 design") {
-    val out = MixQueries.split(spark, sf).collect()
-    val total = out.map(_.getAs[Long]("n_docs")).sum
-    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
-    assert(total == nDocs, s"split covers $total of $nDocs docs")
-    val bySplit = out.groupBy(_.getAs[String]("split"))
-      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
-    assert(bySplit.keySet == Set("train", "val", "test"))
-    val trainFrac = bySplit("train").toDouble / nDocs
-    assert(trainFrac > 0.7 && trainFrac < 0.9,
-      s"train fraction $trainFrac far from 0.8")
+  test("split partitions every doc once, near the 80/10/10 design (2 SFs)") {
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val out = MixQueries.split(spark, dir).collect()
+      val total = out.map(_.getAs[Long]("n_docs")).sum
+      val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+      assert(total == nDocs, s"$dir: split covers $total of $nDocs docs")
+      val bySplit = out.groupBy(_.getAs[String]("split"))
+        .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+      assert(bySplit.keySet == Set("train", "val", "test"))
+      val trainFrac = bySplit("train").toDouble / nDocs
+      assert(trainFrac > 0.7 && trainFrac < 0.9,
+        s"$dir: train fraction $trainFrac far from 0.8")
+    }
   }
 
   test("split assignment is content-hash stable across partitionings") {

@@ -48,23 +48,25 @@ class ScaleOpsSpec extends SparkSpec {
       r.getAs[Long]("scan_sorted") < r.getAs[Long]("scan_natural")))
   }
 
-  test("SCD2 output: exactly one current row per key, intervals chain") {
-    val out = ScaleQueries.scd2Merge(spark, sf)
-    val perKey = out.groupBy("custkey")
-      .agg(sum(when(col("is_current"), 1).otherwise(0)).as("n_cur"),
-        count(lit(1)).as("n_rows"))
-      .collect()
-    perKey.foreach { r =>
-      assert(r.getAs[Long]("n_cur") == 1L,
-        s"custkey ${r.get(0)}: ${r.getAs[Long]("n_cur")} current rows")
+  test("SCD2 output: exactly one current row per key, intervals chain (2 SFs)") {
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val out = ScaleQueries.scd2Merge(spark, dir)
+      val perKey = out.groupBy("custkey")
+        .agg(sum(when(col("is_current"), 1).otherwise(0)).as("n_cur"),
+          count(lit(1)).as("n_rows"))
+        .collect()
+      perKey.foreach { r =>
+        assert(r.getAs[Long]("n_cur") == 1L,
+          s"$dir custkey ${r.get(0)}: ${r.getAs[Long]("n_cur")} current rows")
+      }
+      // closed rows' valid_to equals the opened row's valid_from
+      val chained = out.filter(!col("is_current"))
+        .select(col("custkey"), col("valid_to"))
+        .join(out.filter(col("is_current") && col("valid_from") > "1990-01-01")
+          .select(col("custkey"), col("valid_from")), Seq("custkey"))
+        .filter(col("valid_to") =!= col("valid_from"))
+      assert(chained.count() == 0L, dir)
     }
-    // closed rows' valid_to equals the opened row's valid_from
-    val chained = out.filter(!col("is_current"))
-      .select(col("custkey"), col("valid_to"))
-      .join(out.filter(col("is_current") && col("valid_from") > "1990-01-01")
-        .select(col("custkey"), col("valid_from")), Seq("custkey"))
-      .filter(col("valid_to") =!= col("valid_from"))
-    assert(chained.count() == 0L)
   }
 
   test("merge upsert labels every row correctly and keeps keys unique") {
