@@ -38,7 +38,7 @@ object Bench {
     // visible in the JSON; failures are excluded from the total and counted
     // explicitly so breakage can never flatter the headline number
     // dev-only subset filter (comma-separated names); driver sets neither
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = SparkEntry.onlyFilter()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -52,15 +52,19 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     resetState(spark)
+    // Locale.ROOT: the f-interpolator honors the default locale, and a
+    // comma-decimal locale (de_DE etc.) would make the output invalid JSON
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jmap(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      rs.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
     // Full per-query detail goes to a file (and an early stdout line): the
     // harness only retains a short tail of stdout, so the FINAL line must
     // stay compact — headline queries only — or it gets truncated mid-JSON
     // and never parses (observed in rounds 1-2).
-    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"n_queries":${results.size},"queries":${jmap(results)},"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":${num(total)},"unit":"sec","failed":$failed,"n_queries":${results.size},"queries":${jmap(results)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"), detail.getBytes("UTF-8"))
     println(detail)
     val headline = Seq(
@@ -71,7 +75,7 @@ object Bench {
       "sim_ann_topk", "sim_cosine_topk", "text_tfidf",
       "graph_components", "stream_interval_join", "pipeline_decontam")
     val head = results.filter(r => headline.contains(r._1))
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"n_queries":${results.size},"queries":${jmap(head)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","failed":$failed,"n_queries":${results.size},"queries":${jmap(head)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

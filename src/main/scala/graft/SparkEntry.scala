@@ -58,4 +58,17 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     modules.flatMap(_._2).toMap
+
+  /** Dev-only SPARK_GRAFT_ONLY subset filter, shared by Verify and Bench:
+    * comma-separated names, whitespace-tolerant, and FAIL-FAST on a name
+    * that is not in the registry — a typo or stale name must not silently
+    * produce an empty run that reads as success. */
+  def onlyFilter(): Option[Set[String]] =
+    sys.env.get("SPARK_GRAFT_ONLY").map { raw =>
+      val names = raw.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      val unknown = names -- queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in registry: ${unknown.toSeq.sorted.mkString(", ")}")
+      names
+    }
 }

@@ -18,6 +18,22 @@ object TextFunctions {
   /** Whitespace tokens (driver documents are single-space-separated). */
   def spaceTokens(text: Column): Column = split(text, " ")
 
+  /** Word trigrams of a token array as (w1, w2, w3) structs — builtin
+    * slice+zip_with expressions (codegen'd, no UDF). Shared by the
+    * trigram-LM statistics and the perplexity scorer so the two trigram
+    * surfaces can never disagree on boundary semantics (< 3 tokens → []).
+    */
+  def trigrams(toks: Column): Column = {
+    val n = size(toks)
+    zip_with(
+      zip_with(slice(toks, lit(1), greatest(n - 2, lit(0))),
+        slice(toks, lit(2), greatest(n - 2, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2"))),
+      slice(toks, lit(3), greatest(n - 2, lit(0))),
+      (p, c) => struct(p.getField("w1").as("w1"), p.getField("w2").as("w2"),
+        c.as("w3")))
+  }
+
   /** Overlapping word-bigram shingles, deduplicated.
     * ["a","b","c"] → ["a b", "b c"].
     */

@@ -116,10 +116,7 @@ object CorpusQueries {
     val buckets = grams.groupBy("gram")
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-    buckets
-      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "da")))
-      .select(col("da"),
-        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("db"))
+    BucketPairs.pairs(buckets, "ids", "da", "db")
       .groupBy("da", "db").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .orderBy("da", "db")
@@ -228,15 +225,9 @@ object CorpusQueries {
     * engines, no rounding needed.
     */
   def trigramLm(s: SparkSession, d: String, minTotal: Long = 20L): DataFrame = {
-    val toks = spaceTokens(col("text"))
-    val n = size(toks)
-    val tri = zip_with(
-      zip_with(slice(toks, lit(1), greatest(n - 2, lit(0))),
-        slice(toks, lit(2), greatest(n - 2, lit(0))),
-        (a, b) => struct(a.as("w1"), b.as("w2"))),
-      slice(toks, lit(3), greatest(n - 2, lit(0))),
-      (p, c) => struct(p.getField("w1").as("w1"), p.getField("w2").as("w2"),
-        c.as("w3")))
+    // shared trigram builder (TextFunctions.trigrams) — one definition for
+    // both trigram surfaces (LM statistics here, perplexity scoring)
+    val tri = trigrams(spaceTokens(col("text")))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("w1", "w2")
     Tables.documents(s, d)
       .select(explode(tri).as("g"))
@@ -298,7 +289,7 @@ object CorpusQueries {
   val oracles: Map[String, String] = Map(
     "text_trigram_lm" ->
       """WITH t AS (
-        |  SELECT unnest(list_zip(l[1:len(l)-2], l[2:len(l)-1], l[3:len(l)])) AS g
+        |  SELECT unnest(list_zip(l[1:greatest(len(l)-2, 0)], l[2:len(l)-1], l[3:len(l)])) AS g
         |  FROM (SELECT string_split(text, ' ') AS l FROM documents)),
         |c AS (SELECT g[1] AS w1, g[2] AS w2, g[3] AS w3, count(*) AS cnt
         |      FROM t GROUP BY 1, 2, 3),

@@ -198,11 +198,9 @@ object DedupQueries {
     val buckets = banded.groupBy("band", "key")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("items"))
       .filter(size(col("items")) > 1)
-    val cand = buckets
-      .select(col("items"), posexplode(col("items")).as(Seq("i", "a")))
+    val cand = BucketPairs.pairs(buckets, "items", "a", "b")
       .select(col("a.doc_id").as("da"), col("a.simhash").as("sa"),
-        explode(slice(col("items"), col("i") + lit(2), size(col("items")))).as("b"))
-      .select(col("da"), col("sa"), col("b.doc_id").as("db"), col("b.simhash").as("sb"))
+        col("b.doc_id").as("db"), col("b.simhash").as("sb"))
       .distinct()
     cand
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
@@ -263,11 +261,7 @@ object DedupQueries {
     // interpreted per element, fine for its tiny near-dup buckets but ~5×
     // slower here where this corpus's isotropic worst case makes buckets
     // fat (sf0.1: 2000 vectors → ~1.7M candidate pairs)
-    val cand = buckets
-      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "va")))
-      .select(col("va"),
-        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("vb"))
-      .distinct()
+    val cand = BucketPairs.pairs(buckets, "ids", "va", "vb").distinct()
     val vecsById = base.select(col("vec_id"), col("v"))
     cand
       .join(vecsById.select(col("vec_id").as("va"), col("v").as("xa")), "va")

@@ -51,20 +51,6 @@ object QualityQueries {
       .orderBy("doc_id")
   }
 
-  /** Word trigrams of a token array as (w1, w2, w3) structs — the same
-    * slice+zip_with shape as CorpusQueries.trigramLm (builtin expressions,
-    * codegen'd, no UDF). */
-  private def trigrams(toks: Column): Column = {
-    val n = size(toks)
-    zip_with(
-      zip_with(slice(toks, lit(1), greatest(n - 2, lit(0))),
-        slice(toks, lit(2), greatest(n - 2, lit(0))),
-        (a, b) => struct(a.as("w1"), b.as("w2"))),
-      slice(toks, lit(3), greatest(n - 2, lit(0))),
-      (p, c) => struct(p.getField("w1").as("w1"), p.getField("w2").as("w2"),
-        c.as("w3")))
-  }
-
   /** Trigram-LM document scoring — the perplexity-filter pass of corpus
     * curation: train an exact trigram model on the corpus itself
     * (p(w3|w1,w2) = cnt/context_total, BIGINT÷BIGINT exact doubles), score
@@ -187,10 +173,7 @@ object QualityQueries {
       .select("cell", "vec_id", "v")
     val buckets = assigned.groupBy("cell")
       .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
-    val pairs = buckets
-      .select(col("cell"), col("ids"), posexplode(col("ids")).as(Seq("i", "va")))
-      .select(col("cell"), col("va"),
-        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("vb"))
+    val pairs = BucketPairs.pairs(buckets, "ids", "va", "vb", keep = Seq("cell"))
     val byId = assigned.select(col("vec_id"), col("v"))
     pairs
       .join(byId.select(col("vec_id").as("va"), col("v").as("xa")), Seq("va"))
@@ -269,7 +252,7 @@ object QualityQueries {
     "text_perplexity" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |         unnest(list_zip(l[1:len(l)-2], l[2:len(l)-1], l[3:len(l)])) AS g
+        |         unnest(list_zip(l[1:greatest(len(l)-2, 0)], l[2:len(l)-1], l[3:len(l)])) AS g
         |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
         |d AS (SELECT doc_id, g[1] AS w1, g[2] AS w2, g[3] AS w3 FROM t),
         |m AS (SELECT w1, w2, w3, count(*) AS cnt,
