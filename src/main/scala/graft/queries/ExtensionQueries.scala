@@ -133,7 +133,36 @@ object ExtensionQueries {
       .orderBy("flag")
   }
 
+  /** Secondary sort — the classic MapReduce pattern the reference's
+    * per-partition sort exists to serve (F5, worker/mod.rs:147-198):
+    * process each key's rows in VALUE order without materializing the
+    * group. `flatMapSortedGroups` asks the engine for (key, sort-cols)
+    * ordering, so Spark plants ONE exchange + one sort and hands the
+    * function a sorted iterator — the streaming-group-processing
+    * contract; take(3) shows the iterator short-circuits (no group-sized
+    * buffer). Oracle: the equivalent rank-filter window.
+    */
+  def secondarySort(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        // NTZ → epoch seconds via TIMESTAMP (session tz is pinned UTC)
+        col("l_shipdate").cast("timestamp").cast("long").as("ship_s"),
+        col("l_orderkey"), col("l_linenumber"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("ship_s"), col("l_orderkey"),
+        col("l_linenumber")) { (flag, it) =>
+        it.take(3).zipWithIndex.map { case ((_, shipS, ok, ln), i) =>
+          (flag, i + 1, shipS, ok, ln)
+        }
+      }
+      .toDF("flag", "rk", "ship_s", "orderkey", "linenumber")
+      .orderBy("flag", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_secondary_sort" -> (secondarySort(_, _)),
     "q_typed_reduce" -> (typedReduce(_, _)),
     "q_dsv2_scan" -> (dsv2Scan(_, _)),
     "q_fnv_buckets" -> (fnvBuckets(_, _)),
@@ -144,6 +173,16 @@ object ExtensionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_secondary_sort" ->
+      """WITH r AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(floor(epoch(l_shipdate)) AS BIGINT) AS ship_s,
+        |         l_orderkey AS orderkey, l_linenumber AS linenumber,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |           ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rk
+        |  FROM lineitem)
+        |SELECT flag, CAST(rk AS INT) AS rk, ship_s, orderkey, linenumber
+        |FROM r WHERE rk <= 3 ORDER BY flag, rk""".stripMargin,
     "q_typed_reduce" ->
       """SELECT l_returnflag AS flag, round(sum(l_quantity), 2) AS sum_qty,
         |       CAST(count(*) AS BIGINT) AS n
