@@ -277,14 +277,10 @@ object CorpusQueries {
 
   /** FNV-1a 64 of a string as a DuckDB HUGEINT fold, masked to 31 bits —
     * the q_sample_hash technique. */
+  /** Shared FNV fold (OracleSql.fnvIhash31) with this module's historical
+    * ::BIGINT suffix. */
   private def ihash31Sql(e: String): String =
-    s"""(list_reduce(
-       |   list_prepend(14695981039346656037::HUGEINT,
-       |     list_transform(string_split_regex($e, ''),
-       |                    c -> unicode(c)::HUGEINT)),
-       |   (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
-       |             % 18446744073709551616::HUGEINT)
-       | % 2147483648)::BIGINT""".stripMargin
+    s"${OracleSql.fnvIhash31(e)}::BIGINT"
 
   val oracles: Map[String, String] = Map(
     "text_trigram_lm" ->

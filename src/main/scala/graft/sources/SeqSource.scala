@@ -70,15 +70,19 @@ class SeqScanBuilder(rows: Long, slices: Int) extends ScanBuilder
   private var required: StructType = SeqSource.schema
 
   /** Absorb id range/equality predicates into the generated range; report
-    * everything else back as residual for Spark to evaluate post-scan. */
+    * everything else back as residual for Spark to evaluate post-scan.
+    * The +1 exclusive-bound adjustments saturate instead of wrapping:
+    * `id <= Long.MaxValue` must stay a full scan, not overflow hi to
+    * Long.MinValue and silently plan zero partitions. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def succ(v: Long): Long = if (v == Long.MaxValue) Long.MaxValue else v + 1
     val (absorbed, residual) = filters.partition {
-      case GreaterThan("id", v: Long)        => lo = math.max(lo, v + 1); true
+      case GreaterThan("id", v: Long)        => lo = math.max(lo, succ(v)); true
       case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v); true
       case LessThan("id", v: Long)           => hi = math.min(hi, v); true
-      case LessThanOrEqual("id", v: Long)    => hi = math.min(hi, v + 1); true
+      case LessThanOrEqual("id", v: Long)    => hi = math.min(hi, succ(v)); true
       case EqualTo("id", v: Long)            =>
-        lo = math.max(lo, v); hi = math.min(hi, v + 1); true
+        lo = math.max(lo, v); hi = math.min(hi, succ(v)); true
       case _ => false
     }
     pushed = absorbed
