@@ -168,7 +168,46 @@ object GraphQueries {
       .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
   }
 
+  /** Multi-source BFS: hop distance from the source set (vertices with id
+    * < 10) via iterative min-dist relaxation — the third Pregel-shaped
+    * loop (after CC and PageRank), with frontier semantics expressed as
+    * monotone relaxation: distances only decrease, vertices only appear,
+    * so the (count, sum) pair is the convergence invariant (stable ⇔
+    * fixpoint), one aggregate job per round. Lazy localCheckpoint per
+    * iteration as in CC. Fails loudly if not converged inside maxIter —
+    * the oracle (recursive CTE, dist bounded by the same budget) computes
+    * the true bounded fixpoint, and silently-partial distances would
+    * diverge from it. Unreached vertices are absent (not null-distance).
+    */
+  def bfs(s: SparkSession, d: String, maxIter: Int = 30): DataFrame = {
+    val e = edges(s, d).localCheckpoint(false)
+    var dist = e.select(col("u").as("vtx")).filter(col("vtx") < 10)
+      .distinct().withColumn("dist", lit(0)).localCheckpoint(false)
+    var converged = false
+    var i = 0
+    var last = (-1L, Long.MinValue)
+    while (!converged && i < maxIter) {
+      val relaxed = e.join(dist, e("u") === dist("vtx"))
+        .select(col("v").as("vtx"), (col("dist") + 1).as("dist"))
+      val next = dist.union(relaxed)
+        .groupBy("vtx").agg(min("dist").as("dist"))
+        .localCheckpoint(false)
+      val row = next.agg(count(lit(1)),
+        coalesce(sum(col("dist")), lit(0L))).collect()(0)
+      val cur = (row.getLong(0), row.getLong(1))
+      converged = cur == last
+      last = cur
+      dist = next
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"BFS did not converge within $maxIter iterations — raise maxIter")
+    dist.select(col("vtx"), col("dist").cast("int").as("dist")).orderBy("vtx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_bfs" -> (bfs(_, _, 30)),
     "graph_components" -> (connectedComponents(_, _, 25)),
     "graph_component_sizes" -> (componentSizes(_, _)),
     "graph_pagerank" -> (pagerank(_, _)),
@@ -205,6 +244,18 @@ object GraphQueries {
       |  FROM lineitem WHERE l_partkey % 10 = l_suppkey % 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "graph_bfs" ->
+      s"""WITH RECURSIVE und AS (
+         |  $undirectedSql
+         |), bfs AS (
+         |  SELECT DISTINCT u AS vtx, 0 AS dist FROM und WHERE u < 10
+         |  UNION
+         |  SELECT e.v AS vtx, b.dist + 1 AS dist
+         |  FROM bfs b JOIN und e ON b.vtx = e.u
+         |  WHERE b.dist < 30
+         |)
+         |SELECT vtx, CAST(min(dist) AS INT) AS dist
+         |FROM bfs GROUP BY vtx ORDER BY vtx""".stripMargin,
     "graph_triangles" ->
       """WITH e AS (
         |  SELECT a.l_partkey AS u, b.l_partkey AS v
