@@ -14,9 +14,13 @@ class DeterminismSpec extends SparkSpec {
   // spans the risk classes: rounded float aggs over joins (q_tpch_q9),
   // wide rounded aggs (q_tpch_q1), raw-double serial folds (q_ewma),
   // sketch pipelines with persists (dedup_minhash_lsh), windowed
-  // analytics (q_window_frame), and hash-bucketed sampling (q_sample_hash)
+  // analytics (q_window_frame), hash-bucketed sampling (q_sample_hash),
+  // hash-priority top-k selection (pipeline_sample_weighted), iterative
+  // relaxation (graph_bfs), and the typed opaque-lambda fold
+  // (q_typed_reduce — integral sums, so order cannot leak into results)
   private val probes = Seq("q_tpch_q1", "q_tpch_q9", "q_ewma",
-    "dedup_minhash_lsh", "q_window_frame", "q_sample_hash")
+    "dedup_minhash_lsh", "q_window_frame", "q_sample_hash",
+    "pipeline_sample_weighted", "graph_bfs", "q_typed_reduce")
 
   private def runAll(parts: String): Map[String, Seq[String]] = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
