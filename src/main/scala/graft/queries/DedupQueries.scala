@@ -35,8 +35,12 @@ object DedupQueries {
     * over a bounded candidate universe. Shingle-exploded self-join → one
     * shuffle on shingle, count intersections, derive |union| from set sizes.
     */
+  /** `sorted = false` skips the output total order — for consumers that
+    * immediately re-aggregate or collect the pair set (cluster
+    * resolution), where a sort ahead of a bounded collect would plan an
+    * expensive TakeOrdered heap for no benefit. */
   def ngramJaccard(s: SparkSession, d: String, maxDocId: Long = 500L,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, sorted: Boolean = true): DataFrame = {
     val docs = Tables.documents(s, d)
       .filter(col("doc_id") < maxDocId)
       .select(col("doc_id"), bigramShingles(spaceTokens(col("text"))).as("shingles"))
@@ -47,13 +51,13 @@ object DedupQueries {
     val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
+    val joined = inter
       .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
       .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
       .withColumn("jac", col("n_inter") / (col("na") + col("nb") - col("n_inter")))
       .filter(col("jac") >= threshold)
       .select("da", "db", "n_inter", "na", "nb", "jac")
-      .orderBy("da", "db")
+    if (sorted) joined.orderBy("da", "db") else joined
   }
 
   /** MinHash + LSH near-dup pairs — the linear-scale path. 128 minhashes,
