@@ -39,7 +39,12 @@ object SparkEntry {
       (Q.CorpusQueries.queries, Q.CorpusQueries.oracles),
       (Q.QualityQueries.queries, Q.QualityQueries.oracles),
       (Q.ScaleQueries.queries, Q.ScaleQueries.oracles),
-      (Q.MixQueries.queries, Q.MixQueries.oracles)
+      (Q.MixQueries.queries, Q.MixQueries.oracles),
+      (Q.MatchQueries.queries, Q.MatchQueries.oracles),
+      (Q.SequenceQueries.queries, Q.SequenceQueries.oracles),
+      (Q.MlQueries.queries, Q.MlQueries.oracles),
+      (Q.RecursiveQueries.queries, Q.RecursiveQueries.oracles),
+      (Q.SurfaceQueries.queries, Q.SurfaceQueries.oracles)
     )
 
   /** Per-module registry sizes — lets ContractSpec prove no cross-module

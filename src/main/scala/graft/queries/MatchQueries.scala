@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.Tables
+import graft.plans.{Fnv1a64, JaroWinkler}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Entity resolution (record linkage): match a corrupted feed back to its
+  * clean master table — the canonical "same real-world entity, different
+  * strings" pipeline (dedup across sources, catalog reconciliation,
+  * user-input cleanup).
+  *
+  * The corpus is synthetic and typo-free, so the dirty feed is DERIVED
+  * deterministically: a hash-picked sample of part rows each gets one
+  * hash-picked corruption (delete / adjacent-transpose / substitute at a
+  * hash-picked position ≥ 2). Both engines re-derive the identical feed
+  * from the FNV fold, so the oracle checks the full match pipeline
+  * end-to-end, not a fixture.
+  *
+  * Scale shape: the master name dimension is tiny (distinct names) →
+  * broadcast; the dirty feed streams once; first-char blocking bounds the
+  * per-row candidate set to one block instead of |master| — the standard
+  * blocking/scoring split of record linkage at scale (blocking recall
+  * trade-offs are the documented cost: a corruption in the blocking key
+  * itself would be missed, which is why corruption positions start at 2).
+  */
+object MatchQueries {
+
+  /** Hash-corrupted sample of part names: (p_partkey, dirty_name).
+    * h = ihash31(partkey): mode = h%3 picks the corruption, pos =
+    * (h div 3) % (len-2) + 2 ∈ [2, len-1] picks the position (first char
+    * preserved ⇒ blocking-safe; pos+1 ≤ len ⇒ transpose in-bounds).
+    */
+  private def dirtyFeed(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_partkey") % 5 === 0 && length(col("p_name")) >= 4)
+      .select(col("p_partkey"), col("p_name"))
+      .withColumn("h", Fnv1a64.ihash31(col("p_partkey").cast("string")))
+      .withColumn("pos",
+        (expr("h div 3") % (length(col("p_name")) - 2) + 2).cast("int"))
+      .withColumn("dirty_name",
+        when(col("h") % 3 === 0, expr(
+          "concat(substring(p_name, 1, pos-1), substring(p_name, pos+1))"))
+        .when(col("h") % 3 === 1, expr(
+          "concat(substring(p_name, 1, pos-1), substring(p_name, pos+1, 1)," +
+            " substring(p_name, pos, 1), substring(p_name, pos+2))"))
+        .otherwise(expr(
+          "concat(substring(p_name, 1, pos-1), '0', substring(p_name, pos+1))")))
+      .select("p_partkey", "dirty_name")
+
+  /** Levenshtein linkage: block on first char + |len diff| ≤ 1, score with
+    * the builtin edit distance, keep the best (min dist, then min name)
+    * master per dirty row. Every feed row links (its own corruption is
+    * ≤ 2 edits away and first-char blocking always admits the source).
+    */
+  def fuzzyMatch(s: SparkSession, d: String): DataFrame = {
+    val master = Tables.part(s, d).select(col("p_name").as("m_name")).distinct()
+    val cand = dirtyFeed(s, d)
+      .join(broadcast(master),
+        substring(col("dirty_name"), 1, 1) === substring(col("m_name"), 1, 1) &&
+          abs(length(col("dirty_name")) - length(col("m_name"))) <= 1)
+      .withColumn("dist", levenshtein(col("dirty_name"), col("m_name")))
+      .filter(col("dist") <= 2)
+    val best = Window.partitionBy("p_partkey").orderBy(col("dist"), col("m_name"))
+    cand.withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("p_partkey"), col("dirty_name"),
+        col("m_name").as("matched_name"), col("dist").cast("long").as("dist"))
+      .orderBy("p_partkey")
+  }
+
+  /** Jaro-Winkler linkage via the native [[graft.plans.JaroWinkler]]
+    * expression (Spark has no Jaro family builtin) — argmax score per
+    * dirty row over the first-char block, thresholded at 0.8. Scores are
+    * rounded to 6dp BEFORE the argmax/threshold so the DuckDB oracle
+    * (native `jaro_winkler_similarity`, same 0.7-boost semantics) ranks
+    * identically.
+    */
+  def jaroMatch(s: SparkSession, d: String): DataFrame = {
+    val master = Tables.part(s, d).select(col("p_name").as("m_name")).distinct()
+    val cand = dirtyFeed(s, d)
+      .join(broadcast(master),
+        substring(col("dirty_name"), 1, 1) === substring(col("m_name"), 1, 1))
+      .withColumn("jw",
+        round(JaroWinkler.jaroWinkler(col("dirty_name"), col("m_name")), 6))
+    val best = Window.partitionBy("p_partkey")
+      .orderBy(col("jw").desc, col("m_name"))
+    cand.withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1 && col("jw") >= 0.8)
+      .select(col("p_partkey"), col("dirty_name"),
+        col("m_name").as("matched_name"), col("jw"))
+      .orderBy("p_partkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_fuzzy_match" -> (fuzzyMatch(_, _)),
+    "er_jaro_winkler" -> (jaroMatch(_, _))
+  )
+
+  /** Shared oracle CTE: the identical hash-corrupted feed. NOTE: this
+    * fragment is interpolated into strings that are stripMargin'd again,
+    * so no line may start with `|` (e.g. a leading `||` concat would lose
+    * a pipe and turn into bitwise OR).
+    */
+  private val feedSql =
+    s"""feed AS (
+       |  SELECT p_partkey, p_name,
+       |         CAST(${OracleSql.fnvIhash31("CAST(p_partkey AS VARCHAR)")} AS BIGINT) AS h,
+       |         length(p_name) AS len
+       |  FROM part WHERE p_partkey % 5 = 0 AND length(p_name) >= 4),
+       |dirty AS (
+       |  SELECT p_partkey,
+       |         CASE h % 3
+       |           WHEN 0 THEN substr(p_name, 1, pos-1) || substr(p_name, pos+1)
+       |           WHEN 1 THEN substr(p_name, 1, pos-1) || substr(p_name, pos+1, 1) ||
+       |                         substr(p_name, pos, 1) || substr(p_name, pos+2)
+       |           ELSE substr(p_name, 1, pos-1) || '0' || substr(p_name, pos+1)
+       |         END AS dirty_name
+       |  FROM (SELECT *, CAST((h // 3) % (len - 2) + 2 AS INTEGER) AS pos FROM feed)),
+       |master AS (SELECT DISTINCT p_name AS m_name FROM part)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "er_fuzzy_match" ->
+      s"""WITH $feedSql,
+         |cand AS (
+         |  SELECT d.p_partkey, d.dirty_name, m.m_name,
+         |         levenshtein(d.dirty_name, m.m_name) AS dist
+         |  FROM dirty d JOIN master m
+         |    ON substr(d.dirty_name, 1, 1) = substr(m.m_name, 1, 1)
+         |   AND abs(length(d.dirty_name) - length(m.m_name)) <= 1
+         |  WHERE levenshtein(d.dirty_name, m.m_name) <= 2),
+         |best AS (
+         |  SELECT *, row_number() OVER (PARTITION BY p_partkey
+         |                               ORDER BY dist, m_name) AS rn
+         |  FROM cand)
+         |SELECT p_partkey, dirty_name, m_name AS matched_name,
+         |       CAST(dist AS BIGINT) AS dist
+         |FROM best WHERE rn = 1 ORDER BY p_partkey""".stripMargin,
+    "er_jaro_winkler" ->
+      s"""WITH $feedSql,
+         |cand AS (
+         |  SELECT d.p_partkey, d.dirty_name, m.m_name,
+         |         round(jaro_winkler_similarity(d.dirty_name, m.m_name), 6) AS jw
+         |  FROM dirty d JOIN master m
+         |    ON substr(d.dirty_name, 1, 1) = substr(m.m_name, 1, 1)),
+         |best AS (
+         |  SELECT *, row_number() OVER (PARTITION BY p_partkey
+         |                               ORDER BY jw DESC, m_name) AS rn
+         |  FROM cand)
+         |SELECT p_partkey, dirty_name, m_name AS matched_name, jw
+         |FROM best WHERE rn = 1 AND jw >= 0.8 ORDER BY p_partkey""".stripMargin
+  )
+}
