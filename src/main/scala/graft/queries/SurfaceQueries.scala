@@ -48,34 +48,42 @@ object SurfaceQueries {
 
   /** BM25 document scoring for a fixed 3-term query (Robertson/Lucene
     * idf = ln(1 + (N-df+0.5)/(df+0.5)), k1=1.2, b=0.75) — the sparse-
-    * retrieval ranking complement to the dense sim_* family. Corpus
-    * statistics (N, avgdl) are a 1-row broadcast; per-term df is a
-    * 3-row broadcast; the scan streams once. Scores are rounded to 6dp
-    * BEFORE the top-20 cut so both engines rank identically.
+    * retrieval ranking complement to the dense sim_* family.
+    *
+    * Single-pass shape: per-doc term frequencies come from HOF
+    * `size(filter(...))` over the token array (no explode, no token
+    * shuffle — the inverted-index route needs one only when the query
+    * set is large/dynamic; for a bounded literal query the scan-side
+    * counters win at any corpus size). Corpus statistics (N, avgdl,
+    * per-term df) are ONE 1-row broadcast; the only exchange in the
+    * plan is the final top-k (TakeOrderedAndProject). Per-doc scores
+    * sum the 3 term scores in FIXED written order on both engines and
+    * round to 6dp before the cut so ranking can't drift.
     */
   def bm25(s: SparkSession, d: String,
       terms: Seq[String] = Seq("data", "query", "spark")): DataFrame = {
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), explode(spaceTokens(col("text"))).as("tok"))
-      .filter(col("tok") =!= "")
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      (sum("dl") / count(lit(1))).as("avgdl"))
-    val qtoks = toks.filter(col("tok").isInCollection(terms))
-    val df = qtoks.groupBy("tok").agg(countDistinct("doc_id").as("df"))
-    val tf = qtoks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    tf.join(broadcast(df), "tok")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      .withColumn("term_score",
-        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
-          (col("tf") * 2.2) /
-          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
-      .groupBy("doc_id")
-      .agg(round(sum("term_score"), 6).as("score"))
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"),
+        filter(spaceTokens(col("text")), t => t =!= "").as("toks"))
+      .select(Seq(col("doc_id"), size(col("toks")).cast("long").as("dl")) ++
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("toks"), x => x === lit(t))).cast("long").as(s"tf$i")
+        }: _*)
+    val statCols = Seq(count(lit(1)).as("n_docs"),
+      (sum("dl") / count(lit(1))).as("avgdl")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    def term(i: Int) =
+      log(lit(1.0) + (col("n_docs") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5)) *
+        (col(s"tf$i") * 2.2) /
+        (col(s"tf$i") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    base.crossJoin(broadcast(stats))
+      .filter(terms.indices.map(i => col(s"tf$i")).reduce(_ + _) > 0)
+      .select(col("doc_id"),
+        round(terms.indices.map(term).reduce(_ + _), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(20)
-
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -103,23 +111,30 @@ object SurfaceQueries {
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS nd_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "text_bm25" ->
-      """WITH toks AS (
-        |  SELECT doc_id, t AS tok FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
-        |  WHERE t <> ''),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-        |stats AS (SELECT count(*) AS n_docs, sum(dl) / count(*) AS avgdl FROM dl),
-        |qt AS (SELECT * FROM toks WHERE tok IN ('data', 'query', 'spark')),
-        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM qt GROUP BY tok),
-        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM qt GROUP BY doc_id, tok),
-        |scored AS (
-        |  SELECT tf.doc_id,
-        |         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
-        |           (tf * 2.2) /
-        |           (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS term_score
-        |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), stats)
-        |SELECT doc_id, round(sum(term_score), 6) AS score
-        |FROM scored GROUP BY doc_id
+      """WITH base AS (
+        |  SELECT doc_id, len(toks)::BIGINT AS dl,
+        |         len(list_filter(toks, x -> x = 'data'))::BIGINT AS tf0,
+        |         len(list_filter(toks, x -> x = 'query'))::BIGINT AS tf1,
+        |         len(list_filter(toks, x -> x = 'spark'))::BIGINT AS tf2
+        |  FROM (SELECT doc_id,
+        |               list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |        FROM documents)),
+        |stats AS (
+        |  SELECT count(*) AS n_docs, sum(dl) / count(*) AS avgdl,
+        |         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM base)
+        |SELECT doc_id,
+        |       round(
+        |         ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2) /
+        |           (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+        |         ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2) /
+        |           (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+        |         ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2) /
+        |           (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS score
+        |FROM base, stats
+        |WHERE tf0 + tf1 + tf2 > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   )
 }
