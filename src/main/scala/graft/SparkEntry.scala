@@ -44,7 +44,8 @@ object SparkEntry {
       (Q.SequenceQueries.queries, Q.SequenceQueries.oracles),
       (Q.MlQueries.queries, Q.MlQueries.oracles),
       (Q.RecursiveQueries.queries, Q.RecursiveQueries.oracles),
-      (Q.SurfaceQueries.queries, Q.SurfaceQueries.oracles)
+      (Q.SurfaceQueries.queries, Q.SurfaceQueries.oracles),
+      (Q.ExperimentQueries.queries, Q.ExperimentQueries.oracles)
     )
 
   /** Per-module registry sizes — lets ContractSpec prove no cross-module

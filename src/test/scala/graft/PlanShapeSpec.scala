@@ -229,6 +229,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(b.build().toBatch.planInputPartitions().length == 8)
   }
 
+  test("q_null_aware_anti: NOT IN plans the null-aware anti join variant") {
+    val plan = executedPlan("q_null_aware_anti")
+    // trailing `true` on the BHJ line is the isNullAwareAntiJoin flag —
+    // a plain left_anti here would silently change NOT IN semantics
+    assert(plan.contains("LeftAnti, BuildRight, true"), plan)
+  }
+
+  test("text_bm25: single-pass scan — no token shuffle, top-k cut only") {
+    val plan = executedPlan("text_bm25")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"BM25 must not shuffle tokens or docs:\n$plan")
+    assert(!plan.contains("Generate"), s"no explode in the scan-side form:\n$plan")
+  }
+
+  test("er_fuzzy_match: blocked join is broadcast-hash, rank-1 pushed below shuffle") {
+    val plan = executedPlan("er_fuzzy_match")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"blocking must make the linkage join equi-keyed:\n$plan")
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("aggregations run inside whole-stage codegen") {
     // codegen stars only appear in the FINAL adaptive plan — execute first
     val df = SparkEntry.queries("q_agg_basic")(spark, sf)
