@@ -35,14 +35,59 @@ object MlQueries {
         transform(col("embedding"), x => x.cast("double")).as("v"))
     val cents = base.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val sims = base.crossJoin(broadcast(cents))
-      .withColumn("sim", CosineSimilarity.cosine_sim(col("v"), col("cv")))
-    val best = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
-    sims.withColumn("rn", row_number().over(best)).filter(col("rn") === 1)
+    lloydAssign(base, cents)
       .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("cid").as("cluster_id"), col("dim"))
       .agg(round(avg("x"), 6).as("c_val"), count(lit(1)).as("n"))
       .select(col("cluster_id"), (col("dim") + 1).cast("long").as("dim"),
+        col("c_val"), col("n"))
+      .orderBy("cluster_id", "dim")
+  }
+
+  /** One cosine-argmax assignment pass: corpus streamed against a
+    * broadcast centroid set, rank-1 per vector (tie → lower cid). */
+  private def lloydAssign(base: DataFrame, cents: DataFrame): DataFrame = {
+    val best = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
+    base.crossJoin(broadcast(cents))
+      .withColumn("sim", CosineSimilarity.cosine_sim(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(best)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("v"))
+  }
+
+  /** Centroid recompute with 6dp quantization — the rounding is the
+    * cross-engine determinism contract BETWEEN iterations (both engines
+    * re-assign against identical quantized centroids), and incidentally
+    * the "centroids in fp32-ish precision" production shape. */
+  private def lloydRecompute(assign: DataFrame): DataFrame =
+    assign.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cid", "pos").agg(round(avg("x"), 6).as("c"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        p => p.getField("c")).as("cv"))
+
+  /** TWO full Lloyd iterations (assign → recompute → re-assign →
+    * recompute), the iterative-ML loop as repeated broadcast-join plans:
+    * each round is one streamed corpus scan + one (k×dim)-cell hash agg;
+    * the centroid set never exceeds k rows, so NOTHING corpus-sized ever
+    * shuffles, and the loop carries no growing lineage (the per-round
+    * aggregate output is k rows — contrast graph_components, where the
+    * carried state is vertex-sized and needs checkpoint truncation).
+    * Oracle = the same two rounds unrolled as DuckDB CTEs (the
+    * graph_pagerank pattern).
+    */
+  def kmeansIter(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val c0 = base.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val c1 = lloydRecompute(lloydAssign(base, c0))
+    val a2 = lloydAssign(base, c1)
+    val c2 = lloydRecompute(a2)
+    val sizes = a2.groupBy("cid").agg(count(lit(1)).as("n"))
+    c2.select(col("cid"), posexplode(col("cv")).as(Seq("pos", "c_val")))
+      .join(broadcast(sizes), "cid")
+      .select(col("cid").as("cluster_id"), (col("pos") + 1).cast("long").as("dim"),
         col("c_val"), col("n"))
       .orderBy("cluster_id", "dim")
   }
@@ -110,6 +155,7 @@ object MlQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_kmeans_step" -> (kmeansStep(_, _)),
+    "ml_kmeans_iter" -> (kmeansIter(_, _)),
     "ml_linreg_ols" -> (linregOls(_, _)),
     "sketch_countmin" -> (countMin(_, _))
   )
@@ -135,6 +181,41 @@ object MlQueries {
         |SELECT CAST(cid AS BIGINT) AS cluster_id, CAST(dim AS BIGINT) AS dim,
         |       round(avg(x), 6) AS c_val, CAST(count(*) AS BIGINT) AS n
         |FROM ex GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ml_kmeans_iter" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |a1 AS (
+        |  SELECT vec_id, cid, v FROM (
+        |    SELECT e.vec_id, c0.cid, e.v,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_cosine_similarity(e.v, c0.cv) DESC, c0.cid) AS rn
+        |    FROM e, c0) WHERE rn = 1),
+        |c1 AS (
+        |  SELECT cid, list(c ORDER BY pos) AS cv FROM (
+        |    SELECT cid, pos, round(avg(x), 6) AS c FROM (
+        |      SELECT cid, unnest(generate_series(1, len(v))) AS pos,
+        |             unnest(v) AS x FROM a1) GROUP BY cid, pos)
+        |  GROUP BY cid),
+        |a2 AS (
+        |  SELECT vec_id, cid, v FROM (
+        |    SELECT e.vec_id, c1.cid, e.v,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_cosine_similarity(e.v, c1.cv) DESC, c1.cid) AS rn
+        |    FROM e, c1) WHERE rn = 1),
+        |c2 AS (
+        |  SELECT cid, list(c ORDER BY pos) AS cv FROM (
+        |    SELECT cid, pos, round(avg(x), 6) AS c FROM (
+        |      SELECT cid, unnest(generate_series(1, len(v))) AS pos,
+        |             unnest(v) AS x FROM a2) GROUP BY cid, pos)
+        |  GROUP BY cid),
+        |sizes AS (SELECT cid, count(*) AS n FROM a2 GROUP BY cid)
+        |SELECT CAST(f.cid AS BIGINT) AS cluster_id, CAST(f.dim AS BIGINT) AS dim,
+        |       f.x AS c_val, CAST(sizes.n AS BIGINT) AS n
+        |FROM (SELECT cid, unnest(generate_series(1, len(cv))) AS dim,
+        |             unnest(cv) AS x FROM c2) f
+        |JOIN sizes USING (cid)
+        |ORDER BY cluster_id, dim""".stripMargin,
     "ml_linreg_ols" ->
       """WITH s AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n,

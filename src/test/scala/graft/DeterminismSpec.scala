@@ -18,9 +18,16 @@ class DeterminismSpec extends SparkSpec {
   // hash-priority top-k selection (pipeline_sample_weighted), iterative
   // relaxation (graph_bfs), and the typed opaque-lambda fold
   // (q_typed_reduce — integral sums, so order cannot leak into results)
+  // round-3 fourth batch adds: rounded per-dim float means after a
+  // broadcast argmax (ml_kmeans_step), exact-decimal power sums feeding
+  // double formulas (ml_linreg_ols), variance/corr aggregates
+  // (q_ab_ttest, q_autocorr), scan-side scoring with a rounded top-k cut
+  // (text_bm25), and rounded argmax linkage (er_jaro_winkler)
   private val probes = Seq("q_tpch_q1", "q_tpch_q9", "q_ewma",
     "dedup_minhash_lsh", "q_window_frame", "q_sample_hash",
-    "pipeline_sample_weighted", "graph_bfs", "q_typed_reduce")
+    "pipeline_sample_weighted", "graph_bfs", "q_typed_reduce",
+    "ml_kmeans_step", "ml_linreg_ols", "q_ab_ttest", "q_autocorr",
+    "text_bm25", "er_jaro_winkler")
 
   private def runAll(parts: String): Map[String, Seq[String]] = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")

@@ -45,7 +45,8 @@ class PlanAuditSpec extends SparkSpec {
     "pipeline_mixture",       // 1-row corpus-total scalar × per-source table
     "emb_knn_classify",       // broadcast 20-query set × corpus stream (sim_cosine_topk shape)
     "text_bm25",              // broadcast 1-row corpus-stats scalar (N, avgdl)
-    "ml_kmeans_step"          // broadcast k-row centroid set × corpus stream
+    "ml_kmeans_step",         // broadcast k-row centroid set × corpus stream
+    "ml_kmeans_iter"          // same shape, two unrolled Lloyd rounds
   )
   private val allowShuffleJoin = Set(
     "q_join_full",    // full outer: no broadcastable side by semantics
