@@ -24,6 +24,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // column pruning through the custom node
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(_ => AsOfJoinPruning)
+    e.injectPlannerStrategy(_ => IntervalJoinStrategy)
+    e.injectOptimizerRule(_ => IntervalJoinPruning)
+    e.injectFunction((
+      new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2,
+          s"jaro_winkler takes 2 arguments, got ${exprs.length}")
+        JaroWinkler(exprs.head, exprs(1))
+      }))
     e.injectFunction((
       new FunctionIdentifier("fnv1a64"),
       new ExpressionInfo(classOf[Fnv1a64].getName, "fnv1a64"),

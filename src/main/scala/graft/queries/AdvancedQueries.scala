@@ -63,6 +63,33 @@ object AdvancedQueries {
     */
   def asofNative(s: SparkSession, d: String): DataFrame = asofEvents(s, d)
 
+  /** Native point-in-interval join (plans/IntervalJoin — custom
+    * LogicalPlan+Strategy+SparkPlan, like the as-of family): overlapping
+    * price bands (width 16000, stride 8000 ⇒ interior prices match
+    * exactly two bands) over the lineitem fact. OSS Spark would plan the
+    * BETWEEN join as BroadcastNestedLoopJoin — O(probe × bands) with the
+    * whole band table scanned per row; the custom exec binary-searches
+    * the lo-sorted broadcast band list with a prefix-max-hi early stop,
+    * O(log m + matches) per probe row, probe never shuffled or sorted.
+    * Measured at sf0.1: ~even with BNLJ at 14 bands (codegen'd BNLJ wins
+    * on constants when m is tiny), 6× faster at 1400 bands (0.6 s vs
+    * 3.6 s) and diverging linearly in m beyond — the regime that matters
+    * (IP ranges, calendars, tariff tables are 10³-10⁶ intervals).
+    * Oracle: plain BETWEEN join (DuckDB), identical result set.
+    */
+  def intervalNative(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"))
+    val bands = s.range(14).select(col("id").as("band_id"),
+      (col("id").cast("double") * 8000).as("lo"),
+      (col("id").cast("double") * 8000 + 15999.99).as("hi"))
+    graft.plans.IntervalJoin.intervalJoin(li, bands,
+        li("l_extendedprice"), bands("lo"), bands("hi"))
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("band_id")
+  }
+
   /** Bounded-lookback as-of: same as `asofNative` but a click older than
     * 1 hour no longer matches (pandas merge_asof `tolerance` semantics).
     * Oracle: plain SQL (left join bounded both ways + max per purchase).
@@ -195,6 +222,7 @@ object AdvancedQueries {
     "q_asof_forward" -> (asofForward(_, _)),
     "q_asof_native" -> (asofNative(_, _)),
     "q_asof_tolerance" -> (asofTolerance(_, _)),
+    "q_interval_native" -> (intervalNative(_, _)),
     "q_salted_agg" -> (saltedAgg(_, _)),
     "q_percentiles" -> (percentiles(_, _)),
     "q_approx_distinct" -> (approxDistinct(_, _)),
@@ -206,6 +234,15 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_interval_native" ->
+      """WITH bands AS (
+        |  SELECT b AS band_id, CAST(b AS DOUBLE) * 8000 AS lo,
+        |         CAST(b AS DOUBLE) * 8000 + 15999.99 AS hi
+        |  FROM (SELECT unnest(range(0, 14)) AS b))
+        |SELECT band_id, CAST(count(*) AS BIGINT) AS n_items,
+        |       round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem JOIN bands ON l_extendedprice BETWEEN lo AND hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
     "q_asof_forward" ->
       """SELECT event_id, user_id,
         |       CAST(floor(epoch(ts)) AS BIGINT) AS purchase_ts,
