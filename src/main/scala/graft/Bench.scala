@@ -65,7 +65,12 @@ object Bench {
     // stay compact — headline queries only — or it gets truncated mid-JSON
     // and never parses (observed in rounds 1-2).
     val detail = s"""{"metric":"total","value":${num(total)},"unit":"sec","failed":$failed,"n_queries":${results.size},"queries":${jmap(results)},"sf":"$sfDir"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"), detail.getBytes("UTF-8"))
+    // a SPARK_GRAFT_ONLY dev-subset run must not clobber the committed
+    // full-registry record (it did once — a 1-query debug run replaced the
+    // end-of-round bench); subset details land next to it instead
+    val detailFile =
+      if (only.isEmpty) "BENCH_DETAIL.json" else "BENCH_DETAIL_subset.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(detailFile), detail.getBytes("UTF-8"))
     println(detail)
     val headline = Seq(
       "wc_wordcount", "grep_contains", "vertex_degree",

@@ -34,11 +34,12 @@ object DedupQueries {
   /** Exact pairwise near-dup detection: word-bigram shingle Jaccard ≥ 0.8
     * over a bounded candidate universe. Shingle-exploded self-join → one
     * shuffle on shingle, count intersections, derive |union| from set sizes.
-    */
-  /** `sorted = false` skips the output total order — for consumers that
+    *
+    * `sorted = false` skips the output total order — for consumers that
     * immediately re-aggregate or collect the pair set (cluster
     * resolution), where a sort ahead of a bounded collect would plan an
-    * expensive TakeOrdered heap for no benefit. */
+    * expensive TakeOrdered heap for no benefit.
+    */
   def ngramJaccard(s: SparkSession, d: String, maxDocId: Long = 500L,
       threshold: Double = 0.8, sorted: Boolean = true): DataFrame = {
     val docs = Tables.documents(s, d)

@@ -30,50 +30,62 @@ object PipelineQueries {
     * CTE over the same pair query.
     */
   def dedupClusters(s: SparkSession, d: String, maxIter: Int = 20,
-      threshold: Double = 0.8, localCap: Int = 5000000): DataFrame = {
+      threshold: Double = 0.8, localCap: Int = 2000000): DataFrame = {
     val pairs = DedupQueries
       .ngramJaccard(s, d, threshold = threshold, sorted = false)
       .select(col("da"), col("db"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // HYBRID cluster resolution — the production design: after near-dup
     // detection the PAIR set is orders of magnitude smaller than the
     // corpus (sparse by construction), so when it fits the driver
-    // (≤ localCap edges ≈ hundreds of MB) a local union-find resolves
+    // (≤ localCap edges ≈ low hundreds of MB) a local union-find resolves
     // components in one pass instead of O(diameter) distributed rounds —
     // same min-root labels, ~8 scheduler round-trips saved. A corpus
     // whose pair set exceeds the cap falls back to the distributed
     // min-label propagation (identical fixpoint; graph_components keeps
     // that loop as the first-class Pregel demonstration).
-    val collected = pairs.limit(localCap + 1).collect()
-    if (collected.length <= localCap) {
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x // path compression
-        while (parent.getOrElse(c, c) != c) {
-          val nxt = parent(c); parent(c) = r; c = nxt
+    //
+    // The regime probe is a COUNT of a capped limit — never a collect —
+    // so deciding "too big for the driver" cannot itself exhaust
+    // spark.driver.maxResultSize; the pair DAG (the dominant cost) is
+    // persisted across probe + resolution so neither path recomputes the
+    // shingle self-join. Both paths finish materializing before the
+    // unpersist (collect here; minLabelPropagation's eager convergence
+    // loop + lazy-checkpoint truncation in the fallback).
+    val result = try {
+      if (pairs.limit(localCap + 1).count() <= localCap) {
+        val collected = pairs.collect()
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != c) {
+            val nxt = parent(c); parent(c) = r; c = nxt
+          }
+          r
         }
-        r
+        collected.foreach { row =>
+          val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+          if (ra != rb) { // min id becomes the root — the min-label semantics
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          } else parent.getOrElseUpdate(ra, ra)
+        }
+        val vertices = collected.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+        import s.implicits._
+        vertices.map(v => (v, find(v))).toSeq.toDF("doc_id", "cluster_id")
+          .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+          .orderBy("doc_id")
+      } else {
+        val und = pairs.select(col("da").as("u"), col("db").as("v"))
+          .union(pairs.select(col("db").as("u"), col("da").as("v")))
+        GraphQueries.minLabelPropagation(und, maxIter)
+          .select(col("vtx").as("doc_id"), col("comp").as("cluster_id"),
+            (col("vtx") === col("comp")).as("is_keeper"))
+          .orderBy("doc_id")
       }
-      collected.foreach { row =>
-        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
-        if (ra != rb) { // min id becomes the root — the min-label semantics
-          if (ra < rb) parent(rb) = ra else parent(ra) = rb
-        } else parent.getOrElseUpdate(ra, ra)
-      }
-      val vertices = collected.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
-      import s.implicits._
-      vertices.map(v => (v, find(v))).toSeq.toDF("doc_id", "cluster_id")
-        .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
-        .orderBy("doc_id")
-    } else {
-      val und = pairs.select(col("da").as("u"), col("db").as("v"))
-        .union(pairs.select(col("db").as("u"), col("da").as("v")))
-      GraphQueries.minLabelPropagation(und, maxIter)
-        .select(col("vtx").as("doc_id"), col("comp").as("cluster_id"),
-          (col("vtx") === col("comp")).as("is_keeper"))
-        .orderBy("doc_id")
-    }
+    } finally pairs.unpersist(blocking = false)
+    result
   }
 
   /** CDC-style compaction: the LATEST event per user (by ts, tie-broken on
