@@ -193,6 +193,28 @@ object IntervalJoin {
         spark.experimental.extraOptimizations :+ IntervalJoinPruning
   }
 
+  /** The BIG-build-side path, composed from existing operators
+    * (SURVEY.md §4 preference order (a) — no custom exec needed):
+    * bucketize the domain with a fixed width, replicate each interval to
+    * every bucket it overlaps (explode over a sequence — replication
+    * factor = interval span / width), equi-join on the bucket id, then
+    * re-check containment exactly. Both sides shuffle ONCE on the bucket
+    * key (codegen'd hash join); no side needs to fit anywhere. Width is
+    * the knob: smaller ⇒ less false-candidate filtering but more
+    * interval replication. Use [[intervalJoin]] (broadcast exec) when
+    * the build side is small; this when it isn't.
+    */
+  def intervalJoinBucketed(probe: DataFrame, build: DataFrame,
+      point: Column, lo: Column, hi: Column, width: Double): DataFrame = {
+    import org.apache.spark.sql.functions.{explode, floor, sequence}
+    require(width > 0, "bucket width must be positive")
+    val p = probe.withColumn("_bkt", floor(point / width).cast("long"))
+    val b = build.withColumn("_bkt",
+      explode(sequence(floor(lo / width).cast("long"),
+        floor(hi / width).cast("long"))))
+    p.join(b, "_bkt").filter(point >= lo && point <= hi).drop("_bkt")
+  }
+
   /** Public interval-join API: every probe row × each build interval
     * containing its point. Columns must resolve against their own side;
     * the two plans must not share attribute ids (alias the build side).

@@ -90,6 +90,28 @@ object AdvancedQueries {
       .orderBy("band_id")
   }
 
+  /** Bucketed (shuffle-both-sides) interval join — the BIG-build-side
+    * path of the interval family, composed from existing operators:
+    * intervals replicate to the fixed-width buckets they overlap, the
+    * fact equi-joins on the bucket id, containment re-checked exactly.
+    * Same answer as `q_interval_native` by construction (one shared
+    * oracle shape); the two registry entries document the stats-driven
+    * choice: broadcast exec for band-table-sized builds, bucketed
+    * shuffle when the interval set itself is fact-sized.
+    */
+  def intervalBucketed(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"))
+    val bands = s.range(14).select(col("id").as("band_id"),
+      (col("id").cast("double") * 8000).as("lo"),
+      (col("id").cast("double") * 8000 + 15999.99).as("hi"))
+    graft.plans.IntervalJoin.intervalJoinBucketed(li, bands,
+        li("l_extendedprice"), bands("lo"), bands("hi"), width = 8000.0)
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("band_id")
+  }
+
   /** Bounded-lookback as-of: same as `asofNative` but a click older than
     * 1 hour no longer matches (pandas merge_asof `tolerance` semantics).
     * Oracle: plain SQL (left join bounded both ways + max per purchase).
@@ -223,6 +245,7 @@ object AdvancedQueries {
     "q_asof_native" -> (asofNative(_, _)),
     "q_asof_tolerance" -> (asofTolerance(_, _)),
     "q_interval_native" -> (intervalNative(_, _)),
+    "q_interval_bucketed" -> (intervalBucketed(_, _)),
     "q_salted_agg" -> (saltedAgg(_, _)),
     "q_percentiles" -> (percentiles(_, _)),
     "q_approx_distinct" -> (approxDistinct(_, _)),
@@ -234,6 +257,15 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_interval_bucketed" ->
+      """WITH bands AS (
+        |  SELECT b AS band_id, CAST(b AS DOUBLE) * 8000 AS lo,
+        |         CAST(b AS DOUBLE) * 8000 + 15999.99 AS hi
+        |  FROM (SELECT unnest(range(0, 14)) AS b))
+        |SELECT band_id, CAST(count(*) AS BIGINT) AS n_items,
+        |       round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem JOIN bands ON l_extendedprice BETWEEN lo AND hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
     "q_interval_native" ->
       """WITH bands AS (
         |  SELECT b AS band_id, CAST(b AS DOUBLE) * 8000 AS lo,

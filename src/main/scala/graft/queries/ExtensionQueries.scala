@@ -133,6 +133,35 @@ object ExtensionQueries {
       .orderBy("flag")
   }
 
+  /** Typed cogroup — per-key access to BOTH relations' iterators in one
+    * function (the generalized two-input reduce side; a join can only
+    * express it by materializing the row product): orders cogroup
+    * lineitem per orderkey, emitting order price, item count, and item
+    * sum in a single pass. One co-partitioned exchange per side, no
+    * group buffering beyond the key at hand. Item-less orders emit with
+    * zero counts (the LEFT JOIN shape of the oracle).
+    */
+  def cogroupQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      .as[(Long, Double)].groupByKey(_._1)
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"))
+      .as[(Long, Double)].groupByKey(_._1)
+    o.cogroup(li) { (key, os, ls) =>
+      val orders = os.toSeq
+      if (orders.isEmpty) Iterator.empty // no orphan lineitems in this schema
+      else {
+        var n = 0L
+        var sum = 0.0
+        ls.foreach { case (_, price) => n += 1; sum += price }
+        Iterator((key, orders.head._2, n, sum))
+      }
+    }.toDF("o_orderkey", "o_totalprice", "n_items", "li_sum")
+      .select(col("o_orderkey"), col("o_totalprice"), col("n_items"),
+        round(col("li_sum"), 2).as("li_sum"))
+      .orderBy("o_orderkey")
+  }
+
   /** Secondary sort — the classic MapReduce pattern the reference's
     * per-partition sort exists to serve (F5, worker/mod.rs:147-198):
     * process each key's rows in VALUE order without materializing the
@@ -164,6 +193,7 @@ object ExtensionQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_secondary_sort" -> (secondarySort(_, _)),
     "q_typed_reduce" -> (typedReduce(_, _)),
+    "q_cogroup" -> (cogroupQ(_, _)),
     "q_dsv2_scan" -> (dsv2Scan(_, _)),
     "q_fnv_buckets" -> (fnvBuckets(_, _)),
     "q_sample_hash" -> (sampleHash(_, _)),
@@ -187,6 +217,12 @@ object ExtensionQueries {
       """SELECT l_returnflag AS flag, round(sum(l_quantity), 2) AS sum_qty,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cogroup" ->
+      """SELECT o_orderkey, o_totalprice,
+        |       CAST(count(l_orderkey) AS BIGINT) AS n_items,
+        |       round(coalesce(sum(l_extendedprice), 0), 2) AS li_sum
+        |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q_dsv2_scan" ->
       """SELECT id % 10 AS mod10, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(id) AS BIGINT) AS sum_id,

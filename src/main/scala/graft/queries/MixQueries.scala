@@ -167,7 +167,32 @@ object MixQueries {
         col("priority"))
   }
 
+  /** Deterministic negative sampling for contrastive training pairs:
+    * each anchor doc draws k=4 pseudo-random negatives from the corpus
+    * via the slot-salted FNV stream, self-collisions resolved by +1
+    * linear probing mod corpus size. Hash-derived ⇒ the "random" draws
+    * are engine- and partitioning-independent AND re-derivable by the
+    * oracle — the same reproducibility contract as pipeline_split.
+    * Corpus size is a 1-row broadcast scalar; the anchor scan streams.
+    */
+  def negSamples(s: SparkSession, d: String, kNeg: Int = 4,
+      maxAnchor: Long = 200L): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val raw = Fnv1a64.ihash31(concat(lit("neg|"), col("doc_id").cast("string"),
+      lit("|"), col("slot").cast("string"))) % col("n_docs")
+    docs.filter(col("doc_id") < maxAnchor).select(col("doc_id"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("n_docs"),
+        explode(array((0 until kNeg).map(lit): _*)).as("slot"))
+      .withColumn("neg_id",
+        when(raw === col("doc_id"), (raw + 1) % col("n_docs")).otherwise(raw))
+      .select(col("doc_id"), col("slot").cast("long").as("slot"), col("neg_id"))
+      .orderBy("doc_id", "slot")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_neg_samples" -> (negSamples(_, _)),
     "pipeline_sample_weighted" -> (sampleWeighted(_, _)),
     "pipeline_split" -> (split(_, _)),
     "pipeline_mixture" -> (mixture(_, _)),
@@ -178,6 +203,21 @@ object MixQueries {
   import OracleSql.fnvIhash31
 
   val oracles: Map[String, String] = Map(
+    "pipeline_neg_samples" ->
+      s"""WITH n AS (SELECT count(*) AS n_docs FROM documents),
+         |a AS (SELECT doc_id, slot FROM documents,
+         |      (SELECT unnest(generate_series(0, 3)) AS slot)
+         |      WHERE doc_id < 200),
+         |h AS (
+         |  SELECT doc_id, slot,
+         |         CAST(${fnvIhash31(
+             "'neg|' || doc_id::VARCHAR || '|' || slot::VARCHAR")} % n_docs
+         |              AS BIGINT) AS raw, n_docs
+         |  FROM a, n)
+         |SELECT doc_id, CAST(slot AS BIGINT) AS slot,
+         |       CAST(CASE WHEN raw = doc_id THEN (raw + 1) % n_docs
+         |                 ELSE raw END AS BIGINT) AS neg_id
+         |FROM h ORDER BY doc_id, slot""".stripMargin,
     "pipeline_sample_weighted" ->
       s"""WITH d AS (
          |  SELECT doc_id, source,

@@ -46,7 +46,8 @@ class PlanAuditSpec extends SparkSpec {
     "emb_knn_classify",       // broadcast 20-query set × corpus stream (sim_cosine_topk shape)
     "text_bm25",              // broadcast 1-row corpus-stats scalar (N, avgdl)
     "ml_kmeans_step",         // broadcast k-row centroid set × corpus stream
-    "ml_kmeans_iter"          // same shape, two unrolled Lloyd rounds
+    "ml_kmeans_iter",         // same shape, two unrolled Lloyd rounds
+    "pipeline_neg_samples"    // broadcast 1-row corpus-count scalar
   )
   private val allowShuffleJoin = Set(
     "q_join_full",    // full outer: no broadcastable side by semantics
