@@ -242,7 +242,32 @@ object StreamingBridge {
       .orderBy("user_id")
   }
 
+  /** Stream-static INTERVAL enrichment under the gate: streamed event
+    * values classified against a static overlapping band table via
+    * `IntervalJoin.intervalJoinBucketed` — the composed bucketed form is
+    * the streaming-compatible member of the interval family (a custom
+    * exec is not streaming-aware; composed builtin ops are, for free).
+    * Complete-mode per-band totals equal the batch BETWEEN join.
+    */
+  def intervalEnrichViaStream(s: SparkSession, d: String): DataFrame = {
+    val bands = s.range(25).select(col("id").as("band_id"),
+      (col("id").cast("double") * 20).as("lo"),
+      (col("id").cast("double") * 20 + 39.99).as("hi"))
+    val joined = graft.plans.IntervalJoin.intervalJoinBucketed(
+      eventsStream(s, d).select(col("event_id"), col("value")), bands,
+      col("value"), bands("lo"), bands("hi"), width = 20.0)
+    runSettled(s, "ivenrich",
+      joined.groupBy("band_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value")),
+      OutputMode.Complete()) {
+      _.select(col("band_id"), col("n_events"),
+        round(col("sum_value"), 2).as("sum_value"))
+    }.orderBy("band_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_interval_enrich" -> (intervalEnrichViaStream(_, _)),
     "stream_leaderboard" -> (leaderboardViaStream(_, _)),
     "stream_foreach_upsert" -> (foreachUpsertViaStream(_, _)),
     "stream_dedup" -> (dedupViaStream(_, _)),
@@ -256,6 +281,15 @@ object StreamingBridge {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_interval_enrich" ->
+      """WITH bands AS (
+        |  SELECT b AS band_id, CAST(b AS DOUBLE) * 20 AS lo,
+        |         CAST(b AS DOUBLE) * 20 + 39.99 AS hi
+        |  FROM (SELECT unnest(range(0, 25)) AS b))
+        |SELECT band_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events JOIN bands ON value BETWEEN lo AND hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
     "stream_leaderboard" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |       CAST(row_number() OVER (ORDER BY count(*) DESC, user_id)

@@ -81,15 +81,46 @@ object WindowQueries {
       .orderBy("p_brand", "rn")
   }
 
+  /** Time-RANGE frame: rolling trailing-1-hour count/sum per user, the
+    * value-based frame (RANGE BETWEEN n PRECEDING) as opposed to the
+    * row-counted frames above — the sliding-lookback every ops dashboard
+    * and rate-limiter computes. Bounds ride on exact epoch-µs integers so
+    * the frame edge can never drift across engines; rows tied on the
+    * ORDER BY value share one frame (RANGE semantics) identically in
+    * both.
+    */
+  def windowTimeRange(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", round(sum("value").over(w), 2))
+      .select("user_id", "event_id", "us", "n_1h", "sum_1h")
+      .orderBy("user_id", "us", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_rank" -> (windowRank(_, _)),
     "q_window_lag" -> (windowLag(_, _)),
     "q_window_frame" -> (windowFrame(_, _)),
+    "q_window_timerange" -> (windowTimeRange(_, _)),
     "q_topk_global" -> (topkGlobal(_, _)),
     "q_topk_pergroup" -> (topkPerGroup(_, _))
   )
 
   val oracles: Map[String, String] = Map(
+    "q_window_timerange" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |                 epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+        |SELECT user_id, event_id, us,
+        |       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |       round(sum(value) OVER w, 2) AS sum_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, us, event_id""".stripMargin,
     "q_window_rank" ->
       """SELECT * FROM (
         |  SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS acctbal,
