@@ -45,7 +45,8 @@ object SparkEntry {
       (Q.MlQueries.queries, Q.MlQueries.oracles),
       (Q.RecursiveQueries.queries, Q.RecursiveQueries.oracles),
       (Q.SurfaceQueries.queries, Q.SurfaceQueries.oracles),
-      (Q.ExperimentQueries.queries, Q.ExperimentQueries.oracles)
+      (Q.ExperimentQueries.queries, Q.ExperimentQueries.oracles),
+      (Q.SketchQueries.queries, Q.SketchQueries.oracles)
     )
 
   /** Per-module registry sizes — lets ContractSpec prove no cross-module

@@ -1,0 +1,263 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions.spaceTokens
+import graft.plans.Fnv1a64
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fully-oracled probabilistic/integrity sketches built from relational
+  * ops over the shared FNV-1a hash (`graft.plans.Fnv1a64`): a HyperLogLog
+  * register file, a Bloom membership filter, and an order-independent
+  * table fingerprint. Unlike the opaque builtin sketches
+  * (`approx_count_distinct`'s HLL++ binary, `count_min_sketch`), every
+  * cell here is re-derivable in DuckDB, so the driver's gate checks the
+  * sketch CONTENTS, not just row counts — the `sketch_countmin` pattern
+  * (MlQueries.scala) extended to the two remaining workhorse sketches plus
+  * the data-integrity primitive a 100 TB copy job actually needs.
+  */
+object SketchQueries {
+
+  private val M = 64 // HLL registers (2^6); std error 1.04/sqrt(64) ≈ 13%
+
+  /** HyperLogLog from relational ops: hash every token, split the 31-bit
+    * ihash into a 6-bit register index and a 25-bit remainder, register =
+    * max over the geometric rank rho (position of the lowest set bit —
+    * same Geometric(1/2) law as the leading-zero convention, but
+    * `log2(rest & -rest)` is EXACT in ieee754, so both engines derive
+    * identical ranks with no libm boundary risk). Output is the full
+    * 64-register file plus the estimate and the exact distinct count.
+    *
+    * Scale: the sketch is 64 cells regardless of corpus size and merges
+    * by per-register max — the distributed-distinct-count summary you
+    * gossip between partitions instead of shuffling a vocabulary. The
+    * small-range linear-counting correction (zeros > 0, raw ≤ 2.5m) is
+    * included so the operator is honest at tiny cardinalities too.
+    */
+  def hll(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(spaceTokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val rho = toks
+      .select(Fnv1a64.ihash31(col("tok")).as("h"))
+      .select((col("h") % M).as("bucket"), expr(s"h div $M").as("rest"))
+      .select(col("bucket"),
+        when(col("rest") === 0, lit(26))
+          .otherwise(log2(col("rest").bitwiseAND(-col("rest"))).cast("int") + 1)
+          .as("rho"))
+    val regs = s.range(M).select(col("id").as("bucket"))
+      .join(rho.groupBy("bucket").agg(max("rho").as("mx")), Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("mx"), lit(0)).cast("long").as("reg"))
+    // Exact Σ 2^-reg: 64 terms, each an exact power of two in [2^-26, 1] —
+    // a double sum with < 52 bits of span is associative, so the aggregate
+    // is order-independent without rounding.
+    val stats = regs.agg(
+        sum(pow(lit(2.0), -col("reg"))).as("sum_inv"),
+        sum(when(col("reg") === 0, 1L).otherwise(0L)).as("zeros"))
+      .select(
+        (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(64.0))
+          * lit(64.0) * lit(64.0) / col("sum_inv")).as("raw"),
+        col("zeros"))
+      .select(round(
+        when(col("raw") <= 160.0 && col("zeros") > 0,
+          lit(64.0) * log(lit(64.0) / col("zeros"))).otherwise(col("raw")),
+        6).as("est_distinct"))
+    val exact = toks.agg(countDistinct(col("tok")).as("exact_distinct"))
+    regs.crossJoin(broadcast(stats)).crossJoin(broadcast(exact))
+      .orderBy("bucket")
+  }
+
+  private val BloomBits = 65536 // 2^16
+  private val BloomK = 3
+
+  /** Bloom filter from relational ops: k=3 salted FNV hashes of every
+    * distinct part name into a 2^16-bit domain; the filter is the distinct
+    * bit-position set, membership = all k probe positions present. Probed
+    * with 20 known-present and 20 known-absent keys; false positives are
+    * possible (and deterministic), false negatives never — the spec pins
+    * the one-sided error. `q_bloom_prejoin` demonstrates Spark's opaque
+    * BloomFilterAggregate in a join; this is the glass-box counterpart the
+    * oracle can re-derive bit by bit.
+    *
+    * Scale: the filter materializes as DISTINCT positions — O(min(k·n, m))
+    * rows — built by one hash-aggregate; probing is a broadcast join of
+    * the tiny probe set against it. At 100 TB you'd fold the position set
+    * into 1024 bitmap longs per partition and OR them (the
+    * q_bitmap_distinct layout); the position-set form keeps every bit
+    * SQL-visible.
+    */
+  def bloom(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.part(s, d).select(col("p_name")).distinct()
+    val seeds = array((0 until BloomK).map(lit): _*)
+    def positions(df: DataFrame, key: String): DataFrame =
+      df.select(col(key), explode(seeds).as("i"))
+        .select(col(key),
+          (Fnv1a64.ihash31(concat(col(key), lit("#"), col("i").cast("string")))
+            % BloomBits).as("pos"))
+    val filterBits = positions(names, "p_name").select("pos").distinct()
+    val bitsSet = filterBits.agg(count(lit(1)).as("bits_set"))
+    val present = Tables.part(s, d)
+      .orderBy("p_partkey").limit(20).select(col("p_name").as("probe"))
+    val absent = s.range(20)
+      .select(concat(lit("absent#"), col("id").cast("string")).as("probe"))
+    val probes = present.union(absent).distinct()
+    val hits = positions(probes, "probe")
+      .join(filterBits.withColumn("found", lit(1L)), Seq("pos"), "left")
+      .groupBy("probe")
+      .agg(min(coalesce(col("found"), lit(0L))).as("bloom_hit"))
+    val truth = probes
+      .join(names.withColumn("in_set", lit(1L)),
+        probes("probe") === names("p_name"), "left")
+      .select(col("probe"), coalesce(col("in_set"), lit(0L)).as("present"))
+    hits.join(truth, "probe")
+      .select(col("probe"), col("present"), col("bloom_hit"),
+        (col("bloom_hit") === 1 && col("present") === 0).cast("long").as("false_positive"))
+      .crossJoin(broadcast(bitsSet))
+      .orderBy("probe")
+  }
+
+  /** Order-independent table fingerprint: each row canonicalized to a '|'
+    * string of stable columns (floats via exact cent scaling, timestamps
+    * via epoch seconds — never engine-formatted float strings), FNV-hashed,
+    * then reduced with the commutative trio (count, sum, xor) plus
+    * min/max. Two tables differing in ANY row disagree in sum or xor with
+    * overwhelming probability; identical tables agree exactly.
+    *
+    * Scale: THE way to verify a 100 TB copy/migration — one streamed scan
+    * per side, five scalar aggregates, zero shuffle (partial aggregation
+    * reduces each partition to five numbers); no sort, no row pairing, and
+    * partitioning/layout of the two sides is irrelevant because every
+    * aggregate is commutative. The repartition-invariance spec pins that.
+    */
+  /** The five commutative audit aggregates over one canonicalized relation —
+    * package-visible so the spec can prove layout independence by feeding
+    * the SAME relation repartitioned. */
+  private[graft] def audit(tbl: String, df: DataFrame,
+      canon: org.apache.spark.sql.Column): DataFrame =
+    df.select(Fnv1a64.ihash31(canon).as("h"))
+      .agg(count(lit(1)).as("n_rows"), sum("h").as("h_sum"),
+        expr("bit_xor(h)").as("h_xor"), min("h").as("h_min"), max("h").as("h_max"))
+      .select(lit(tbl).as("tbl"), col("n_rows"), col("h_sum"),
+        col("h_xor"), col("h_min"), col("h_max"))
+
+  /** Canonical row string for lineitem (shared by query and spec). */
+  private[graft] def lineitemCanon: org.apache.spark.sql.Column =
+    concat_ws("|", col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+      round(col("l_extendedprice") * 100).cast("long"),
+      col("l_shipdate").cast("timestamp").cast("long"))
+
+  def fingerprint(s: SparkSession, d: String): DataFrame = {
+    val li = audit("lineitem", Tables.lineitem(s, d), lineitemCanon)
+    val ord = audit("orders", Tables.orders(s, d),
+      concat_ws("|", col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long"),
+        col("o_orderdate").cast("timestamp").cast("long")))
+    li.union(ord).orderBy("tbl")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_hll" -> (hll(_, _)),
+    "sketch_bloom" -> (bloom(_, _)),
+    "q_table_fingerprint" -> (fingerprint(_, _))
+  )
+
+  import OracleSql.fnvIhash31
+
+  val oracles: Map[String, String] = Map(
+    "sketch_hll" ->
+      s"""WITH toks AS (
+         |  SELECT t AS tok FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+         |  WHERE t <> ''),
+         |hv AS (SELECT CAST(${fnvIhash31("tok")} AS BIGINT) AS h FROM toks),
+         |rho AS (
+         |  SELECT h % 64 AS bucket,
+         |         CASE WHEN h // 64 = 0 THEN 26
+         |              ELSE CAST(log2((h // 64) & (-(h // 64))) AS INT) + 1
+         |         END AS rho
+         |  FROM hv),
+         |regs AS (
+         |  SELECT g.bucket, CAST(COALESCE(MAX(rho.rho), 0) AS BIGINT) AS reg
+         |  FROM (SELECT unnest(generate_series(0, 63)) AS bucket) g
+         |  LEFT JOIN rho ON rho.bucket = g.bucket
+         |  GROUP BY g.bucket),
+         |st AS (
+         |  SELECT 0.7213 / (1.0 + 1.079 / 64.0) * 64.0 * 64.0
+         |           / sum(pow(2.0, -reg)) AS raw,
+         |         sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS zeros
+         |  FROM regs),
+         |est AS (
+         |  SELECT round(CASE WHEN raw <= 160.0 AND zeros > 0
+         |                    THEN 64.0 * ln(64.0 / zeros)
+         |                    ELSE raw END, 6) AS est_distinct
+         |  FROM st),
+         |ex AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct
+         |       FROM toks)
+         |SELECT CAST(regs.bucket AS BIGINT) AS bucket, regs.reg,
+         |       est.est_distinct, ex.exact_distinct
+         |FROM regs, est, ex
+         |ORDER BY bucket""".stripMargin,
+    "sketch_bloom" ->
+      s"""WITH names AS (SELECT DISTINCT p_name FROM part),
+         |fbits AS (
+         |  SELECT DISTINCT
+         |    CAST(${fnvIhash31("p_name || '#' || CAST(i AS VARCHAR)")} % 65536
+         |         AS BIGINT) AS pos
+         |  FROM names, (SELECT unnest(generate_series(0, 2)) AS i)),
+         |bs AS (SELECT CAST(count(*) AS BIGINT) AS bits_set FROM fbits),
+         |probes AS (
+         |  SELECT DISTINCT probe FROM (
+         |    SELECT p_name AS probe
+         |    FROM (SELECT p_name FROM part ORDER BY p_partkey LIMIT 20)
+         |    UNION ALL
+         |    SELECT 'absent#' || CAST(i AS VARCHAR)
+         |    FROM (SELECT unnest(generate_series(0, 19)) AS i))),
+         |pp AS (
+         |  SELECT probe,
+         |    CAST(${fnvIhash31("probe || '#' || CAST(i AS VARCHAR)")} % 65536
+         |         AS BIGINT) AS pos
+         |  FROM probes, (SELECT unnest(generate_series(0, 2)) AS i)),
+         |hits AS (
+         |  SELECT pp.probe,
+         |         CAST(min(CASE WHEN fbits.pos IS NULL THEN 0 ELSE 1 END)
+         |              AS BIGINT) AS bloom_hit
+         |  FROM pp LEFT JOIN fbits ON fbits.pos = pp.pos
+         |  GROUP BY pp.probe),
+         |truth AS (
+         |  SELECT probe,
+         |         CAST(CASE WHEN names.p_name IS NULL THEN 0 ELSE 1 END
+         |              AS BIGINT) AS present
+         |  FROM probes LEFT JOIN names ON names.p_name = probes.probe)
+         |SELECT h.probe, t.present, h.bloom_hit,
+         |       CAST(CASE WHEN h.bloom_hit = 1 AND t.present = 0
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS false_positive,
+         |       bs.bits_set
+         |FROM hits h JOIN truth t ON t.probe = h.probe, bs
+         |ORDER BY h.probe""".stripMargin,
+    "q_table_fingerprint" ->
+      s"""WITH li AS (
+         |  SELECT CAST(${fnvIhash31(
+                  "concat_ws('|', CAST(l_orderkey AS VARCHAR), " +
+                    "CAST(l_linenumber AS VARCHAR), CAST(l_suppkey AS VARCHAR), " +
+                    "CAST(round(l_extendedprice * 100) AS BIGINT), " +
+                    "CAST(floor(epoch(l_shipdate)) AS BIGINT))")} AS BIGINT) AS h
+         |  FROM lineitem),
+         |ord AS (
+         |  SELECT CAST(${fnvIhash31(
+                  "concat_ws('|', CAST(o_orderkey AS VARCHAR), " +
+                    "CAST(o_custkey AS VARCHAR), o_orderstatus, " +
+                    "CAST(round(o_totalprice * 100) AS BIGINT), " +
+                    "CAST(floor(epoch(o_orderdate)) AS BIGINT))")} AS BIGINT) AS h
+         |  FROM orders)
+         |SELECT 'lineitem' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(sum(h) AS BIGINT) AS h_sum, CAST(bit_xor(h) AS BIGINT) AS h_xor,
+         |       CAST(min(h) AS BIGINT) AS h_min, CAST(max(h) AS BIGINT) AS h_max
+         |FROM li
+         |UNION ALL
+         |SELECT 'orders', CAST(count(*) AS BIGINT),
+         |       CAST(sum(h) AS BIGINT), CAST(bit_xor(h) AS BIGINT),
+         |       CAST(min(h) AS BIGINT), CAST(max(h) AS BIGINT)
+         |FROM ord
+         |ORDER BY tbl""".stripMargin
+  )
+}

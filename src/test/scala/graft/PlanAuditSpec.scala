@@ -47,7 +47,9 @@ class PlanAuditSpec extends SparkSpec {
     "text_bm25",              // broadcast 1-row corpus-stats scalar (N, avgdl)
     "ml_kmeans_step",         // broadcast k-row centroid set × corpus stream
     "ml_kmeans_iter",         // same shape, two unrolled Lloyd rounds
-    "pipeline_neg_samples"    // broadcast 1-row corpus-count scalar
+    "pipeline_neg_samples",   // broadcast 1-row corpus-count scalar
+    "sketch_hll",             // 64-register file × two 1-row scalars (estimate, exact)
+    "sketch_bloom"            // 40-probe report × 1-row bits_set scalar
   )
   private val allowShuffleJoin = Set(
     "q_join_full",    // full outer: no broadcastable side by semantics
