@@ -46,7 +46,8 @@ object SparkEntry {
       (Q.RecursiveQueries.queries, Q.RecursiveQueries.oracles),
       (Q.SurfaceQueries.queries, Q.SurfaceQueries.oracles),
       (Q.ExperimentQueries.queries, Q.ExperimentQueries.oracles),
-      (Q.SketchQueries.queries, Q.SketchQueries.oracles)
+      (Q.SketchQueries.queries, Q.SketchQueries.oracles),
+      (Q.MlQueries2.queries, Q.MlQueries2.oracles)
     )
 
   /** Per-module registry sizes — lets ContractSpec prove no cross-module

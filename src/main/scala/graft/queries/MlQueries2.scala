@@ -1,0 +1,231 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions.spaceTokens
+import graft.plans.Fnv1a64
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Classical ML expressed as relational plans, batch two: multinomial
+  * Naive Bayes (train + classify in one query), a full-batch logistic
+  * regression gradient step, and hashing-trick featurization.
+  *
+  * The cross-engine determinism device throughout is FIXED-POINT
+  * MICRO-UNITS: every per-row transcendental term is rounded to 1e-6 and
+  * cast to BIGINT at the row level, so all downstream aggregation is
+  * exact integer arithmetic — order-independent, partition-independent,
+  * and hashable by the driver without any float-ordering caveats. (The
+  * alternative — serial fold over a sorted list — costs a per-group sort;
+  * integer sums cost nothing and parallelize as plain partial aggregates.)
+  */
+object MlQueries2 {
+
+  private def micro(c: Column): Column =
+    round(c * 1000000d).cast("long")
+
+  /** Multinomial Naive Bayes over the documents table: classes = lang,
+    * features = space tokens, Laplace smoothing α=1. Trained and applied
+    * in the SAME plan (resubstitution — deterministic, no split needed):
+    * score(d,c) = Σ_{t∈d} cnt·ln(ctc+1) − n_d·ln(tc+V) + ln(prior_c),
+    * where tokens unseen in class c contribute ln(1)=0 and so drop out —
+    * the inner join IS the smoothing algebra, no zero-count (V×C)
+    * materialization ever exists.
+    *
+    * Scale: the model is two hash-aggregates (class-token counts, class
+    * totals); scoring is one equi-join of doc tokens against the model on
+    * token plus a broadcast of the C-row class constants. Nothing is ever
+    * collected; the model itself is a DataFrame you could write out and
+    * re-join tomorrow — "training" at 100 TB is exactly one shuffle of
+    * (lang, tok) pairs.
+    */
+  def naiveBayes(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs
+      .select(col("doc_id"), col("lang"), explode(spaceTokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val tokClass = toks.groupBy("lang", "tok").agg(count(lit(1)).as("ctc"))
+    val vocab = toks.agg(countDistinct("tok").as("v"))
+    val classTotals = tokClass.groupBy("lang").agg(sum("ctc").as("tc"))
+    val nDocs = docs.agg(count(lit(1)).as("n_total"))
+    val priors = docs.groupBy(col("lang").as("clang"))
+      .agg(count(lit(1)).as("c_docs"))
+      .crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(vocab))
+      .join(classTotals.withColumnRenamed("lang", "clang"), "clang")
+      .select(col("clang"),
+        micro(log(col("c_docs").cast("double") / col("n_total"))).as("prior_m"),
+        micro(log((col("tc") + col("v")).cast("double"))).as("lntcv_m"))
+    val docToks = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+    val docLen = docToks.groupBy("doc_id").agg(sum("cnt").as("n_d"))
+    // matched-token partial sums: micro-rounded per (doc, class, token)
+    // term, then EXACT integer aggregation
+    // the model (vocab×C rows) is the broadcastable side BY DESIGN — the
+    // doc-token side is the corpus-scale stream
+    val matched = docToks
+      .join(broadcast(tokClass.withColumnRenamed("lang", "clang")), Seq("tok"))
+      .groupBy("doc_id", "clang")
+      .agg(sum(micro(col("cnt") * log(col("ctc") + lit(1).cast("double")))).as("sum_m"))
+    val grid = docs.select(col("doc_id"), col("lang"))
+      .crossJoin(broadcast(priors))
+    val scored = grid
+      .join(matched, Seq("doc_id", "clang"), "left")
+      .join(docLen, "doc_id")
+      .select(col("doc_id"), col("lang"), col("clang"),
+        (coalesce(col("sum_m"), lit(0L))
+          - col("n_d") * col("lntcv_m") + col("prior_m")).as("score_m"))
+    val best = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score_m").desc, col("clang"))
+    scored.withColumn("rn", row_number().over(best)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("clang").as("pred"),
+        col("score_m").as("score_micro"))
+      .orderBy("doc_id")
+  }
+
+  /** One full-batch gradient-descent step of logistic regression
+    * (P[l_returnflag='R'] from discount and tax), from nonzero initial
+    * weights so the sigmoid is genuinely exercised: per-row gradient and
+    * log-loss contributions micro-rounded to integers, summed exactly,
+    * then the weight update computed from the integer sums with identical
+    * double arithmetic on both engines. The "training epoch as a
+    * relational aggregate" pattern: one streamed scan, three integer
+    * sums, no shuffle beyond the final 1-row aggregate.
+    */
+  def logregStep(s: SparkSession, d: String): DataFrame = {
+    val (w0, w1, w2, lr) = (0.1d, -0.2d, 0.3d, 0.5d)
+    val li = Tables.lineitem(s, d).select(
+      col("l_discount").as("x1"), col("l_tax").as("x2"),
+      when(col("l_returnflag") === "R", 1.0d).otherwise(0.0d).as("y"))
+    val z = lit(w0) + lit(w1) * col("x1") + lit(w2) * col("x2")
+    val p = lit(1.0d) / (lit(1.0d) + exp(-z))
+    val sums = li.select(
+        micro((p - col("y"))).as("g0"),
+        micro((p - col("y")) * col("x1")).as("g1"),
+        micro((p - col("y")) * col("x2")).as("g2"),
+        micro(-(col("y") * log(p) + (lit(1.0d) - col("y")) * log(lit(1.0d) - p)))
+          .as("l"))
+      .agg(count(lit(1)).as("n"), sum("g0").as("sg0"), sum("g1").as("sg1"),
+        sum("g2").as("sg2"), sum("l").as("loss_micro"))
+    def upd(w: Double, sg: Column): Column =
+      round(lit(w) - lit(lr) * (sg.cast("double") / lit(1000000d) / col("n")), 6)
+    sums.select(col("n"),
+      upd(w0, col("sg0")).as("w0_new"),
+      upd(w1, col("sg1")).as("w1_new"),
+      upd(w2, col("sg2")).as("w2_new"),
+      col("loss_micro"))
+  }
+
+  /** Hashing-trick featurization (the Vowpal-Wabbit/sklearn
+    * FeatureHasher): token → FNV index in a 256-dim space with a
+    * second-hash sign, per-doc weights summed exactly as integers.
+    * Collisions are deterministic and sign-cancelling — the classic
+    * variance-reduction trick, all SQL-visible. Output restricted to
+    * doc_id < 50 to keep the gate result bounded; the plan is one
+    * hash-aggregate regardless.
+    */
+  def featureHash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), explode(spaceTokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"),
+        (Fnv1a64.ihash31(col("tok")) % 256).as("feat"),
+        when(Fnv1a64.ihash31(concat(lit("s#"), col("tok"))) % 2 === 0, 1L)
+          .otherwise(-1L).as("sign"))
+      .groupBy("doc_id", "feat")
+      .agg(sum("sign").as("weight"))
+      .filter(col("weight") =!= 0)
+      .orderBy("doc_id", "feat")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_naive_bayes" -> (naiveBayes(_, _)),
+    "ml_logreg_step" -> (logregStep(_, _)),
+    "ml_feature_hash" -> (featureHash(_, _))
+  )
+
+  import OracleSql.fnvIhash31
+
+  val oracles: Map[String, String] = Map(
+    "ml_naive_bayes" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, t AS tok FROM (
+        |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+        |    FROM documents)
+        |  WHERE t <> ''),
+        |tok_class AS (
+        |  SELECT lang AS clang, tok, count(*) AS ctc
+        |  FROM toks GROUP BY lang, tok),
+        |vocab AS (SELECT count(DISTINCT tok) AS v FROM toks),
+        |class_tot AS (SELECT clang, sum(ctc) AS tc FROM tok_class GROUP BY clang),
+        |n_docs AS (SELECT count(*) AS n_total FROM documents),
+        |priors AS (
+        |  SELECT cd.clang,
+        |         CAST(round(ln(cd.c_docs::DOUBLE / n_docs.n_total) * 1000000)
+        |              AS BIGINT) AS prior_m,
+        |         CAST(round(ln((ct.tc + vocab.v)::DOUBLE) * 1000000)
+        |              AS BIGINT) AS lntcv_m
+        |  FROM (SELECT lang AS clang, count(*) AS c_docs
+        |        FROM documents GROUP BY lang) cd
+        |  JOIN class_tot ct ON ct.clang = cd.clang, n_docs, vocab),
+        |doc_toks AS (
+        |  SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok),
+        |doc_len AS (SELECT doc_id, sum(cnt) AS n_d FROM doc_toks GROUP BY doc_id),
+        |matched AS (
+        |  SELECT dt.doc_id, tc.clang,
+        |         sum(CAST(round(dt.cnt * ln((tc.ctc + 1)::DOUBLE) * 1000000)
+        |                  AS BIGINT)) AS sum_m
+        |  FROM doc_toks dt JOIN tok_class tc ON tc.tok = dt.tok
+        |  GROUP BY dt.doc_id, tc.clang),
+        |scored AS (
+        |  SELECT d.doc_id, d.lang, p.clang,
+        |         COALESCE(m.sum_m, 0) - dl.n_d * p.lntcv_m + p.prior_m AS score_m
+        |  FROM documents d
+        |  CROSS JOIN priors p
+        |  LEFT JOIN matched m ON m.doc_id = d.doc_id AND m.clang = p.clang
+        |  JOIN doc_len dl ON dl.doc_id = d.doc_id)
+        |SELECT doc_id, lang, clang AS pred, CAST(score_m AS BIGINT) AS score_micro
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                                   ORDER BY score_m DESC, clang) AS rn
+        |      FROM scored)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "ml_logreg_step" ->
+      """WITH rows_ AS (
+        |  SELECT l_discount AS x1, l_tax AS x2,
+        |         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM lineitem),
+        |terms AS (
+        |  SELECT y,
+        |         1.0 / (1.0 + exp(-(0.1 + (-0.2) * x1 + 0.3 * x2))) AS p,
+        |         x1, x2
+        |  FROM rows_),
+        |sums AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(round((p - y) * 1000000) AS BIGINT)) AS sg0,
+        |         sum(CAST(round((p - y) * x1 * 1000000) AS BIGINT)) AS sg1,
+        |         sum(CAST(round((p - y) * x2 * 1000000) AS BIGINT)) AS sg2,
+        |         sum(CAST(round(-(y * ln(p) + (1.0 - y) * ln(1.0 - p)) * 1000000)
+        |                  AS BIGINT)) AS loss_micro
+        |  FROM terms)
+        |SELECT n,
+        |       round(0.1 - 0.5 * (sg0::DOUBLE / 1000000 / n), 6) AS w0_new,
+        |       round(-0.2 - 0.5 * (sg1::DOUBLE / 1000000 / n), 6) AS w1_new,
+        |       round(0.3 - 0.5 * (sg2::DOUBLE / 1000000 / n), 6) AS w2_new,
+        |       CAST(loss_micro AS BIGINT) AS loss_micro
+        |FROM sums""".stripMargin,
+    "ml_feature_hash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, t AS tok FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+         |    FROM documents WHERE doc_id < 50)
+         |  WHERE t <> ''),
+         |feats AS (
+         |  SELECT doc_id,
+         |         CAST(${fnvIhash31("tok")} % 256 AS BIGINT) AS feat,
+         |         CASE WHEN ${fnvIhash31("'s#' || tok")} % 2 = 0
+         |              THEN 1 ELSE -1 END AS sign
+         |  FROM toks)
+         |SELECT doc_id, feat, CAST(sum(sign) AS BIGINT) AS weight
+         |FROM feats GROUP BY doc_id, feat
+         |HAVING sum(sign) <> 0
+         |ORDER BY doc_id, feat""".stripMargin
+  )
+}

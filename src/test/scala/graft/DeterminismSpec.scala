@@ -23,11 +23,16 @@ class DeterminismSpec extends SparkSpec {
   // double formulas (ml_linreg_ols), variance/corr aggregates
   // (q_ab_ttest, q_autocorr), scan-side scoring with a rounded top-k cut
   // (text_bm25), and rounded argmax linkage (er_jaro_winkler)
+  // round-3 fifth batch adds the fixed-point micro-unit aggregates
+  // (ml_naive_bayes, ml_logreg_step — per-row rounded transcendentals
+  // summed as integers) and the commutative-hash fingerprint
+  // (q_table_fingerprint), whose whole POINT is layout independence
   private val probes = Seq("q_tpch_q1", "q_tpch_q9", "q_ewma",
     "dedup_minhash_lsh", "q_window_frame", "q_sample_hash",
     "pipeline_sample_weighted", "graph_bfs", "q_typed_reduce",
     "ml_kmeans_step", "ml_linreg_ols", "q_ab_ttest", "q_autocorr",
-    "text_bm25", "er_jaro_winkler")
+    "text_bm25", "er_jaro_winkler",
+    "ml_naive_bayes", "ml_logreg_step", "q_table_fingerprint")
 
   private def runAll(parts: String): Map[String, Seq[String]] = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")

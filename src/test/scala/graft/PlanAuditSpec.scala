@@ -49,13 +49,17 @@ class PlanAuditSpec extends SparkSpec {
     "ml_kmeans_iter",         // same shape, two unrolled Lloyd rounds
     "pipeline_neg_samples",   // broadcast 1-row corpus-count scalar
     "sketch_hll",             // 64-register file × two 1-row scalars (estimate, exact)
-    "sketch_bloom"            // 40-probe report × 1-row bits_set scalar
+    "sketch_bloom",           // 40-probe report × 1-row bits_set scalar
+    "ml_naive_bayes"          // doc grid × broadcast C-row class-constant table
   )
   private val allowShuffleJoin = Set(
     "q_join_full",    // full outer: no broadcastable side by semantics
     "q_merge_upsert", // MERGE core is a full outer join — same semantics
     "q_tpch_q21",     // lineitem self-joins co-keyed on l_orderkey (documented)
-    "graph_triangles" // edge-set self-joins, both sides same relation
+    "graph_triangles",// edge-set self-joins, both sides same relation
+    "ml_naive_bayes"  // doc-grid ⋈ doc-scores ⋈ doc-lengths: every side is
+                      // document-count-sized, co-keyed on doc_id — no
+                      // broadcastable side by semantics (model join IS hinted)
   )
 
   test("no query plans an UNDOCUMENTED cartesian/BNLJ/shuffle join") {
