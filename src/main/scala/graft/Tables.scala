@@ -45,12 +45,24 @@ object Tables {
           spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-      // ns → µs truncation — exactly what DuckDB does reading the same file,
-      // so oracle comparisons on ts are bit-identical.
-      if (name == "events")
-        raw.withColumn("ts",
-          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      else raw
+      // Normalize events.ts to TimestampType regardless of how the fixture
+      // ships it, so every downstream query sees one stable type:
+      //  - timestamp[ns]  → LongType via nanosAsLong → timestamp_micros(ns/1000)
+      //    (the same ns→µs truncation DuckDB applies, so oracles stay
+      //    bit-identical);
+      //  - timestamp[us]  → TimestampNTZType under Spark 4's NTZ inference →
+      //    cast to TimestampType (value-identical: all graft sessions pin
+      //    spark.sql.session.timeZone=UTC);
+      //  - already TimestampType → pass through.
+      if (name == "events") {
+        import org.apache.spark.sql.functions.{col, expr}
+        import org.apache.spark.sql.types.{LongType, TimestampType}
+        raw.schema("ts").dataType match {
+          case LongType      => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          case TimestampType => raw
+          case _             => raw.withColumn("ts", col("ts").cast(TimestampType))
+        }
+      } else raw
     })
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")

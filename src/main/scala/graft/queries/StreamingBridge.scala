@@ -69,8 +69,17 @@ object StreamingBridge {
     val raw = s.read.parquet(s"$d/events.parquet").schema
     // glob form: FileStreamSource requires a directory or glob basePath,
     // and the fixture is a single parquet file
-    s.readStream.schema(raw).parquet(s"$d/{events}.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val src = s.readStream.schema(raw).parquet(s"$d/{events}.parquet")
+    // Same ts normalization as Tables.load: ns-as-long → timestamp_micros;
+    // timestamp[us] (NTZ under Spark 4 inference) → cast; TimestampType as-is.
+    raw("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => src
+      case _ =>
+        src.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   /** Tumbling windows via the streaming engine; equals `q_events_tumbling`. */
