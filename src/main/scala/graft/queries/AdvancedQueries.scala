@@ -165,8 +165,12 @@ object AdvancedQueries {
       .orderBy("l_returnflag")
 
   /** HLL approx_count_distinct next to the exact count — the sketch that
-    * replaces exact distinct at 100 TB. No oracle (HLL implementations
-    * differ across engines); ApproxSpec asserts the error envelope instead.
+    * replaces exact distinct at 100 TB. HLL sketch values are
+    * engine-specific, so the oracle gates the *error envelope* instead of
+    * the raw estimate: the exact count is oracle-checked value-for-value,
+    * and `within_tol` asserts |approx − exact| ≤ 6% (3σ at rsd = 0.02;
+    * Spark's HLL++ is deterministic for fixed data, so a pass is stable,
+    * not flaky). ApproxSpec additionally tracks the envelope across SFs.
     */
   def approxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -174,6 +178,9 @@ object AdvancedQueries {
       .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")) <=
+          col("exact_parts") * 0.06).as("within_tol"))
       .orderBy("l_returnflag")
 
   /** wc through the typed Dataset surface — `Dataset[String].flatMap` is the
@@ -352,7 +359,12 @@ object AdvancedQueries {
         |  SELECT s_suppkey AS k, s_name AS name FROM supplier
         |  UNION ALL
         |  SELECT c_custkey AS k, c_name AS name FROM customer WHERE c_custkey <= 10)
-        |ORDER BY k, name""".stripMargin
-    // q_approx_distinct: HLL sketch values are engine-specific → rows-only.
+        |ORDER BY k, name""".stripMargin,
+    // HLL estimates are engine-specific; the oracle checks the exact count
+    // and that the Spark-side tolerance gate reported true.
+    "q_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |       TRUE AS within_tol
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -119,11 +119,14 @@ object PipelineQueries {
 
   /** Mergeable-sketch percentiles (Greenwald-Khanna via percentile_approx):
     * the distributed answer to quantiles at 100 TB, where the exact form
-    * (`q_percentiles`) needs a per-group sort. Rows-only driver check (the
-    * sketch is implementation-specific); LlmOpsSpec bounds its error
-    * against the exact percentiles at two SFs. The sketch array is
-    * flattened to scalar p50/p90/p99 columns — the driver's rows-only
-    * checker hashes values, and array cells are unhashable on its side.
+    * (`q_percentiles`) needs a per-group sort. The sketch values are
+    * implementation-specific, so the oracle gates the error envelope: the
+    * exact percentiles (interpolated, matching DuckDB quantile_cont) are
+    * oracle-checked value-for-value, and the `*_ok` booleans assert the
+    * GK estimates sit within 1% relative of exact (accuracy=10000 bounds
+    * rank error at n/10000 ranks — far tighter than 1% in value on this
+    * price distribution; deterministic, so a pass is stable). LlmOpsSpec
+    * additionally bounds the envelope at two SFs.
     */
   def approxPercentiles(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -131,12 +134,19 @@ object PipelineQueries {
       .agg(
         percentile_approx(col("l_extendedprice"),
           array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("pcts"),
+        expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ex"),
         count(lit(1)).as("n"))
       .select(col("l_returnflag"),
-        element_at(col("pcts"), 1).as("p50"),
-        element_at(col("pcts"), 2).as("p90"),
-        element_at(col("pcts"), 3).as("p99"),
-        col("n"))
+        round(element_at(col("ex"), 1), 4).as("p50"),
+        round(element_at(col("ex"), 2), 4).as("p90"),
+        round(element_at(col("ex"), 3), 4).as("p99"),
+        col("n"),
+        (abs(element_at(col("pcts"), 1) - element_at(col("ex"), 1)) <=
+          element_at(col("ex"), 1) * 0.01).as("p50_ok"),
+        (abs(element_at(col("pcts"), 2) - element_at(col("ex"), 2)) <=
+          element_at(col("ex"), 2) * 0.01).as("p90_ok"),
+        (abs(element_at(col("pcts"), 3) - element_at(col("ex"), 3)) <=
+          element_at(col("ex"), 3) * 0.01).as("p99_ok"))
       .orderBy("l_returnflag")
 
   /** Data-quality constraint report (the Deequ/great-expectations shape):
@@ -264,8 +274,16 @@ object PipelineQueries {
         |      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))
         |GROUP BY bigram
         |ORDER BY df DESC, bigram
-        |LIMIT 20""".stripMargin
-    // q_approx_percentile: sketch-specific values → rows-only driver check;
-    // error envelope asserted in LlmOpsSpec at two SFs.
+        |LIMIT 20""".stripMargin,
+    // GK estimates are sketch-specific; the oracle checks the exact
+    // interpolated percentiles and that the tolerance gates reported true.
+    "q_approx_percentile" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+        |       count(*) AS n,
+        |       TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }
