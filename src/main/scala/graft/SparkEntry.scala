@@ -47,7 +47,8 @@ object SparkEntry {
       (Q.SurfaceQueries.queries, Q.SurfaceQueries.oracles),
       (Q.ExperimentQueries.queries, Q.ExperimentQueries.oracles),
       (Q.SketchQueries.queries, Q.SketchQueries.oracles),
-      (Q.MlQueries2.queries, Q.MlQueries2.oracles)
+      (Q.MlQueries2.queries, Q.MlQueries2.oracles),
+      (Q.CatalogQueries.queries, Q.CatalogQueries.oracles)
     )
 
   /** Per-module registry sizes — lets ContractSpec prove no cross-module

@@ -1,0 +1,55 @@
+package graft
+
+import graft.queries.CatalogQueries
+import org.apache.spark.sql.functions._
+
+/** Plan-shape pins for the catalog-layout queries (the registry entries'
+  * values are oracle-gated; these tests pin WHY the layouts matter — the
+  * shuffle and file-listing work they remove).
+  */
+class CatalogSpec extends SparkSpec
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
+
+  test("q_bucketed_join: neither join side shuffles (bucket-aligned scan)") {
+    val df = CatalogQueries.bucketedJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val joinPart = plan.substring(plan.indexOf("Join"))
+    assert(!joinPart.contains("Exchange hashpartitioning(l_orderkey") &&
+      !joinPart.contains("Exchange hashpartitioning(o_orderkey"),
+      s"join sides were shuffled:\n$plan")
+    // values sanity on top of the oracle: counts match the plain join
+    val expected = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(df.agg(sum("cnt")).collect()(0).getLong(0) == expected)
+  }
+
+  test("q_partition_pruned: partition filter prunes at listing time") {
+    val df = CatalogQueries.partitionPruned(spark, sf)
+    df.collect() // finalize the adaptive plan before inspecting scans
+    val scans = collect(df.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a FileSourceScanExec over the layout")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      s"no partition filters pushed:\n${df.queryExecution.executedPlan}")
+    // pruning must actually drop partitions: the fixture has more event
+    // types than the two selected
+    val allTypes = Tables.events(spark, sf)
+      .select("event_type").distinct().count()
+    assert(allTypes > 2, s"fixture lost event-type variety ($allTypes)")
+    assert(scan.relation.location.inputFiles.length >
+      scan.selectedPartitions.totalNumberOfFiles,
+      "scan read every partition — pruning did not happen")
+  }
+
+  test("q_skew_join_aqe: session confs are restored after the eager run") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val before = spark.conf.getOption(key)
+    val rows = CatalogQueries.skewJoinAqe(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(spark.conf.getOption(key) == before,
+      "skew-join builder leaked a session conf override")
+  }
+}
