@@ -114,6 +114,36 @@ object StreamingBridge {
     * micro-batch, and the max_by reduction keeps the read robust if it
     * ever splits (n_events is monotone per key).
     */
+  /** `stream_user_totals` through Spark 4's `transformWithState` instead
+    * of `mapGroupsWithState` — same oracle, so the two arbitrary-state
+    * APIs are proven equivalent on the same data. transformWithState only
+    * runs on the RocksDB state store; the conf is session-level, and like
+    * the skew-join builder the override must cover EXECUTION, which for a
+    * bridge happens inside runSettled — hence set/restore around it.
+    */
+  def transformStateViaStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ev = eventsStream(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"))
+        .as[StreamingOps.Event]
+      runSettled(s, "tws", StreamingOps.runningUserTotalsTws(ev).toDF(),
+        OutputMode.Update()) {
+        _.groupBy("user_id")
+          .agg(max(col("n_events")).as("n_events"),
+            round(expr("max_by(total_value, n_events)"), 2).as("total_value"))
+      }.orderBy("user_id")
+    } finally saved match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   def userTotalsViaStream(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ev = eventsStream(s, d)
@@ -285,6 +315,7 @@ object StreamingBridge {
     "stream_interval_join" -> (intervalJoinViaStream(_, _)),
     "stream_session_starts" -> (sessionStartsViaStream(_, _)),
     "stream_user_totals" -> (userTotalsViaStream(_, _)),
+    "stream_transform_state" -> (transformStateViaStream(_, _)),
     "stream_events_tumbling" -> (tumblingViaStream(_, _)),
     "stream_events_session" -> (sessionViaStream(_, _))
   )
@@ -360,6 +391,12 @@ object StreamingBridge {
         |FROM flagged WHERE new_session = 1
         |ORDER BY user_id, session_start""".stripMargin,
     "stream_user_totals" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       round(sum(value), 2) AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // identical oracle to stream_user_totals: transformWithState and
+    // mapGroupsWithState must agree with the batch aggregate AND each other
+    "stream_transform_state" ->
       """SELECT user_id, count(*) AS n_events,
         |       round(sum(value), 2) AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,

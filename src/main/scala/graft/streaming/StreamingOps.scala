@@ -74,6 +74,49 @@ object StreamingOps {
       }
   }
 
+  /** Running per-user totals via `transformWithState` — Spark 4's
+    * arbitrary-state API (SPARK-49585; successor to *GroupsWithState):
+    * named typed state handles (`ValueState`/`ListState`/`MapState`) with
+    * optional TTL and timers, backed by the RocksDB state store (the only
+    * provider the operator supports — the caller must set
+    * `spark.sql.streaming.stateStore.providerClass` before starting the
+    * query; the bridge does this with save/restore). Same semantics as
+    * `runningUserTotals`, deliberately: the two APIs are oracle-checked
+    * against the same batch aggregate.
+    */
+  class UserTotalProcessor extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, Event, UserTotal] {
+    @transient private var totals:
+      org.apache.spark.sql.streaming.ValueState[UserTotal] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotal]("totals",
+        org.apache.spark.sql.Encoders.product[UserTotal],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserTotal] = {
+      val prev =
+        if (totals.exists()) totals.get() else UserTotal(key, 0L, 0.0)
+      var n = prev.n_events
+      var tot = prev.total_value
+      rows.foreach { e => n += 1; tot += e.value }
+      val next = UserTotal(key, n, tot)
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def runningUserTotalsTws(events: Dataset[Event]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new UserTotalProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Session-START detection via `flatMapGroupsWithState` — the 0..N
     * emission surface (mapGroupsWithState is exactly-1): emits one record
     * per event that opens a new session (first event, or gap > 30 min from
