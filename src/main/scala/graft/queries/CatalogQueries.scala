@@ -49,7 +49,14 @@ object CatalogQueries {
     */
   private def bucketedTable(s: SparkSession, df: DataFrame, table: String,
       key: String, buckets: Int, path: String): DataFrame = {
-    df.write.bucketBy(buckets, key).sortBy(key)
+    // Pre-shuffle onto the bucket hash (repartition's HashPartitioning is
+    // the same pmod(murmur3) the bucket spec uses) so each write task owns
+    // exactly one bucket: 1 sorted file per bucket instead of
+    // (input partitions × buckets) small files — at 100 TB the difference
+    // between a clean layout and a small-file explosion, and the readback
+    // gets single-file buckets (no per-bucket merge).
+    df.repartition(buckets, col(key))
+      .write.bucketBy(buckets, key).sortBy(key)
       .option("path", path).mode("overwrite").saveAsTable(table)
     s.table(table)
   }
