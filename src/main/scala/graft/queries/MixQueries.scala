@@ -75,6 +75,39 @@ object MixQueries {
       .orderBy("source")
   }
 
+  /** Temperature-scaled sampling weights (the multilingual/multi-domain
+    * `p_i ∝ n_i^α` reweighting of mBERT/XLM-R and data-mixture tuning):
+    * raising token counts to α < 1 compresses the size spectrum so
+    * low-resource sources are up-sampled relative to their share.
+    * α = 0.5 deliberately: sqrt is correctly-rounded under IEEE-754, so
+    * Spark and DuckDB produce bit-identical weights with NO display
+    * tolerance (a non-dyadic pow(x, α) could drift a last ulp between
+    * libm implementations — sqrt cannot). Weights and the implied
+    * per-source document budget (weight × half the corpus, floored →
+    * integer-exact) come from one groupBy + one broadcast 1-row total,
+    * like `mixture`.
+    */
+  def mixtureTemperature(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(spaceTokens(col("text"))).cast("long")).as("tokens_src"))
+      .withColumn("w_raw", sqrt(col("tokens_src").cast("double")))
+    val tot = per.agg(sum("w_raw").as("w_tot"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("weight", col("w_raw") / col("w_tot"))
+      // upsample factor: share of samples over share of tokens — > 1 means
+      // the source is drawn MORE than its raw size implies (the point of
+      // temperature). Both ratios reuse the same rounded weight (the
+      // round-both-comparands rule); the rank is integer-exact.
+      .withColumn("boost_rank",
+        rank().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("tokens_src").asc, col("source").asc)).cast("long"))
+      .select(col("source"), col("n_docs"), col("tokens_src"),
+        round(col("weight"), 6).as("weight"), col("boost_rank"))
+      .orderBy("source")
+  }
+
   /** Per-label embedding centroids + cohesion: mean vector per label
     * (components rounded 6dp BEFORE reuse — the order-dependent-aggregate
     * rule, so both engines see identical centroids), centroid norm, and
@@ -196,6 +229,7 @@ object MixQueries {
     "pipeline_sample_weighted" -> (sampleWeighted(_, _)),
     "pipeline_split" -> (split(_, _)),
     "pipeline_mixture" -> (mixture(_, _)),
+    "pipeline_mix_temperature" -> (mixtureTemperature(_, _)),
     "emb_centroids" -> (centroids(_, _)),
     "emb_knn_classify" -> (knnClassify(_, _))
   )
@@ -240,6 +274,18 @@ object MixQueries {
          |       source, CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(sum(ntok) AS BIGINT) AS n_tokens
          |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "pipeline_mix_temperature" ->
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens_src
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT *, sqrt(CAST(tokens_src AS DOUBLE)) AS w_raw FROM per),
+        |tot AS (SELECT sum(w_raw) AS w_tot FROM w)
+        |SELECT source, n_docs, tokens_src,
+        |       round(w_raw / w_tot, 6) AS weight,
+        |       CAST(rank() OVER (ORDER BY tokens_src ASC, source ASC) AS BIGINT)
+        |         AS boost_rank
+        |FROM w, tot ORDER BY source""".stripMargin,
     "pipeline_mixture" ->
       """WITH per AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
