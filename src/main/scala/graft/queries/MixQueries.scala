@@ -58,13 +58,16 @@ object MixQueries {
     * one broadcast 1-row total — nothing here grows with the corpus.
     */
   def mixture(s: SparkSession, d: String): DataFrame = {
-    val per = Tables.documents(s, d)
+    // corpus totals via an unpartitioned window over the per-source
+    // aggregate (tens of rows) — one corpus scan, no scalar cross join
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    Tables.documents(s, d)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(spaceTokens(col("text"))).cast("long")).as("tokens_src"))
-    val tot = per.agg(sum("tokens_src").as("tot"),
-      count(lit(1)).as("nsrc"))
-    per.crossJoin(broadcast(tot))
+      .withColumn("tot", sum(col("tokens_src")).over(whole))
+      .withColumn("nsrc", count(lit(1)).over(whole))
       .withColumn("budget", (col("tot") / lit(2)).cast("long"))
       .withColumn("rate",
         round(least(lit(1.0),
@@ -88,18 +91,22 @@ object MixQueries {
     * like `mixture`.
     */
   def mixtureTemperature(s: SparkSession, d: String): DataFrame = {
-    val per = Tables.documents(s, d)
+    // the normalizing total comes from an unpartitioned window over the
+    // per-source AGGREGATE (tens of rows — SinglePartition of a tiny
+    // frame), so the corpus is scanned ONCE; the agg-then-cross-join
+    // alternative plans a second full corpus scan for the total branch
+    // (AQE can reuse the stage at runtime, but the single-scan plan
+    // doesn't need rescuing)
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    Tables.documents(s, d)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(spaceTokens(col("text"))).cast("long")).as("tokens_src"))
       .withColumn("w_raw", sqrt(col("tokens_src").cast("double")))
-    val tot = per.agg(sum("w_raw").as("w_tot"))
-    per.crossJoin(broadcast(tot))
-      .withColumn("weight", col("w_raw") / col("w_tot"))
-      // upsample factor: share of samples over share of tokens — > 1 means
-      // the source is drawn MORE than its raw size implies (the point of
-      // temperature). Both ratios reuse the same rounded weight (the
-      // round-both-comparands rule); the rank is integer-exact.
+      .withColumn("weight", col("w_raw") / sum(col("w_raw")).over(whole))
+      // boost_rank: scarcest source first — the up-sample ordering the
+      // temperature exists to produce; integer-exact
       .withColumn("boost_rank",
         rank().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("tokens_src").asc, col("source").asc)).cast("long"))
