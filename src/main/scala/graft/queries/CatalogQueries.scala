@@ -157,11 +157,43 @@ object CatalogQueries {
       .orderBy("o_orderstatus", "o_orderpriority")
   }
 
+  /** SQL DDL/DML path end-to-end: CREATE TABLE ... USING parquet at an
+    * external LOCATION, INSERT OVERWRITE (the idempotent-batch write —
+    * re-running a failed job must replace, not double), INSERT INTO
+    * append, then a SQL read over the accumulated table. The overwrite
+    * slice is high-value orders, the append slice mid-value — the result
+    * proves overwrite replaced and append added, value-for-value against
+    * the fixture.
+    */
+  def sqlDml(s: SparkSession, d: String): DataFrame = {
+    val tag = sfTag(d)
+    val table = s"graft_dml_$tag"
+    val path = s"$tmpRoot/dml_$tag"
+    Tables.orders(s, d).createOrReplaceTempView(s"orders_src_$tag")
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    s.sql(s"""CREATE TABLE $table
+             |  (o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+             |  USING parquet LOCATION '$path'""".stripMargin)
+    s.sql(s"""INSERT OVERWRITE $table
+             |SELECT o_orderkey, o_orderstatus, o_totalprice
+             |FROM orders_src_$tag WHERE o_totalprice > 300000""".stripMargin)
+    s.sql(s"""INSERT INTO $table
+             |SELECT o_orderkey, o_orderstatus, o_totalprice
+             |FROM orders_src_$tag
+             |WHERE o_totalprice > 150000 AND o_totalprice <= 300000""".stripMargin)
+    s.sql(s"""SELECT o_orderstatus, count(*) AS cnt,
+             |       round(sum(o_totalprice), 2) AS total,
+             |       min(o_orderkey) AS min_key
+             |FROM $table GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bucketed_join" -> (bucketedJoin(_, _)),
     "q_partition_pruned" -> (partitionPruned(_, _)),
     "q_skew_join_aqe" -> (skewJoinAqe(_, _)),
-    "q_orc_roundtrip" -> (orcRoundtrip(_, _))
+    "q_orc_roundtrip" -> (orcRoundtrip(_, _)),
+    "q_sql_dml" -> (sqlDml(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -190,6 +222,13 @@ object CatalogQueries {
         |       max(o_orderdate) AS max_date
         |FROM orders WHERE o_orderstatus <> 'P'
         |GROUP BY o_orderstatus, o_orderpriority
-        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    // overwrite slice (>300k) + append slice (150k..300k] = everything >150k
+    "q_sql_dml" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS total,
+        |       min(o_orderkey) AS min_key
+        |FROM orders WHERE o_totalprice > 150000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }
