@@ -188,12 +188,52 @@ object CatalogQueries {
              |ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** CSV round-trip: write with header, read back with the ORIGINAL
+    * schema (never inferSchema — type drift, not the format, is what
+    * breaks CSV pipelines). Values must survive quoting/escaping exactly;
+    * every fixture row is returned, not an aggregate, so any mangled cell
+    * fails the hash.
+    */
+  def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.nation(s, d)
+    val path = s"$tmpRoot/nation_csv_${sfTag(d)}"
+    src.write.mode("overwrite").option("header", "true").csv(path)
+    s.read.schema(src.schema).option("header", "true").csv(path)
+      .orderBy("n_nationkey")
+  }
+
+  /** JSON-lines round-trip on events: `props` is a JSON document INSIDE a
+    * string field, so the writer must escape it and the reader unescape it
+    * bit-for-bit — the classic nested-quoting trap. Read uses the original
+    * schema (timestamps at µs through the ISO round-trip). Aggregated to
+    * per-type counts + exact concat-length checksums over ts/props.
+    */
+  def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.events(s, d)
+    val path = s"$tmpRoot/events_json_${sfTag(d)}"
+    // default JSON timestampFormat carries milliseconds only — the fixture
+    // is µs-grained, so the format must say so on BOTH sides or the
+    // round-trip silently truncates (caught by the ts_us columns below)
+    val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    src.write.mode("overwrite").option("timestampFormat", tsFmt).json(path)
+    s.read.schema(src.schema).option("timestampFormat", tsFmt).json(path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        min(unix_micros(col("ts"))).as("ts_us_min"),
+        max(unix_micros(col("ts"))).as("ts_us_max"),
+        sum(length(col("props")).cast("long")).as("props_len_sum"),
+        min(col("props")).as("props_min"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bucketed_join" -> (bucketedJoin(_, _)),
     "q_partition_pruned" -> (partitionPruned(_, _)),
     "q_skew_join_aqe" -> (skewJoinAqe(_, _)),
     "q_orc_roundtrip" -> (orcRoundtrip(_, _)),
-    "q_sql_dml" -> (sqlDml(_, _))
+    "q_sql_dml" -> (sqlDml(_, _)),
+    "q_csv_roundtrip" -> (csvRoundtrip(_, _)),
+    "q_json_roundtrip" -> (jsonRoundtrip(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -229,6 +269,15 @@ object CatalogQueries {
         |       round(sum(o_totalprice), 2) AS total,
         |       min(o_orderkey) AS min_key
         |FROM orders WHERE o_totalprice > 150000
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_csv_roundtrip" ->
+      """SELECT * FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_json_roundtrip" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       min(epoch_us(ts)) AS ts_us_min,
+        |       max(epoch_us(ts)) AS ts_us_max,
+        |       sum(length(props)) AS props_len_sum,
+        |       min(props) AS props_min
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
