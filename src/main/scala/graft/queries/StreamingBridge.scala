@@ -90,6 +90,18 @@ object StreamingBridge {
         col("cnt"), round(col("sum_value"), 2).as("sum_value"))
     }.orderBy("win_start", "event_type")
 
+  /** Sliding 10/5-minute windows via the streaming engine; equals
+    * `q_events_sliding` (each event lands in exactly two panes; the window
+    * state store holds horizon/slide panes per key — the bounded-state
+    * form of overlapping windows).
+    */
+  def slidingViaStream(s: SparkSession, d: String): DataFrame =
+    runSettled(s, "sliding", StreamingOps.slidingSums(eventsStream(s, d)),
+      OutputMode.Complete()) {
+      _.select(col("win_start").cast("long").as("win_start"),
+        col("cnt"), round(col("sum_value"), 2).as("sum_value"))
+    }.orderBy("win_start")
+
   /** Event-time session windows via the streaming engine (session_window
     * state merges). Equals the batch gaps-and-islands sessionization
     * (`q_events_session`) projected to (user, start, count, sum).
@@ -317,6 +329,7 @@ object StreamingBridge {
     "stream_user_totals" -> (userTotalsViaStream(_, _)),
     "stream_transform_state" -> (transformStateViaStream(_, _)),
     "stream_events_tumbling" -> (tumblingViaStream(_, _)),
+    "stream_events_sliding" -> (slidingViaStream(_, _)),
     "stream_events_session" -> (sessionViaStream(_, _))
   )
 
@@ -402,6 +415,7 @@ object StreamingBridge {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // identical oracle to q_events_tumbling — THAT is the equivalence claim
     "stream_events_tumbling" -> EventQueries.oracles("q_events_tumbling"),
+    "stream_events_sliding" -> EventQueries.oracles("q_events_sliding"),
     // the batch sessionization oracle, projected to the streaming shape
     "stream_events_session" ->
       """WITH flagged AS (
