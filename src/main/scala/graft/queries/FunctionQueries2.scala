@@ -189,7 +189,34 @@ object FunctionQueries2 {
           === col("p_name")).as("b64_roundtrip"))
       .orderBy("p_partkey")
 
+  /** Spark 4 XML surface: each document serialized with `to_xml` and
+    * parsed back with `from_xml`; the parsed fields are emitted and must
+    * hash-equal the originals (the oracle just selects them from the
+    * fixture), so XML escaping of free text — quotes, angle brackets,
+    * ampersands — plus numeric field typing round-trip exactly. The XML
+    * string itself is never output (its formatting is engine-specific);
+    * the CONTENT is what is gated.
+    */
+  def xmlFuncs(s: SparkSession, d: String): DataFrame = {
+    val xmlSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    Tables.documents(s, d)
+      .withColumn("xml",
+        to_xml(struct(col("lang"), col("n_chars"), col("text"))))
+      .withColumn("p", from_xml(col("xml"), xmlSchema))
+      .select(col("doc_id"), col("p.lang").as("parsed_lang"),
+        col("p.n_chars").as("parsed_n_chars"),
+        col("p.text").as("parsed_text"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_xml_funcs" -> (xmlFuncs(_, _)),
     "q_hash_funcs" -> (hashFuncs(_, _)),
     "q_window_firstlast" -> (windowFirstLast(_, _)),
     "q_array_setops" -> (arraySetOps(_, _)),
@@ -208,6 +235,13 @@ object FunctionQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    // the XML writer/parser is Spark's; the oracle pins that parsed
+    // content equals the source fields exactly
+    "q_xml_funcs" ->
+      """SELECT doc_id, lang AS parsed_lang,
+        |       CAST(n_chars AS BIGINT) AS parsed_n_chars,
+        |       text AS parsed_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_hash_funcs" ->
       """SELECT p_partkey, p_name,
         |       md5(p_name) AS name_md5,
