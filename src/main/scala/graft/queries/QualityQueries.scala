@@ -225,7 +225,47 @@ object QualityQueries {
         round(sum(col("l_extendedprice")), 2).as("sum_price"))
       .orderBy("l_returnflag")
 
+  /** The END-TO-END curation pipeline as ONE declarative plan — the
+    * composition a training-data run actually executes, chaining stages
+    * that are each independently oracled elsewhere: quality + language
+    * gates (pipeline_clean_corpus's rules) → exact dedup keep-min →
+    * diversity score (token_budget's distinct/ntok) → greedy budget
+    * selection at half the gated corpus tokens. Catalyst fuses the gates
+    * into the scan; the only shuffles are the dedup groupBy and the
+    * selection's score-ordered window — the same count a hand-built
+    * MapReduce chain would need, minus its three intermediate
+    * materializations.
+    */
+  def curationE2e(s: SparkSession, d: String): DataFrame = {
+    val toks = spaceTokens(col("text"))
+    val gated = Tables.documents(s, d)
+      .filter(col("n_chars") >= 100 && size(toks) >= 20 &&
+        array_contains(toks, "the"))
+      .select(col("doc_id"), col("text"))
+    val kept = gated
+      .groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(min("doc_id").as("doc_id"))
+    val scored = gated.join(kept, "doc_id")
+      .select(col("doc_id"), size(spaceTokens(col("text"))).cast("long").as("ntok"),
+        size(array_distinct(spaceTokens(col("text")))).cast("long").as("ndis"))
+      .withColumn("score", col("ndis") / col("ntok"))
+    val budget = scored.agg((sum("ntok") / lit(2)).cast("long").as("b"))
+    val perScore = scored.groupBy("score").agg(sum("ntok").as("tok_g"))
+      .withColumn("prefix",
+        sum("tok_g").over(Window.orderBy(col("score").desc)) - col("tok_g"))
+      .select("score", "prefix")
+    scored
+      .withColumn("cum_in",
+        sum("ntok").over(Window.partitionBy("score").orderBy("doc_id")))
+      .join(broadcast(perScore), "score")
+      .withColumn("cum_tok", col("prefix") + col("cum_in"))
+      .join(broadcast(budget), col("cum_tok") <= col("b"))
+      .select(col("doc_id"), col("score"), col("ntok"), col("cum_tok"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_e2e_curation" -> (curationE2e(_, _)),
     "dedup_boilerplate" -> (boilerplate(_, _)),
     "text_perplexity" -> (perplexity(_, _)),
     "text_vocab_coverage" -> (vocabCoverage(_, _)),
@@ -236,6 +276,25 @@ object QualityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "pipeline_e2e_curation" ->
+      """WITH gated AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE n_chars >= 100
+        |    AND len(string_split(text, ' ')) >= 20
+        |    AND list_contains(string_split(text, ' '), 'the')),
+        |kept AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+        |sc AS (
+        |  SELECT g.doc_id, len(l) AS ntok,
+        |         len(list_distinct(l))::DOUBLE / len(l) AS score
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM gated) g
+        |  JOIN kept USING (doc_id)),
+        |b AS (SELECT CAST(sum(ntok) // 2 AS BIGINT) AS budget FROM sc),
+        |c AS (SELECT doc_id, score, ntok,
+        |             sum(ntok) OVER (ORDER BY score DESC, doc_id) AS cum_tok
+        |      FROM sc)
+        |SELECT doc_id, score, ntok, cum_tok
+        |FROM c, b WHERE cum_tok <= budget
+        |ORDER BY score DESC, doc_id""".stripMargin,
     "dedup_boilerplate" ->
       """WITH s AS (
         |  SELECT doc_id, array_to_string(l[start:start+3], ' ') AS span

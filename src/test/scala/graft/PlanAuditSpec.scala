@@ -40,6 +40,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_scalar_subquery",      // scalar subquery becomes a 1-row broadcast
     "q_lateral",              // lateral explode over a 1-row aggregate
     "pipeline_token_budget",  // 1-row broadcast budget scalar × selection filter
+    "pipeline_e2e_curation",  // same budget-scalar shape at the end of the chain
     "layout_pruning_stats",   // 10-band × file-zone-stat metadata cross (both tiny)
     "q_interpolate",          // type-dim × 24-slot grid (both tiny)
     "pipeline_mixture",       // 1-row corpus-total scalar × per-source table
