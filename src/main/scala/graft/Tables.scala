@@ -54,16 +54,26 @@ object Tables {
       //    cast to TimestampType (value-identical: all graft sessions pin
       //    spark.sql.session.timeZone=UTC);
       //  - already TimestampType → pass through.
-      if (name == "events") {
-        import org.apache.spark.sql.functions.{col, expr}
-        import org.apache.spark.sql.types.{LongType, TimestampType}
-        raw.schema("ts").dataType match {
-          case LongType      => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-          case TimestampType => raw
-          case _             => raw.withColumn("ts", col("ts").cast(TimestampType))
-        }
-      } else raw
+      if (name == "events") normalizeTs(raw, raw.schema("ts").dataType)
+      else raw
     })
+
+  /** The ONE place events.ts fixture-type drift is absorbed (batch load
+    * above; the streaming source probes its schema and calls this too, so
+    * the two paths cannot diverge). `dt` is passed explicitly because the
+    * streaming caller normalizes a frame built from a separately-probed
+    * schema.
+    */
+  private[graft] def normalizeTs(df: DataFrame,
+      dt: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    dt match {
+      case LongType      => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => df
+      case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")

@@ -169,18 +169,24 @@ object CatalogQueries {
     val tag = sfTag(d)
     val table = s"graft_dml_$tag"
     val path = s"$tmpRoot/dml_$tag"
-    Tables.orders(s, d).createOrReplaceTempView(s"orders_src_$tag")
-    s.sql(s"DROP TABLE IF EXISTS $table")
-    s.sql(s"""CREATE TABLE $table
-             |  (o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
-             |  USING parquet LOCATION '$path'""".stripMargin)
-    s.sql(s"""INSERT OVERWRITE $table
-             |SELECT o_orderkey, o_orderstatus, o_totalprice
-             |FROM orders_src_$tag WHERE o_totalprice > 300000""".stripMargin)
-    s.sql(s"""INSERT INTO $table
-             |SELECT o_orderkey, o_orderstatus, o_totalprice
-             |FROM orders_src_$tag
-             |WHERE o_totalprice > 150000 AND o_totalprice <= 300000""".stripMargin)
+    val view = s"orders_src_$tag"
+    Tables.orders(s, d).createOrReplaceTempView(view)
+    // the DML below materializes eagerly, so the source view can be dropped
+    // before returning (same no-leak contract as the streaming bridges);
+    // the result plan reads only the created table
+    try {
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      s.sql(s"""CREATE TABLE $table
+               |  (o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+               |  USING parquet LOCATION '$path'""".stripMargin)
+      s.sql(s"""INSERT OVERWRITE $table
+               |SELECT o_orderkey, o_orderstatus, o_totalprice
+               |FROM $view WHERE o_totalprice > 300000""".stripMargin)
+      s.sql(s"""INSERT INTO $table
+               |SELECT o_orderkey, o_orderstatus, o_totalprice
+               |FROM $view
+               |WHERE o_totalprice > 150000 AND o_totalprice <= 300000""".stripMargin)
+    } finally s.catalog.dropTempView(view)
     s.sql(s"""SELECT o_orderstatus, count(*) AS cnt,
              |       round(sum(o_totalprice), 2) AS total,
              |       min(o_orderkey) AS min_key

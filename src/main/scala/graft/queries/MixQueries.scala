@@ -54,8 +54,9 @@ object MixQueries {
     * rate = min(1, budget·share / tokens) and the tokens it contributes.
     * This is the control table for mixture-weighted sampling (the
     * DoReMi/Pile-style reweighting knob): rates for over-represented
-    * domains fall below 1, scarce domains keep everything. One groupBy +
-    * one broadcast 1-row total — nothing here grows with the corpus.
+    * domains fall below 1, scarce domains keep everything. One groupBy,
+    * totals via a window over the tiny per-source aggregate — nothing
+    * here grows with the corpus.
     */
   def mixture(s: SparkSession, d: String): DataFrame = {
     // corpus totals via an unpartitioned window over the per-source
@@ -82,13 +83,13 @@ object MixQueries {
     * `p_i ∝ n_i^α` reweighting of mBERT/XLM-R and data-mixture tuning):
     * raising token counts to α < 1 compresses the size spectrum so
     * low-resource sources are up-sampled relative to their share.
-    * α = 0.5 deliberately: sqrt is correctly-rounded under IEEE-754, so
-    * Spark and DuckDB produce bit-identical weights with NO display
-    * tolerance (a non-dyadic pow(x, α) could drift a last ulp between
-    * libm implementations — sqrt cannot). Weights and the implied
-    * per-source document budget (weight × half the corpus, floored →
-    * integer-exact) come from one groupBy + one broadcast 1-row total,
-    * like `mixture`.
+    * α = 0.5 deliberately: each per-source sqrt is correctly rounded
+    * under IEEE-754 (a non-dyadic pow(x, α) could drift a last ulp
+    * between libm implementations — sqrt cannot), so the only
+    * order-sensitive term left is the normalizing SUM of those sqrts,
+    * and the round(weight, 6) absorbs its possible last-ulp drift — do
+    * NOT drop the rounding. One groupBy; totals via a window over the
+    * tiny per-source aggregate, like `mixture`.
     */
   def mixtureTemperature(s: SparkSession, d: String): DataFrame = {
     // the normalizing total comes from an unpartitioned window over the

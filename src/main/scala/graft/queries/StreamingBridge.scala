@@ -70,16 +70,9 @@ object StreamingBridge {
     // glob form: FileStreamSource requires a directory or glob basePath,
     // and the fixture is a single parquet file
     val src = s.readStream.schema(raw).parquet(s"$d/{events}.parquet")
-    // Same ts normalization as Tables.load: ns-as-long → timestamp_micros;
-    // timestamp[us] (NTZ under Spark 4 inference) → cast; TimestampType as-is.
-    raw("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case org.apache.spark.sql.types.TimestampType => src
-      case _ =>
-        src.withColumn("ts",
-          col("ts").cast(org.apache.spark.sql.types.TimestampType))
-    }
+    // shared ts normalization — the same decision Tables.load makes for the
+    // batch path, so the two can never diverge on fixture-type drift
+    Tables.normalizeTs(src, raw("ts").dataType)
   }
 
   /** Tumbling windows via the streaming engine; equals `q_events_tumbling`. */

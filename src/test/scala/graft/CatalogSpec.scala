@@ -11,17 +11,33 @@ class CatalogSpec extends SparkSpec
     with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
 
   test("q_bucketed_join: neither join side shuffles (bucket-aligned scan)") {
-    val df = CatalogQueries.bucketedJoin(spark, sf)
-    val plan = df.queryExecution.executedPlan.toString
-    val joinPart = plan.substring(plan.indexOf("Join"))
-    assert(!joinPart.contains("Exchange hashpartitioning(l_orderkey") &&
-      !joinPart.contains("Exchange hashpartitioning(o_orderkey"),
-      s"join sides were shuffled:\n$plan")
-    // values sanity on top of the oracle: counts match the plain join
-    val expected = Tables.lineitem(spark, sf)
-      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
-      .count()
-    assert(df.agg(sum("cnt")).collect()(0).getLong(0) == expected)
+    // broadcast must be OFF for this pin to mean anything: at the test SF
+    // the dim fits under autoBroadcastJoinThreshold and a BHJ plan has no
+    // hashpartitioning exchanges regardless of bucketing — the assertion
+    // would pass vacuously. Forcing the sort-merge path makes the absent
+    // exchanges attributable to the bucketed layout alone.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "-1")
+      val df = CatalogQueries.bucketedJoin(spark, sf)
+      df.collect() // finalize the adaptive plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"),
+        s"expected the non-broadcast join path under threshold=-1:\n$plan")
+      val joinPart = plan.substring(plan.indexOf("Join"))
+      assert(!joinPart.contains("Exchange hashpartitioning(l_orderkey") &&
+        !joinPart.contains("Exchange hashpartitioning(o_orderkey"),
+        s"join sides were shuffled:\n$plan")
+      // values sanity on top of the oracle: counts match the plain join
+      val expected = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+        .count()
+      assert(df.agg(sum("cnt")).collect()(0).getLong(0) == expected)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   test("q_partition_pruned: partition filter prunes at listing time") {

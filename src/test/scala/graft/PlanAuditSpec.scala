@@ -43,8 +43,6 @@ class PlanAuditSpec extends SparkSpec {
     "pipeline_e2e_curation",  // same budget-scalar shape at the end of the chain
     "layout_pruning_stats",   // 10-band × file-zone-stat metadata cross (both tiny)
     "q_interpolate",          // type-dim × 24-slot grid (both tiny)
-    "pipeline_mixture",       // 1-row corpus-total scalar × per-source table
-    "pipeline_mix_temperature", // same shape: 1-row weight-total scalar × per-source
     "emb_knn_classify",       // broadcast 20-query set × corpus stream (sim_cosine_topk shape)
     "text_bm25",              // broadcast 1-row corpus-stats scalar (N, avgdl)
     "ml_kmeans_step",         // broadcast k-row centroid set × corpus stream
