@@ -215,7 +215,23 @@ object FunctionQueries2 {
       .orderBy("doc_id")
   }
 
+  /** Ordered string aggregation: Spark 4's `listagg ... WITHIN GROUP`
+    * (ANSI ordered-set aggregate) — the deterministic form of
+    * concat-the-group; the explicit ORDER BY is what makes the result
+    * partition-independent (an unordered listagg is nondeterministic by
+    * definition and would never pass a hash oracle).
+    */
+  def listaggQ(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .groupBy("n_regionkey")
+      .agg(
+        expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)")
+          .as("nations"),
+        count(lit(1)).as("n"))
+      .orderBy("n_regionkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_listagg" -> (listaggQ(_, _)),
     "q_xml_funcs" -> (xmlFuncs(_, _)),
     "q_hash_funcs" -> (hashFuncs(_, _)),
     "q_window_firstlast" -> (windowFirstLast(_, _)),
@@ -235,6 +251,11 @@ object FunctionQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_listagg" ->
+      """SELECT n_regionkey,
+        |       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |       count(*) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     // the XML writer/parser is Spark's; the oracle pins that parsed
     // content equals the source fields exactly
     "q_xml_funcs" ->

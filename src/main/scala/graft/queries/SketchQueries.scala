@@ -155,8 +155,29 @@ object SketchQueries {
     li.union(ord).orderBy("tbl")
   }
 
+  /** The BUILT-IN Apache DataSketches HLL surface (hll_sketch_agg /
+    * hll_sketch_estimate, Spark 3.5+) next to this module's relational
+    * re-derivation (`sketch_hll`): the production mergeable sketch a
+    * 100 TB distinct-count actually uses. Sketch bytes are
+    * implementation-specific, so the gate is the envelope pattern: exact
+    * counts oracle-checked value-for-value, plus a deterministic
+    * within-5% boolean (≈3σ at the default lgConfigK=12; the sketch is
+    * deterministic for fixed data, so the pass is stable).
+    */
+  def hllNative(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))").as("est"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("est") - col("exact_parts")) <=
+          col("exact_parts") * 0.05).as("within_tol"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_hll" -> (hll(_, _)),
+    "sketch_hll_native" -> (hllNative(_, _)),
     "sketch_bloom" -> (bloom(_, _)),
     "q_table_fingerprint" -> (fingerprint(_, _))
   )
@@ -164,6 +185,10 @@ object SketchQueries {
   import OracleSql.fnvIhash31
 
   val oracles: Map[String, String] = Map(
+    "sketch_hll_native" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |       TRUE AS within_tol
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "sketch_hll" ->
       s"""WITH toks AS (
          |  SELECT t AS tok FROM (
