@@ -282,7 +282,7 @@ object CatalogQueries {
       """SELECT event_type, count(*) AS cnt,
         |       min(epoch_us(ts)) AS ts_us_min,
         |       max(epoch_us(ts)) AS ts_us_max,
-        |       sum(length(props)) AS props_len_sum,
+        |       CAST(sum(length(props)) AS BIGINT) AS props_len_sum,
         |       min(props) AS props_min
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )

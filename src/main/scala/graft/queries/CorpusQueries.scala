@@ -289,7 +289,7 @@ object CorpusQueries {
         |  FROM (SELECT string_split(text, ' ') AS l FROM documents)),
         |c AS (SELECT g[1] AS w1, g[2] AS w2, g[3] AS w3, count(*) AS cnt
         |      FROM t GROUP BY 1, 2, 3),
-        |r AS (SELECT *, sum(cnt) OVER (PARTITION BY w1, w2) AS total,
+        |r AS (SELECT *, CAST(sum(cnt) OVER (PARTITION BY w1, w2) AS BIGINT) AS total,
         |             row_number() OVER (PARTITION BY w1, w2
         |                                ORDER BY cnt DESC, w3) AS rk
         |      FROM c)

@@ -207,7 +207,8 @@ object ExtensionQueries {
       """WITH r AS (
         |  SELECT l_returnflag AS flag,
         |         CAST(floor(epoch(l_shipdate)) AS BIGINT) AS ship_s,
-        |         l_orderkey AS orderkey, l_linenumber AS linenumber,
+        |         l_orderkey AS orderkey,
+        |         CAST(l_linenumber AS BIGINT) AS linenumber,
         |         row_number() OVER (PARTITION BY l_returnflag
         |           ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rk
         |  FROM lineitem)

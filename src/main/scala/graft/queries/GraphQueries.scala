@@ -140,15 +140,57 @@ object GraphQueries {
       .groupBy("comp").agg(count(lit(1)).as("n_vertices"))
       .orderBy("comp")
 
+  /** Degree-based edge orientation: each undirected edge `(u, v)` (input
+    * convention u < v by id, one row per edge) becomes the directed edge
+    * `a → b` where `a` is the endpoint with the smaller `(degree, id)`
+    * pair. The induced digraph is acyclic (edges follow a total order) and
+    * every vertex's out-degree is O(sqrt(|E|)): a vertex with out-degree k
+    * has k neighbors of degree ≥ its own, so deg ≥ k for all of them and
+    * k² ≤ Σdeg = 2|E|. That bounds the wedge (two-out-path) count by
+    * |E|·sqrt(|E|) REGARDLESS of skew — the hub of a star graph has max
+    * degree, so all its edges point AT it and it generates zero wedges,
+    * where id-orientation would generate C(n,2). Output columns: `a`,
+    * `b`, and `bord` = struct(deg_b, b), the order key joins compare on.
+    */
+  private[graft] def orientByDegree(und: DataFrame): DataFrame = {
+    val deg = und.select(col("u").as("vtx"))
+      .union(und.select(col("v").as("vtx")))
+      .groupBy("vtx").agg(count(lit(1)).as("deg"))
+    // identical field names on both structs: CASE branches must agree on the
+    // full struct type, and the lexicographic (deg, id) compare is by position
+    val uo = struct(col("du").as("deg"), col("u").as("id"))
+    val vo = struct(col("dv").as("deg"), col("v").as("id"))
+    und
+      .join(deg.select(col("vtx").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("vtx").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(uo < vo, col("u")).otherwise(col("v")).as("a"),
+        when(uo < vo, col("v")).otherwise(col("u")).as("b"),
+        when(uo < vo, vo).otherwise(uo).as("bord"))
+  }
+
+  /** Wedges (paths a→y, a→z with ord(y) < ord(z)) of a degree-oriented
+    * edge set — the intermediate whose size degree orientation bounds.
+    * Exposed for the skew test; `triangles` closes these with a third
+    * join.
+    */
+  private[graft] def orientedWedges(eo: DataFrame): DataFrame =
+    eo.select(col("a"), col("b").as("y"), col("bord").as("yord"))
+      .join(eo.select(col("a").as("a2"), col("b").as("z"), col("bord").as("zord")),
+        col("a") === col("a2") && col("yord") < col("zord"))
+      .select(col("y"), col("z"))
+
   /** Triangle counting over the part co-occurrence graph (parts appearing
     * together in ≥ 2 orders — the threshold keeps the projection sparse;
     * unthresholded one-mode projections of order baskets go near-complete).
-    * Edges oriented u < v so each triangle is generated exactly once by
-    * the two-path + closing-edge join. All three join passes key on
-    * vertex ids; at scale the standard refinement is degree-based
-    * orientation (point edges from low to high degree) which bounds the
-    * two-path fan-out by sqrt(|E|) on skewed graphs — id order suffices
-    * for this near-uniform fixture.
+    * Edges are DEGREE-ORIENTED (low (deg,id) → high) so each triangle is
+    * generated exactly once — by its minimum vertex in the (deg,id) order,
+    * the only one with two outgoing edges — and the two-path fan-out is
+    * bounded by sqrt(|E|) per vertex even on skewed graphs (see
+    * `orientByDegree`; the count is orientation-invariant, so the oracle
+    * is unchanged). All join passes key on vertex ids. The degree
+    * computation adds one aggregate + two key joins over the edge list —
+    * the standard price of skew-robust triangle enumeration.
     */
   def triangles(s: SparkSession, d: String, minCo: Long = 2L): DataFrame = {
     val li = Tables.lineitem(s, d)
@@ -159,11 +201,11 @@ object GraphQueries {
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= minCo)
       .select("u", "v")
-    val twoPath = e.select(col("u").as("x"), col("v").as("y"))
-      .join(e.select(col("u").as("y2"), col("v").as("z")), col("y") === col("y2"))
-    val tri = twoPath.join(
-      e.select(col("u").as("x3"), col("v").as("z3")),
-      col("x") === col("x3") && col("z") === col("z3"))
+      .localCheckpoint(false) // e feeds degrees + 3 join sides; compute once
+    val eo = orientByDegree(e)
+    val tri = orientedWedges(eo).join(
+      eo.select(col("a").as("cy"), col("b").as("cz")),
+      col("y") === col("cy") && col("z") === col("cz"))
     e.agg(count(lit(1)).as("n_edges"))
       .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
   }

@@ -150,7 +150,7 @@ object MiscQueries {
         |FROM events ORDER BY event_id""".stripMargin,
     "q_to_json" ->
       """SELECT l_orderkey, l_linenumber,
-        |       to_json({'o': l_orderkey, 'f': l_returnflag}) AS js
+        |       CAST(to_json({'o': l_orderkey, 'f': l_returnflag}) AS VARCHAR) AS js
         |FROM lineitem WHERE l_orderkey < 100
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_sequence" ->

@@ -290,7 +290,7 @@ object QualityQueries {
         |  JOIN kept USING (doc_id)),
         |b AS (SELECT CAST(sum(ntok) // 2 AS BIGINT) AS budget FROM sc),
         |c AS (SELECT doc_id, score, ntok,
-        |             sum(ntok) OVER (ORDER BY score DESC, doc_id) AS cum_tok
+        |             CAST(sum(ntok) OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS cum_tok
         |      FROM sc)
         |SELECT doc_id, score, ntok, cum_tok
         |FROM c, b WHERE cum_tok <= budget
@@ -340,7 +340,7 @@ object QualityQueries {
         |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
         |b AS (SELECT CAST(sum(ntok) // 4 AS BIGINT) AS budget FROM d),
         |c AS (SELECT doc_id, score, ntok,
-        |             sum(ntok) OVER (ORDER BY score DESC, doc_id) AS cum_tok
+        |             CAST(sum(ntok) OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS cum_tok
         |      FROM d)
         |SELECT doc_id, score, ntok, cum_tok
         |FROM c, b WHERE cum_tok <= budget

@@ -210,7 +210,7 @@ object StatsQueries {
         |       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
         |       round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
         |       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
-        |       regr_count(l_extendedprice, l_quantity) AS n
+        |       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_edit_distance" ->
       """SELECT p_partkey, p_name,
@@ -239,7 +239,7 @@ object StatsQueries {
         |FROM orders
         |GROUP BY 1, 2 ORDER BY bin""".stripMargin,
     "text_zipf" ->
-      """SELECT row_number() OVER (ORDER BY n DESC, word) AS rank, word, n
+      """SELECT CAST(row_number() OVER (ORDER BY n DESC, word) AS INT) AS rank, word, n
         |FROM (SELECT word, count(*) AS n
         |      FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
         |            FROM documents)

@@ -1,0 +1,58 @@
+package graft
+
+import graft.queries.GraphQueries
+import org.apache.spark.sql.functions._
+
+/** Skew robustness of the degree-oriented triangle enumeration: on a star
+  * graph the hub generates ZERO wedges under degree orientation (all its
+  * edges point at it), where id orientation would generate C(n,2). This is
+  * the property that keeps the two-path intermediate at |E|^1.5 instead of
+  * Σdeg² on a power-law graph at 100 TB.
+  */
+class TriangleOrientationSpec extends SparkSpec {
+
+  /** Star K1,n with hub id 0 (the SMALLEST id — worst case for id
+    * orientation) over leaves 1..n, plus leaf-leaf edges (1,2) and (3,4)
+    * closing exactly two triangles {0,1,2} and {0,3,4}.
+    */
+  private def starEdges(n: Int) = {
+    import spark.implicits._
+    ((1 to n).map(i => (0L, i.toLong)) ++ Seq((1L, 2L), (3L, 4L)))
+      .toDF("u", "v")
+  }
+
+  test("degree orientation bounds star-graph wedges; id orientation explodes") {
+    val n = 200
+    val e = starEdges(n)
+    // id orientation: hub 0 has out-degree n -> C(n,2) wedges + the two
+    // leaf pairs' contributions. This is the quadratic blow-up.
+    val idWedges = e.select(col("u").as("x"), col("v").as("y"))
+      .join(e.select(col("u").as("x2"), col("v").as("z")),
+        col("x") === col("x2") && col("y") < col("z"))
+      .count()
+    assert(idWedges >= n.toLong * (n - 1) / 2,
+      s"id-oriented wedges $idWedges should include the hub's C($n,2)")
+    // degree orientation: hub has max degree, so every hub edge points AT
+    // it and only the degree-2 leaves (1 and 3) emit one wedge each.
+    val degWedges = GraphQueries.orientedWedges(GraphQueries.orientByDegree(e))
+    assert(degWedges.count() == 2L,
+      "degree-oriented star wedges must collapse to the two closing pairs")
+  }
+
+  test("oriented closure still counts each triangle exactly once") {
+    val e = starEdges(50)
+    val eo = GraphQueries.orientByDegree(e)
+    val tri = GraphQueries.orientedWedges(eo).join(
+      eo.select(col("a").as("cy"), col("b").as("cz")),
+      col("y") === col("cy") && col("z") === col("cz"))
+    assert(tri.count() == 2L, "star + (1,2) + (3,4) has exactly 2 triangles")
+    // orientation acyclicity: no edge can have ord(a) >= ord(b) -- a >= b
+    // in (deg, id) order would double- or zero-count a triangle
+    val deg = e.select(col("u").as("vtx")).union(e.select(col("v").as("vtx")))
+      .groupBy("vtx").agg(count(lit(1)).as("deg"))
+    val bad = GraphQueries.orientByDegree(e)
+      .join(deg.select(col("vtx").as("a"), col("deg").as("da")), "a")
+      .filter(struct(col("da").as("deg"), col("a").as("id")) >= col("bord"))
+    assert(bad.count() == 0L, "every oriented edge must satisfy ord(a) < ord(b)")
+  }
+}

@@ -48,16 +48,18 @@ def main():
             continue
         sql = oracle[name]
         try:
-            got_rel = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            got_cols = [d[0] for d in got_rel.description]
+            got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            got_cols = list(got_rel.columns)
+            got_tys = [str(t) for t in got_rel.types]
             got = got_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: cannot read spark output: {e}")
             n_fail += 1
             continue
         try:
-            exp_rel = con.execute(sql)
-            exp_cols = [d[0] for d in exp_rel.description]
+            exp_rel = con.sql(sql)
+            exp_cols = list(exp_rel.columns)
+            exp_tys = [str(t) for t in exp_rel.types]
             exp = exp_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
@@ -65,6 +67,19 @@ def main():
             continue
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: columns spark={sorted(got_cols)} duck={sorted(exp_cols)}")
+            n_fail += 1
+            continue
+        # Physical-type gate: the driver's hash is type-sensitive (an un-cast
+        # DuckDB integer sum() yields HUGEINT, which hash-mismatches Spark's
+        # int64 even at equal values — r3/r4 failure class). Compare the
+        # DuckDB-reported logical type of each oracle column against the type
+        # DuckDB assigns the Spark parquet column.
+        got_types = dict(zip(got_cols, got_tys))
+        exp_types = dict(zip(exp_cols, exp_tys))
+        type_mm = {c: (got_types[c], exp_types[c]) for c in got_types
+                   if got_types[c] != exp_types[c]}
+        if type_mm:
+            print(f"FAIL {name}: type mismatch (spark, duck): {type_mm}")
             n_fail += 1
             continue
         g = canon(got, got_cols)
