@@ -248,6 +248,58 @@ object StreamingBridge {
     }.orderBy("event_type")
   }
 
+  /** Checkpoint recovery under the gate (graduated from
+    * StreamingRecoverySpec): a stateful per-user count runs over HALF the
+    * events (split by event_id parity into one file each), is STOPPED —
+    * the simulated failure — then the second file lands and the query
+    * restarts on the SAME checkpoint. The oracle is the plain batch
+    * aggregate over all events, so both recovery failure modes diverge
+    * measurably: dropped state undercounts the batch-1 users, and
+    * reprocessing batch 1 overcounts them. Sink = foreachBatch upsert
+    * into a keyed map (update mode; the memory sink forbids recovery by
+    * design) — the bounded-cardinality MERGE a production foreachBatch
+    * runs against Delta/JDBC, one row per user. Counts only, no float
+    * aggregates: recovery equivalence must be exact.
+    */
+  def recoveryViaStream(s: SparkSession, d: String): DataFrame = {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-rec-src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rec-ckpt")
+    try {
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"))
+      val schema = ev.schema
+      val totals = scala.collection.concurrent.TrieMap.empty[Long, Long]
+      def run(): Unit = {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$srcDir/*")
+          .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+          .writeStream
+          .outputMode(OutputMode.Update())
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.collect().foreach(r => totals(r.getLong(0)) = r.getLong(1))
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      ev.filter(col("event_id") % 2 === 0).coalesce(1)
+        .write.parquet(s"$srcDir/half_a")
+      run() // consume half_a, then stop: the simulated failure
+      ev.filter(col("event_id") % 2 === 1).coalesce(1)
+        .write.parquet(s"$srcDir/half_b")
+      run() // restart on the same checkpoint: state carried, no replay
+      import s.implicits._
+      totals.toSeq.toDF("user_id", "n_events").orderBy("user_id")
+    } finally {
+      def rmRf(p: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      rmRf(srcDir); rmRf(ckpt)
+    }
+  }
+
   /** Complete-mode sorted leaderboard under the gate: the sink holds the
     * per-user ranking the streaming engine maintains (sort-after-agg, the
     * one place streaming sort is legal). rank is derived in the shape
@@ -315,6 +367,7 @@ object StreamingBridge {
     "stream_leaderboard" -> (leaderboardViaStream(_, _)),
     "stream_foreach_upsert" -> (foreachUpsertViaStream(_, _)),
     "stream_dedup" -> (dedupViaStream(_, _)),
+    "stream_recovery" -> (recoveryViaStream(_, _)),
     "stream_interval_left" -> (intervalLeftViaStream(_, _)),
     "stream_enrich_join" -> (enrichJoinViaStream(_, _)),
     "stream_interval_join" -> (intervalJoinViaStream(_, _)),
@@ -356,6 +409,11 @@ object StreamingBridge {
       """SELECT event_type, count(*) AS n_events,
         |       round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the batch count per user — exact equality is the exactly-once claim
+    // (dropped state undercounts, replayed files overcount)
+    "stream_recovery" ->
+      """SELECT user_id, count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_enrich_join" ->
       """SELECT c_mktsegment, event_type, count(*) AS n_events,
         |       round(sum(value), 2) AS sum_value
