@@ -88,6 +88,33 @@ object PipelineQueries {
     result
   }
 
+  /** Near-dup curation keep-BEST (the C4/RefinedWeb selection shape):
+    * cluster the near-dup pair graph as in `dedupClusters`, then keep the
+    * highest-QUALITY member of each cluster (distinct-token ratio, exact
+    * BIGINT÷BIGINT double; tie-break doc_id) instead of the arbitrary
+    * min-id representative — the decision an actual curation run ships.
+    * Docs outside any cluster are their own keeper. Scale shape: the
+    * cluster labels are a vanishing fraction of the corpus (pair-graph
+    * vertices only), the corpus-side score is one scan, and the keep
+    * ranking is a window partitioned by cluster_id — bounded groups,
+    * never a global sort.
+    */
+  def nearKeepBest(s: SparkSession, d: String, maxDocId: Long = 500L): DataFrame = {
+    val toks = spaceTokens(col("text"))
+    val scored = Tables.documents(s, d).filter(col("doc_id") < maxDocId)
+      .select(col("doc_id"),
+        (size(array_distinct(toks)).cast("long") / size(toks).cast("long"))
+          .as("score"))
+    val clusters = dedupClusters(s, d).select(col("doc_id"), col("cluster_id"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("score"), col("keep"))
+      .orderBy("doc_id")
+  }
+
   /** CDC-style compaction: the LATEST event per user (by ts, tie-broken on
     * event_id) — the keep-latest dedup every incremental ingest pipeline
     * runs. One shuffle on the entity key; ranking never leaves the
@@ -188,6 +215,7 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dq_checks" -> (dqChecks(_, _)),
     "dedup_clusters" -> (dedupClusters(_, _)),
+    "dedup_near_keep_best" -> (nearKeepBest(_, _)),
     "dedup_keep_latest" -> (keepLatest(_, _)),
     "text_bigrams_top" -> (bigramsTop(_, _)),
     "q_approx_percentile" -> (approxPercentiles(_, _))
@@ -256,6 +284,27 @@ object PipelineQueries {
          |), final AS (SELECT vtx, min(comp) AS comp FROM cc GROUP BY vtx)
          |SELECT vtx AS doc_id, comp AS cluster_id, vtx = comp AS is_keeper
          |FROM final ORDER BY doc_id""".stripMargin,
+    "dedup_near_keep_best" ->
+      s"""WITH RECURSIVE $pairsSql,
+         |und AS (SELECT da AS u, db AS v FROM pairs
+         |        UNION SELECT db, da FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS vtx FROM und),
+         |cc AS (
+         |  SELECT vtx, vtx AS comp FROM nodes
+         |  UNION
+         |  SELECT e.v AS vtx, c.comp FROM cc c JOIN und e ON c.vtx = e.u
+         |), final AS (SELECT vtx, min(comp) AS comp FROM cc GROUP BY vtx),
+         |scored AS (
+         |  SELECT doc_id, len(list_distinct(l))::DOUBLE / len(l) AS score
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+         |        WHERE doc_id < 500)),
+         |lab AS (
+         |  SELECT s.doc_id, coalesce(f.comp, s.doc_id) AS cluster_id, s.score
+         |  FROM scored s LEFT JOIN final f ON s.doc_id = f.vtx)
+         |SELECT doc_id, cluster_id, score,
+         |       row_number() OVER (PARTITION BY cluster_id
+         |                          ORDER BY score DESC, doc_id) = 1 AS keep
+         |FROM lab ORDER BY doc_id""".stripMargin,
     "dedup_keep_latest" ->
       """SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
         |       event_type, value

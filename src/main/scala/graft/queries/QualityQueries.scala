@@ -145,6 +145,32 @@ object QualityQueries {
       .orderBy(col("score").desc, col("doc_id"))
   }
 
+  /** Per-source quality-quantile gate — the selection knob real curation
+    * pipelines use instead of one global threshold: a doc is kept if its
+    * quality (distinct-token ratio) is at or above its OWN source's 25th
+    * percentile, so no source is wiped out by a global bar and each
+    * source's worst quartile is dropped. The quantile is rank-based
+    * (percent_rank = (rank-1)/(n-1), exact integer→double arithmetic in
+    * both engines — no interpolated-percentile float drift).
+    *
+    * Scale shape: one corpus scan for scores, then a single window
+    * partitioned by source — sources are a bounded set, and a skewed
+    * source range-partitions internally; no corpus-global sort, no
+    * second scan (the gate is a filter on the windowed column).
+    */
+  def sourceQuantiles(s: SparkSession, d: String, q: Double = 0.25): DataFrame = {
+    val toks = spaceTokens(col("text"))
+    val w = Window.partitionBy("source").orderBy("score")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        (size(array_distinct(toks)).cast("long") / size(toks).cast("long"))
+          .as("score"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("keep", col("pr") >= q)
+      .select(col("doc_id"), col("source"), col("score"), col("pr"), col("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Semantic dedup (SemDeDup shape): coarse-cluster the embedding corpus
     * (8 cells seeded from the first 8 vectors — the same train-then-apply
     * quantizer pattern as sim_ivf_topk; ties → smallest cell id), then find
@@ -270,12 +296,23 @@ object QualityQueries {
     "text_perplexity" -> (perplexity(_, _)),
     "text_vocab_coverage" -> (vocabCoverage(_, _)),
     "pipeline_token_budget" -> (tokenBudget(_, _)),
+    "pipeline_source_quantiles" -> (sourceQuantiles(_, _)),
     "dedup_semantic" -> (semanticDedup(_, _)),
     "q_observe" -> (observeMetrics(_, _)),
     "q_repartition_sort" -> (repartitionSort(_, _))
   )
 
   val oracles: Map[String, String] = Map(
+    "pipeline_source_quantiles" ->
+      """SELECT doc_id, source, score,
+        |       percent_rank() OVER (PARTITION BY source ORDER BY score) AS pr,
+        |       percent_rank() OVER (PARTITION BY source ORDER BY score) >= 0.25
+        |         AS keep
+        |FROM (SELECT doc_id, source,
+        |             len(list_distinct(l))::DOUBLE / len(l) AS score
+        |      FROM (SELECT doc_id, source, string_split(text, ' ') AS l
+        |            FROM documents))
+        |ORDER BY doc_id""".stripMargin,
     "pipeline_e2e_curation" ->
       """WITH gated AS (
         |  SELECT doc_id, text FROM documents
