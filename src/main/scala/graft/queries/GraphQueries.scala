@@ -202,7 +202,10 @@ object GraphQueries {
       .filter(col("w") >= minCo)
       .select("u", "v")
       .localCheckpoint(false) // e feeds degrees + 3 join sides; compute once
-    val eo = orientByDegree(e)
+    // lazy-checkpoint the oriented edges too: eo feeds BOTH wedge sides and
+    // the closing join — without this the degree aggregate + orientation
+    // joins replan and recompute once per reference (3×, seen in explain)
+    val eo = orientByDegree(e).localCheckpoint(false)
     val tri = orientedWedges(eo).join(
       eo.select(col("a").as("cy"), col("b").as("cz")),
       col("y") === col("cy") && col("z") === col("cz"))
