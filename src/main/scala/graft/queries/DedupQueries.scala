@@ -40,7 +40,14 @@ object DedupQueries {
     * resolution), where a sort ahead of a bounded collect would plan an
     * expensive TakeOrdered heap for no benefit.
     */
-  def ngramJaccard(s: SparkSession, d: String, maxDocId: Long = 500L,
+  /** Pair-graph universe bound shared by ngramJaccard and every consumer
+    * of its pair set (cluster resolution, keep-best curation): the scored
+    * corpus and the pair graph MUST cover the same doc_id range or keep
+    * decisions silently desynchronize.
+    */
+  val PairUniverseMaxDocId: Long = 500L
+
+  def ngramJaccard(s: SparkSession, d: String, maxDocId: Long = PairUniverseMaxDocId,
       threshold: Double = 0.8, sorted: Boolean = true): DataFrame = {
     val docs = Tables.documents(s, d)
       .filter(col("doc_id") < maxDocId)

@@ -93,15 +93,20 @@ object PipelineQueries {
     * highest-QUALITY member of each cluster (distinct-token ratio, exact
     * BIGINT÷BIGINT double; tie-break doc_id) instead of the arbitrary
     * min-id representative — the decision an actual curation run ships.
-    * Docs outside any cluster are their own keeper. Scale shape: the
-    * cluster labels are a vanishing fraction of the corpus (pair-graph
-    * vertices only), the corpus-side score is one scan, and the keep
-    * ranking is a window partitioned by cluster_id — bounded groups,
-    * never a global sort.
+    * Docs outside any cluster are their own keeper. The scored corpus is
+    * bound to `DedupQueries.PairUniverseMaxDocId` — the SAME universe the
+    * pair graph under `dedupClusters` covers; a caller-tunable bound here
+    * would silently desynchronize the two domains (scored docs with no
+    * possible cluster label, or cluster members missing from the scan).
+    * Scale shape: the cluster labels are a vanishing fraction of the
+    * corpus (pair-graph vertices only), the corpus-side score is one
+    * scan, and the keep ranking is a window partitioned by cluster_id —
+    * bounded groups, never a global sort.
     */
-  def nearKeepBest(s: SparkSession, d: String, maxDocId: Long = 500L): DataFrame = {
+  def nearKeepBest(s: SparkSession, d: String): DataFrame = {
     val toks = spaceTokens(col("text"))
-    val scored = Tables.documents(s, d).filter(col("doc_id") < maxDocId)
+    val scored = Tables.documents(s, d)
+      .filter(col("doc_id") < DedupQueries.PairUniverseMaxDocId)
       .select(col("doc_id"),
         (size(array_distinct(toks)).cast("long") / size(toks).cast("long"))
           .as("score"))

@@ -151,12 +151,16 @@ object QualityQueries {
     * percentile, so no source is wiped out by a global bar and each
     * source's worst quartile is dropped. The quantile is rank-based
     * (percent_rank = (rank-1)/(n-1), exact integer→double arithmetic in
-    * both engines — no interpolated-percentile float drift).
+    * both engines — no interpolated-percentile float drift). The oracle
+    * pins q = 0.25; a different quantile needs a matching oracle edit —
+    * the registry binding always uses the default.
     *
     * Scale shape: one corpus scan for scores, then a single window
-    * partitioned by source — sources are a bounded set, and a skewed
-    * source range-partitions internally; no corpus-global sort, no
-    * second scan (the gate is a filter on the windowed column).
+    * partitioned by source — sources are a bounded set. The decision is
+    * emitted as a `keep` FLAG (downstream filters on it; emitting the
+    * flag keeps the audit trail a real pipeline wants). The final
+    * orderBy(doc_id) is output-determinism for the gate, not part of the
+    * operator's data path.
     */
   def sourceQuantiles(s: SparkSession, d: String, q: Double = 0.25): DataFrame = {
     val toks = spaceTokens(col("text"))

@@ -291,10 +291,16 @@ object StreamingBridge {
       import s.implicits._
       totals.toSeq.toDF("user_id", "n_events").orderBy("user_id")
     } finally {
-      def rmRf(p: java.nio.file.Path): Unit = {
+      // best-effort cleanup: close the walk stream (fd leak otherwise) and
+      // never let a cleanup IOException mask the streaming run's own error
+      def rmRf(p: java.nio.file.Path): Unit = try {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        val walk = java.nio.file.Files.walk(p)
+        try walk.iterator().asScala.toSeq.reverse
           .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      } catch { case e: java.io.IOException =>
+        System.err.println(s"[stream_recovery] cleanup of $p failed: $e")
       }
       rmRf(srcDir); rmRf(ckpt)
     }
