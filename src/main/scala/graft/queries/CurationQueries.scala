@@ -62,6 +62,32 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** SEMANTIC decontamination — the embedding-level companion of the
+    * n-gram `decontam`: a train vector is contaminated if its cosine vs
+    * ANY eval-set vector (vec_id % 10 == 0 stands in for the benchmark
+    * embeddings) exceeds τ. The asymmetric shape is the production one:
+    * eval sets are thousands of vectors against a 100 TB train corpus,
+    * so the eval side BROADCASTS and the train side streams through one
+    * codegen'd cosine pass + a vec-keyed max — no shuffle of the corpus,
+    * no LSH needed because the small side is exhaustively checkable.
+    * max() over bit-exact pairwise cosines is order-independent, so the
+    * doubles match DuckDB exactly.
+    */
+  def decontamSemantic(s: SparkSession, d: String, tau: Double = 0.4): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val evalSet = e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("evid"), col("v").as("xe"))
+    e.filter(col("vec_id") % 10 =!= 0)
+      .crossJoin(broadcast(evalSet))
+      .withColumn("sim",
+        graft.plans.CosineSimilarity.cosine_sim(col("v"), col("xe")))
+      .groupBy("vec_id")
+      .agg(max("sim").as("max_sim"))
+      .withColumn("contaminated", col("max_sim") > tau)
+      .orderBy("vec_id")
+  }
+
   /** Repetition signals per document, Gopher-rule style: top-word
     * fraction, repeated-token fraction, top-bigram fraction, and the
     * composite gate. All ratios divide exact integer counts, so the
@@ -92,6 +118,7 @@ object CurationQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_decontam" -> (decontam(_, _)),
+    "pipeline_decontam_semantic" -> (decontamSemantic(_, _)),
     "text_repetition" -> (repetition(_, _))
   )
 
@@ -122,6 +149,16 @@ object CurationQueries {
         |FROM hashed c JOIN eval_h e ON c.h = e.h
         |WHERE c.doc_id >= 20
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "pipeline_decontam_semantic" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |ev AS (SELECT vec_id AS evid, v AS xe FROM e WHERE vec_id % 10 = 0),
+        |tr AS (SELECT vec_id, v FROM e WHERE vec_id % 10 <> 0)
+        |SELECT tr.vec_id,
+        |       max(list_cosine_similarity(tr.v, ev.xe)) AS max_sim,
+        |       max(list_cosine_similarity(tr.v, ev.xe)) > 0.4 AS contaminated
+        |FROM tr, ev
+        |GROUP BY tr.vec_id ORDER BY tr.vec_id""".stripMargin,
     "text_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -232,7 +232,32 @@ object MixQueries {
       .orderBy("doc_id", "slot")
   }
 
+  /** Deterministic shard + shuffle — training prep's LAST op before the
+    * data loader: every doc hash-assigned to one of K shards (independent
+    * salted FNV), then pseudo-randomly ordered WITHIN its shard by a
+    * second independent hash (tie doc_id), positions 0-based. This is
+    * F3+F5 (hash partition + per-partition sort) applied to the corpus
+    * itself: one shuffle keyed on shard, rank never leaves the partition,
+    * and the assignment is layout-independent (pure function of doc_id —
+    * same reproducibility contract as pipeline_split). At 100 TB, K is
+    * the loader's file-group count and this plan IS the shuffled-shard
+    * writer.
+    */
+  def shardShuffle(s: SparkSession, d: String, shards: Int = 8): DataFrame = {
+    val shard = Fnv1a64.ihash31(
+      concat(lit("shard|"), col("doc_id").cast("string"))) % shards
+    val ord = Fnv1a64.ihash31(
+      concat(lit("order|"), col("doc_id").cast("string")))
+    val w = Window.partitionBy("shard").orderBy(col("ord"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), shard.as("shard"), ord.as("ord"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_shard_shuffle" -> (shardShuffle(_, _)),
     "pipeline_neg_samples" -> (negSamples(_, _)),
     "pipeline_sample_weighted" -> (sampleWeighted(_, _)),
     "pipeline_split" -> (split(_, _)),
@@ -245,6 +270,18 @@ object MixQueries {
   import OracleSql.fnvIhash31
 
   val oracles: Map[String, String] = Map(
+    "pipeline_shard_shuffle" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |         CAST(${fnvIhash31("'shard|' || doc_id::VARCHAR")} % 8
+         |              AS BIGINT) AS shard,
+         |         ${fnvIhash31("'order|' || doc_id::VARCHAR")} AS ord
+         |  FROM documents)
+         |SELECT doc_id, shard,
+         |       CAST(row_number() OVER (PARTITION BY shard
+         |                               ORDER BY ord, doc_id) - 1
+         |            AS BIGINT) AS pos
+         |FROM h ORDER BY shard, pos""".stripMargin,
     "pipeline_neg_samples" ->
       s"""WITH n AS (SELECT count(*) AS n_docs FROM documents),
          |a AS (SELECT doc_id, slot FROM documents,

@@ -44,6 +44,7 @@ class PlanAuditSpec extends SparkSpec {
     "layout_pruning_stats",   // 10-band × file-zone-stat metadata cross (both tiny)
     "q_interpolate",          // type-dim × 24-slot grid (both tiny)
     "emb_knn_classify",       // broadcast 20-query set × corpus stream (sim_cosine_topk shape)
+    "pipeline_decontam_semantic", // broadcast eval-embedding set × train stream (the design)
     "text_bm25",              // broadcast 1-row corpus-stats scalar (N, avgdl)
     "ml_kmeans_step",         // broadcast k-row centroid set × corpus stream
     "ml_kmeans_iter",         // same shape, two unrolled Lloyd rounds
