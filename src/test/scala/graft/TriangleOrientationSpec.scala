@@ -39,6 +39,38 @@ class TriangleOrientationSpec extends SparkSpec {
       "degree-oriented star wedges must collapse to the two closing pairs")
   }
 
+  test("random graphs: oriented closure equals the naive triangle count") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val edgeGen = for {
+      n <- Gen.choose(4, 14) // vertex count
+      edges <- Gen.listOf(for {
+        u <- Gen.choose(0, n - 1); v <- Gen.choose(0, n - 1) if u != v
+      } yield (math.min(u, v).toLong, math.max(u, v).toLong))
+    } yield edges.distinct
+    (0 until 15).foreach { i =>
+      edgeGen(Gen.Parameters.default, Seed(7L + i)).foreach { edges =>
+        if (edges.nonEmpty) {
+          // naive reference: count vertex triples with all three edges
+          val es = edges.toSet
+          val vs = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+          val naive = (for {
+            a <- vs; b <- vs if a < b; c <- vs if b < c
+            if es((a, b)) && es((b, c)) && es((a, c))
+          } yield 1).size.toLong
+          val e = edges.toDF("u", "v")
+          val eo = GraphQueries.orientByDegree(e)
+          val got = GraphQueries.orientedWedges(eo).join(
+            eo.select(col("a").as("cy"), col("b").as("cz")),
+            col("y") === col("cy") && col("z") === col("cz")).count()
+          assert(got == naive,
+            s"seed ${7L + i}: oriented count $got != naive $naive on ${edges.size} edges")
+        }
+      }
+    }
+  }
+
   test("oriented closure still counts each triangle exactly once") {
     val e = starEdges(50)
     val eo = GraphQueries.orientByDegree(e)
