@@ -243,13 +243,21 @@ object MixQueries {
     * the loader's file-group count and this plan IS the shuffled-shard
     * writer.
     */
-  def shardShuffle(s: SparkSession, d: String, shards: Int = 8): DataFrame = {
+  def shardShuffle(s: SparkSession, d: String, shards: Int = 8): DataFrame =
+    shardShuffleOf(Tables.documents(s, d), shards)
+
+  /** The shard+shuffle over an arbitrary documents frame — separated (like
+    * `splitOf`) so the stability test can feed the SAME data under a
+    * different physical layout and prove identical (shard, pos)
+    * assignment.
+    */
+  def shardShuffleOf(docs: DataFrame, shards: Int = 8): DataFrame = {
     val shard = Fnv1a64.ihash31(
       concat(lit("shard|"), col("doc_id").cast("string"))) % shards
     val ord = Fnv1a64.ihash31(
       concat(lit("order|"), col("doc_id").cast("string")))
     val w = Window.partitionBy("shard").orderBy(col("ord"), col("doc_id"))
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), shard.as("shard"), ord.as("ord"))
       .withColumn("pos", (row_number().over(w) - 1).cast("long"))
       .select(col("doc_id"), col("shard"), col("pos"))

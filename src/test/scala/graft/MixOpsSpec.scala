@@ -29,6 +29,21 @@ class MixOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("shard-shuffle assignment is layout-independent and positions are dense") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val a = MixQueries.shardShuffleOf(docs.coalesce(1)).collect().toSeq
+    val b = MixQueries.shardShuffleOf(docs.repartition(13)).collect().toSeq
+    assert(a == b, "(shard, pos) assignment must be a pure function of doc_id")
+    // positions within each shard are exactly 0..n-1 (a permutation, no
+    // holes — the contract a data loader indexes by)
+    a.groupBy(_.getAs[Long]("shard")).foreach { case (sh, rows) =>
+      val ps = rows.map(_.getAs[Long]("pos")).sorted
+      assert(ps == (0L until ps.length.toLong), s"shard $sh positions not dense")
+    }
+    // every doc appears exactly once
+    assert(a.map(_.getAs[Long]("doc_id")).distinct.size == docs.count())
+  }
+
   test("mixture rates are valid probabilities and never oversample") {
     val rows = MixQueries.mixture(spark, sf).collect()
     rows.foreach { r =>
