@@ -97,6 +97,26 @@ class PlanShapeSpec extends SparkSpec {
       plan.contains("Partial"), plan)
   }
 
+  test("pipeline_decontam_semantic: eval set broadcast, corpus never shuffled pre-agg") {
+    val plan = executedPlan("pipeline_decontam_semantic")
+    // the design: eval embeddings are the broadcast build of a BNLJ cross;
+    // the train corpus streams — its only exchange is the per-vector max agg
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"train corpus must stream against the broadcast eval set:\n$plan")
+  }
+
+  test("pipeline_shard_shuffle: one shard-keyed exchange, rank inside the partition") {
+    val plan = executedPlan("pipeline_shard_shuffle")
+    // F3+F5: hashpartitioning on shard, window rank within; the only other
+    // exchange is the rangepartitioning for the gate's output order
+    assert(plan.contains("hashpartitioning(shard"), plan)
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"shard shuffle is join-free:\n$plan")
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true)") {
     // one hot key (~99% of a padded fact) joined without broadcast; with
     // thresholds scaled to the fixture, AQE's OptimizeSkewedJoin must mark
