@@ -18,6 +18,14 @@ object TextFunctions {
   /** Whitespace tokens (driver documents are single-space-separated). */
   def spaceTokens(text: Column): Column = split(text, " ")
 
+  /** Distinct-token ratio — the corpus quality score shared by the
+    * selection operators (keep-best curation, source-quantile gate).
+    * BIGINT÷BIGINT double division: bit-identical to DuckDB's
+    * `len(list_distinct(l))::DOUBLE / len(l)`.
+    */
+  def distinctTokenRatio(toks: Column): Column =
+    size(array_distinct(toks)).cast("long") / size(toks).cast("long")
+
   /** Word trigrams of a token array as (w1, w2, w3) structs — builtin
     * slice+zip_with expressions (codegen'd, no UDF). Shared by the
     * trigram-LM statistics and the perplexity scorer so the two trigram

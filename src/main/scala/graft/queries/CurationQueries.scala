@@ -77,7 +77,7 @@ object CurationQueries {
     val e = Tables.embeddings(s, d).select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
     val evalSet = e.filter(col("vec_id") % 10 === 0)
-      .select(col("vec_id").as("evid"), col("v").as("xe"))
+      .select(col("v").as("xe")) // only the vector crosses the broadcast
     e.filter(col("vec_id") % 10 =!= 0)
       .crossJoin(broadcast(evalSet))
       .withColumn("sim",

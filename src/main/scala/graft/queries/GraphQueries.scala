@@ -180,6 +180,16 @@ object GraphQueries {
         col("a") === col("a2") && col("yord") < col("zord"))
       .select(col("y"), col("z"))
 
+  /** Close each wedge with the oriented edge y→z — one row per triangle
+    * (the wedge's apex is the triangle's (deg,id)-minimum vertex, so no
+    * triangle is generated twice). Shared by `triangles` and the
+    * orientation specs.
+    */
+  private[graft] def closedTriangles(eo: DataFrame): DataFrame =
+    orientedWedges(eo).join(
+      eo.select(col("a").as("cy"), col("b").as("cz")),
+      col("y") === col("cy") && col("z") === col("cz"))
+
   /** Triangle counting over the part co-occurrence graph (parts appearing
     * together in ≥ 2 orders — the threshold keeps the projection sparse;
     * unthresholded one-mode projections of order baskets go near-complete).
@@ -206,9 +216,7 @@ object GraphQueries {
     // the closing join — without this the degree aggregate + orientation
     // joins replan and recompute once per reference (3×, seen in explain)
     val eo = orientByDegree(e).localCheckpoint(false)
-    val tri = orientedWedges(eo).join(
-      eo.select(col("a").as("cy"), col("b").as("cz")),
-      col("y") === col("cy") && col("z") === col("cz"))
+    val tri = closedTriangles(eo)
     e.agg(count(lit(1)).as("n_edges"))
       .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
   }

@@ -107,9 +107,7 @@ object PipelineQueries {
     val toks = spaceTokens(col("text"))
     val scored = Tables.documents(s, d)
       .filter(col("doc_id") < DedupQueries.PairUniverseMaxDocId)
-      .select(col("doc_id"),
-        (size(array_distinct(toks)).cast("long") / size(toks).cast("long"))
-          .as("score"))
+      .select(col("doc_id"), distinctTokenRatio(toks).as("score"))
     val clusters = dedupClusters(s, d).select(col("doc_id"), col("cluster_id"))
     val w = Window.partitionBy("cluster_id")
       .orderBy(col("score").desc, col("doc_id"))
@@ -247,6 +245,21 @@ object PipelineQueries {
       |  JOIN sizes sb ON db = sb.doc_id
       |  WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.8)""".stripMargin
 
+  /** Shared CTE body: connected components over the pair graph (recursive
+    * min-label closure + final labels) — consumed as-is by dedup_clusters
+    * and extended by dedup_near_keep_best. Expects `pairs(da, db)` in
+    * scope (from `pairsSql`).
+    */
+  private val ccSql =
+    """und AS (SELECT da AS u, db AS v FROM pairs
+      |        UNION SELECT db, da FROM pairs),
+      |nodes AS (SELECT DISTINCT u AS vtx FROM und),
+      |cc AS (
+      |  SELECT vtx, vtx AS comp FROM nodes
+      |  UNION
+      |  SELECT e.v AS vtx, c.comp FROM cc c JOIN und e ON c.vtx = e.u
+      |), final AS (SELECT vtx, min(comp) AS comp FROM cc GROUP BY vtx)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_dq_checks" ->
       """SELECT tbl, metric, value FROM (
@@ -279,26 +292,12 @@ object PipelineQueries {
         |ORDER BY tbl, metric""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE $pairsSql,
-         |und AS (SELECT da AS u, db AS v FROM pairs
-         |        UNION SELECT db, da FROM pairs),
-         |nodes AS (SELECT DISTINCT u AS vtx FROM und),
-         |cc AS (
-         |  SELECT vtx, vtx AS comp FROM nodes
-         |  UNION
-         |  SELECT e.v AS vtx, c.comp FROM cc c JOIN und e ON c.vtx = e.u
-         |), final AS (SELECT vtx, min(comp) AS comp FROM cc GROUP BY vtx)
+         |$ccSql
          |SELECT vtx AS doc_id, comp AS cluster_id, vtx = comp AS is_keeper
          |FROM final ORDER BY doc_id""".stripMargin,
     "dedup_near_keep_best" ->
       s"""WITH RECURSIVE $pairsSql,
-         |und AS (SELECT da AS u, db AS v FROM pairs
-         |        UNION SELECT db, da FROM pairs),
-         |nodes AS (SELECT DISTINCT u AS vtx FROM und),
-         |cc AS (
-         |  SELECT vtx, vtx AS comp FROM nodes
-         |  UNION
-         |  SELECT e.v AS vtx, c.comp FROM cc c JOIN und e ON c.vtx = e.u
-         |), final AS (SELECT vtx, min(comp) AS comp FROM cc GROUP BY vtx),
+         |$ccSql,
          |scored AS (
          |  SELECT doc_id, len(list_distinct(l))::DOUBLE / len(l) AS score
          |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents

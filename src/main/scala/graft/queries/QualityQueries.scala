@@ -166,9 +166,7 @@ object QualityQueries {
     val toks = spaceTokens(col("text"))
     val w = Window.partitionBy("source").orderBy("score")
     Tables.documents(s, d)
-      .select(col("doc_id"), col("source"),
-        (size(array_distinct(toks)).cast("long") / size(toks).cast("long"))
-          .as("score"))
+      .select(col("doc_id"), col("source"), distinctTokenRatio(toks).as("score"))
       .withColumn("pr", percent_rank().over(w))
       .withColumn("keep", col("pr") >= q)
       .select(col("doc_id"), col("source"), col("score"), col("pr"), col("keep"))

@@ -60,10 +60,8 @@ class TriangleOrientationSpec extends SparkSpec {
             if es((a, b)) && es((b, c)) && es((a, c))
           } yield 1).size.toLong
           val e = edges.toDF("u", "v")
-          val eo = GraphQueries.orientByDegree(e)
-          val got = GraphQueries.orientedWedges(eo).join(
-            eo.select(col("a").as("cy"), col("b").as("cz")),
-            col("y") === col("cy") && col("z") === col("cz")).count()
+          val got = GraphQueries.closedTriangles(
+            GraphQueries.orientByDegree(e)).count()
           assert(got == naive,
             s"seed ${7L + i}: oriented count $got != naive $naive on ${edges.size} edges")
         }
@@ -73,10 +71,7 @@ class TriangleOrientationSpec extends SparkSpec {
 
   test("oriented closure still counts each triangle exactly once") {
     val e = starEdges(50)
-    val eo = GraphQueries.orientByDegree(e)
-    val tri = GraphQueries.orientedWedges(eo).join(
-      eo.select(col("a").as("cy"), col("b").as("cz")),
-      col("y") === col("cy") && col("z") === col("cz"))
+    val tri = GraphQueries.closedTriangles(GraphQueries.orientByDegree(e))
     assert(tri.count() == 2L, "star + (1,2) + (3,4) has exactly 2 triangles")
     // orientation acyclicity: no edge can have ord(a) >= ord(b) -- a >= b
     // in (deg, id) order would double- or zero-count a triangle
