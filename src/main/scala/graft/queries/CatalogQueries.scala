@@ -113,9 +113,7 @@ object CatalogQueries {
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256KB",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "256KB")
-    val saved = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
-    try {
-      confs.foreach { case (k, v) => s.conf.set(k, v) }
+    withConfs(s, confs) {
       val fact = Tables.lineitem(s, d).select(
         when(col("l_orderkey") % 100 =!= 0, lit(1L))
           .otherwise(col("l_orderkey") % 1000).as("k"),
@@ -132,9 +130,6 @@ object CatalogQueries {
       // with broadcast off + skew thresholds in force
       val rows = java.util.Arrays.asList(shaped.collect(): _*)
       s.createDataFrame(rows, shaped.schema)
-    } finally saved.foreach {
-      case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None)    => s.conf.unset(k)
     }
   }
 
@@ -232,6 +227,99 @@ object CatalogQueries {
       .orderBy("event_type")
   }
 
+  /** Dynamic partition pruning: events laid out partitionBy(event_type)
+    * joined to a small category dim whose predicate is on a NON-partition
+    * column. Static pruning (`q_partition_pruned`) cannot help — the
+    * partition column has no literal predicate; the surviving event types
+    * are only known after filtering the dim. Catalyst injects a
+    * DynamicPruningExpression into the fact scan's PartitionFilters
+    * (reusing the join's broadcast of the filtered dim), so the listing
+    * still skips the non-qualifying partitions at runtime. CatalogSpec
+    * pins the dynamicpruning expression AND that fewer files are read.
+    *
+    * Scale: at 100 TB the fact's partition count is the dominant listing
+    * and IO term; DPP is what keeps star-schema joins from scanning every
+    * date/type partition when the predicate lives on the dim.
+    */
+  def dppJoin(s: SparkSession, d: String): DataFrame = {
+    val tag = sfTag(d)
+    val factPath = s"$tmpRoot/events_dpp_$tag"
+    Tables.events(s, d).write.partitionBy("event_type")
+      .mode("overwrite").parquet(factPath)
+    // dim derived deterministically from the fixture's type universe; a
+    // real deployment would read a catalog dim table — written to parquet
+    // so the optimizer sees a genuine scan relation with stats, not a
+    // constant-foldable LocalRelation
+    val dimPath = s"$tmpRoot/etype_dim_$tag"
+    Tables.events(s, d).select("event_type").distinct()
+      .withColumn("category",
+        when(col("event_type").isin("click", "view"), lit("engagement"))
+          .when(col("event_type").isin("purchase", "signup"), lit("conversion"))
+          .otherwise(lit("ops")))
+      .write.mode("overwrite").parquet(dimPath)
+    val fact = s.read.parquet(factPath)
+    val dim = s.read.parquet(dimPath).filter(col("category") === "engagement")
+    fact.join(dim, "event_type")
+      .groupBy("event_type", "category")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Runtime bloom-filter injection (InjectRuntimeFilter): lineitem joined
+    * to a brand-filtered part slice with broadcast DISABLED — the shape
+    * where, at 100 TB, the fact side would shuffle ~every row only for the
+    * join to discard ~96% of them. With the runtime filter on, Catalyst
+    * builds a bloom filter over the filtered dim's join keys and injects
+    * `bloom_filter_might_contain` as a fact-side scan predicate, so
+    * non-qualifying rows die before the exchange, not after it.
+    *
+    * Thresholds are scaled to the fixture (the application-side floor
+    * defaults to 10 GB); broadcast is disabled because a BHJ needs no
+    * semi-join reduction — SMJ/SHJ is the plan whose shuffle the filter
+    * exists to shrink. Eager settle under save/restore confs, same
+    * contract as `skewJoinAqe`. PlanShapeSpec pins the injected filter and
+    * its row-reduction effect.
+    */
+  /** Conf set + shaped plan shared with CatalogSpec's pin, so the pinned
+    * plan IS the query's plan, not a re-derivation. */
+  private[graft] val runtimeFilterConfs = Map(
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+  private[graft] def runtimeFilterShaped(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.part(s, d)
+      .filter(col("p_brand") === "Brand#11")
+      .select(col("p_partkey"), col("p_brand"))
+    Tables.lineitem(s, d)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(dim, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy("p_brand")
+  }
+
+  /** Run `body` with `confs` set on the session, restoring priors after. */
+  private[graft] def withConfs[T](s: SparkSession, confs: Map[String, String])(body: => T): T = {
+    val saved = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    try { confs.foreach { case (k, v) => s.conf.set(k, v) }; body }
+    finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  def runtimeFilter(s: SparkSession, d: String): DataFrame =
+    withConfs(s, runtimeFilterConfs) {
+      val shaped = runtimeFilterShaped(s, d)
+      val rows = java.util.Arrays.asList(shaped.collect(): _*)
+      s.createDataFrame(rows, shaped.schema)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bucketed_join" -> (bucketedJoin(_, _)),
     "q_partition_pruned" -> (partitionPruned(_, _)),
@@ -239,7 +327,9 @@ object CatalogQueries {
     "q_orc_roundtrip" -> (orcRoundtrip(_, _)),
     "q_sql_dml" -> (sqlDml(_, _)),
     "q_csv_roundtrip" -> (csvRoundtrip(_, _)),
-    "q_json_roundtrip" -> (jsonRoundtrip(_, _))
+    "q_json_roundtrip" -> (jsonRoundtrip(_, _)),
+    "q_dpp_join" -> (dppJoin(_, _)),
+    "q_runtime_filter" -> (runtimeFilter(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -278,6 +368,20 @@ object CatalogQueries {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_csv_roundtrip" ->
       """SELECT * FROM nation ORDER BY n_nationkey""".stripMargin,
+    // the dim's category mapping restated as the partition predicate DPP
+    // derives at runtime
+    "q_dpp_join" ->
+      """SELECT event_type, 'engagement' AS category, count(*) AS cnt,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events WHERE event_type IN ('click', 'view')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_runtime_filter" ->
+      """SELECT p_brand, count(*) AS cnt,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#11'
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q_json_roundtrip" ->
       """SELECT event_type, count(*) AS cnt,
         |       min(epoch_us(ts)) AS ts_us_min,

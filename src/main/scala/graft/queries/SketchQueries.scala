@@ -175,8 +175,41 @@ object SketchQueries {
           col("exact_parts") * 0.05).as("within_tol"))
       .orderBy("l_returnflag")
 
+  /** Mergeable-sketch re-aggregation: one HLL sketch per return flag, then
+    * `hll_union_agg` folds the per-group sketches into a global one — the
+    * exact shape of a 100 TB distinct-count rollup, where each partition /
+    * day / source keeps a kilobyte sketch and ANY rollup level is a
+    * sketch-union away (never a re-scan of the raw keys). Gated two ways:
+    * the union estimate must sit within the 5% envelope of the
+    * oracle-checked exact count (`within_tol`), and within 2% of a direct
+    * single-pass global sketch (`union_close`). The union is NOT
+    * bit-identical to the direct sketch: DataSketches unions accumulate in
+    * dense HLL_8 while a small direct sketch stays in sparse/coupon mode
+    * (near-exact), so the paths diverge slightly (measured ≤0.6% across
+    * sf0.001/0.01/0.1 — est 1991 vs 1999 vs exact 2000 at sf0.01). Both
+    * gates are deterministic for fixed data.
+    */
+  def hllUnion(s: SparkSession, d: String): DataFrame = {
+    val perFlag = Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(expr("hll_sketch_agg(l_partkey)").as("sk"))
+    val merged = perFlag.agg(
+      expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_union"),
+      count(lit(1)).as("n_sketches"))
+    val direct = Tables.lineitem(s, d).agg(
+      expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))").as("est_direct"),
+      countDistinct(col("l_partkey")).as("exact_global"))
+    merged.crossJoin(broadcast(direct))
+      .select(col("n_sketches"), col("exact_global"),
+        (abs(col("est_union") - col("est_direct")) <=
+          col("exact_global") * 0.02).as("union_close"),
+        (abs(col("est_union") - col("exact_global")) <=
+          col("exact_global") * 0.05).as("within_tol"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_hll" -> (hll(_, _)),
+    "sketch_hll_union" -> (hllUnion(_, _)),
     "sketch_hll_native" -> (hllNative(_, _)),
     "sketch_bloom" -> (bloom(_, _)),
     "q_table_fingerprint" -> (fingerprint(_, _))
@@ -185,6 +218,11 @@ object SketchQueries {
   import OracleSql.fnvIhash31
 
   val oracles: Map[String, String] = Map(
+    "sketch_hll_union" ->
+      """SELECT CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_sketches,
+        |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_global,
+        |       TRUE AS union_close, TRUE AS within_tol
+        |FROM lineitem""".stripMargin,
     "sketch_hll_native" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
         |       TRUE AS within_tol

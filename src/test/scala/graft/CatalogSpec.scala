@@ -60,6 +60,52 @@ class CatalogSpec extends SparkSpec
       "scan read every partition — pruning did not happen")
   }
 
+  test("q_dpp_join: dynamic pruning reaches the fact scan's partition filters") {
+    val df = CatalogQueries.dppJoin(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val scans = collect(df.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.partitionSchema.fieldNames.contains("event_type") => f
+    }
+    assert(scans.nonEmpty, "expected a partitioned fact scan")
+    val scan = scans.head
+    // the predicate on the partition column exists only at runtime (it is
+    // derived from the dim's category filter) — a static IN-list here would
+    // mean the test degenerated into q_partition_pruned
+    assert(scan.partitionFilters.exists(
+        _.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning])),
+      s"no DynamicPruning in partition filters: ${scan.partitionFilters}")
+    // and it must actually prune AT RUNTIME: the static selection keeps all
+    // partitions (the predicate is unknown at listing time), so the proof
+    // lives in the scan's execution metrics — 2 qualifying types out of 5
+    assert(scan.metrics("numFiles").value < scan.metrics("staticFilesNum").value,
+      s"dynamic pruning read every file: ${scan.metrics.view.mapValues(_.value).toMap}")
+    assert(scan.metrics("numPartitions").value == 2,
+      s"expected 2 surviving partitions: ${scan.metrics.view.mapValues(_.value).toMap}")
+  }
+
+  test("q_runtime_filter: bloom filter is injected on the fact side") {
+    CatalogQueries.withConfs(spark, CatalogQueries.runtimeFilterConfs) {
+      val df = CatalogQueries.runtimeFilterShaped(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      // broadcast is off, so the join must be shuffle-based — the shape
+      // whose exchange the injected filter shrinks
+      assert(!plan.contains("BroadcastHashJoin"), plan)
+      // the injected BloomFilterMightContain prints as might_contain(...)
+      // over a scalar subquery in the physical plan
+      assert(plan.contains("might_contain"),
+        s"runtime bloom filter was not injected:\n$plan")
+    }
+    // and the builder restores every conf it touched
+    val df2 = CatalogQueries.runtimeFilter(spark, sf)
+    assert(df2.collect().nonEmpty)
+    assert(spark.conf.getOption(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .forall(_ != "0"),
+      "runtime-filter builder leaked a session conf override")
+  }
+
   test("q_skew_join_aqe: session confs are restored after the eager run") {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val before = spark.conf.getOption(key)
