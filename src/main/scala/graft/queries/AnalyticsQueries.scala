@@ -118,7 +118,45 @@ object AnalyticsQueries {
       .orderBy("o_custkey")
   }
 
+  /** Incremental aggregate maintenance (materialized-view algebra): the
+    * "stored" base partials cover events older than (max ts − 1 day), the
+    * delta partials cover the last day, and the serving result is the
+    * MERGE of the two partial-aggregate relations — sums add, counts add,
+    * min/max fold — re-aggregated by key. The gate proves merge ≡ full
+    * recompute (the DuckDB oracle is the one-shot aggregate).
+    *
+    * Scale: this is how a 100 TB rolling metric actually runs — each
+    * period aggregates ONLY its delta (linear in new data) and merges
+    * kilobyte-sized partials with the stored state; nothing ever re-scans
+    * history. Every aggregate here is chosen re-aggregable: value is
+    * cent-scaled to BIGINT so partial-then-merge addition is exact under
+    * any grouping order (a raw double sum would drift bits between merge
+    * orders); the serving layer derives sum/avg from the exact cents.
+    */
+  def incrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("ts"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val cutoff = ev.agg((max(col("ts")).cast("long") - 86400L).as("cut_s"))
+    val tagged = ev.crossJoin(broadcast(cutoff))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy("event_type").agg(
+        count(lit(1)).as("cnt"), sum(col("cents")).as("cents_sum"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+    val base = partial(tagged.filter(col("ts").cast("long") < col("cut_s")))
+    val delta = partial(tagged.filter(col("ts").cast("long") >= col("cut_s")))
+    base.unionByName(delta)
+      .groupBy("event_type")
+      .agg(sum(col("cnt")).as("cnt"), sum(col("cents_sum")).as("cents_sum"),
+        min(col("min_cents")).as("min_cents"), max(col("max_cents")).as("max_cents"))
+      .select(col("event_type"), col("cnt"), col("cents_sum"),
+        col("min_cents"), col("max_cents"),
+        (col("cents_sum") / 100.0).as("sum_value"),
+        (col("cents_sum").cast("double") / col("cnt")).as("avg_cents"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_incremental_agg" -> (incrementalAgg(_, _)),
     "q_salted_join" -> (saltedJoin(_, _)),
     "q_profile_nulls" -> (profileNulls(_, _)),
     "q_funnel" -> (funnel(_, _)),
@@ -127,6 +165,15 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_incremental_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
+        |       CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+        |       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+        |         / count(*) AS avg_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_bloom_prejoin" ->
       """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_items,
         |       round(sum(l_extendedprice), 2) AS sum_price

@@ -290,20 +290,69 @@ object StreamingBridge {
       run() // restart on the same checkpoint: state carried, no replay
       import s.implicits._
       totals.toSeq.toDF("user_id", "n_events").orderBy("user_id")
-    } finally {
-      // best-effort cleanup: close the walk stream (fd leak otherwise) and
-      // never let a cleanup IOException mask the streaming run's own error
-      def rmRf(p: java.nio.file.Path): Unit = try {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(p)
-        try walk.iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-        finally walk.close()
-      } catch { case e: java.io.IOException =>
-        System.err.println(s"[stream_recovery] cleanup of $p failed: $e")
+    } finally { rmRf(srcDir); rmRf(ckpt) }
+  }
+
+  /** Best-effort temp-dir cleanup shared by the two-phase (checkpointed)
+    * bridges: close the walk stream (fd leak otherwise) and never let a
+    * cleanup IOException mask the streaming run's own error. */
+  private def rmRf(p: java.nio.file.Path): Unit = try {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(p)
+    try walk.iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walk.close()
+  } catch { case e: java.io.IOException =>
+    System.err.println(s"[stream bridge] cleanup of $p failed: $e")
+  }
+
+  /** Watermark LATE-DATA DROP semantics under the gate: phase 1 streams the
+    * even-id half of events, committing watermark = max(on-time event time,
+    * ms-truncated) − 10 min into the checkpoint; phase 2 restarts on that
+    * checkpoint and streams the odd-id half, where every row whose 5-min
+    * window has closed (window end ≤ the committed watermark) MUST be
+    * dropped by the engine — that bounded discard is exactly what makes
+    * unbounded streaming aggregation state finite in production. The
+    * foreachBatch upsert keeps the latest count per window (Update mode),
+    * so the result is on-time counts plus only the late rows the watermark
+    * still admits; the DuckDB oracle restates the same keep predicate in
+    * batch SQL, making the drop boundary itself hash-checked (off-by-one
+    * in the ≤, a µs-vs-ms truncation slip, or a non-carried watermark all
+    * fail the gate).
+    */
+  def lateDropViaStream(s: SparkSession, d: String): DataFrame = {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-late-src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-late-ckpt")
+    try {
+      val ev = Tables.events(s, d).select(col("event_id"), col("ts"))
+      val schema = ev.schema
+      val counts = scala.collection.concurrent.TrieMap.empty[Long, Long]
+      def run(): Unit = {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$srcDir/*")
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "5 minutes").as("win"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("win.start").cast("long").as("wstart"), col("n_events"))
+          .writeStream
+          .outputMode(OutputMode.Update())
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.collect().foreach(r => counts(r.getLong(0)) = r.getLong(1))
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
       }
-      rmRf(srcDir); rmRf(ckpt)
-    }
+      ev.filter(col("event_id") % 2 === 0).coalesce(1)
+        .write.parquet(s"$srcDir/on_time")
+      run() // watermark from the on-time half commits to the checkpoint
+      ev.filter(col("event_id") % 2 === 1).coalesce(1)
+        .write.parquet(s"$srcDir/late")
+      run() // closed windows reject their late rows
+      import s.implicits._
+      counts.toSeq.toDF("wstart", "n_events").orderBy("wstart")
+    } finally { rmRf(srcDir); rmRf(ckpt) }
   }
 
   /** Complete-mode sorted leaderboard under the gate: the sink holds the
@@ -374,6 +423,7 @@ object StreamingBridge {
     "stream_foreach_upsert" -> (foreachUpsertViaStream(_, _)),
     "stream_dedup" -> (dedupViaStream(_, _)),
     "stream_recovery" -> (recoveryViaStream(_, _)),
+    "stream_late_drop" -> (lateDropViaStream(_, _)),
     "stream_interval_left" -> (intervalLeftViaStream(_, _)),
     "stream_enrich_join" -> (enrichJoinViaStream(_, _)),
     "stream_interval_join" -> (intervalJoinViaStream(_, _)),
@@ -420,6 +470,22 @@ object StreamingBridge {
     "stream_recovery" ->
       """SELECT user_id, count(*) AS n_events
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // keep predicate = the engine's drop rule restated in batch SQL:
+    // watermark is the ms-truncated max on-time event time minus 10 min;
+    // a late (odd-id) row survives iff its 5-min window end exceeds it
+    "stream_late_drop" ->
+      """WITH wm AS (
+        |  SELECT (epoch_us(max(ts)) // 1000 - 600000) * 1000 AS w_us
+        |  FROM events WHERE event_id % 2 = 0),
+        |kept AS (
+        |  SELECT ts FROM events WHERE event_id % 2 = 0
+        |  UNION ALL
+        |  SELECT e.ts FROM events e, wm
+        |  WHERE e.event_id % 2 = 1
+        |    AND (floor(epoch(e.ts) / 300) * 300 + 300) * 1000000 > wm.w_us)
+        |SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS wstart,
+        |       count(*) AS n_events
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_enrich_join" ->
       """SELECT c_mktsegment, event_type, count(*) AS n_events,
         |       round(sum(value), 2) AS sum_value

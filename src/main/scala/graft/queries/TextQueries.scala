@@ -121,8 +121,33 @@ object TextQueries {
           (h, c) => (h * 31L + c) % 2147483647L).as("rhash"))
       .orderBy("doc_id")
 
+  /** One BPE-TRAINING iteration at corpus scale: the top adjacent
+    * character-pair frequencies whose argmax becomes the next merge rule.
+    * The scale trick is the vocab rollup FIRST — pair explosion runs over
+    * the distinct-word vocabulary weighted by word count, never over the
+    * corpus character stream, so a 100 TB corpus costs one word-count
+    * aggregate (map-side combinable) plus pair counting over a vocab that
+    * is millions of rows, not trillions of characters. Ties at the top-20
+    * boundary break by pair string, so the emitted set is deterministic.
+    * (`text_bpe_tokens` is the inference half; this is the training half.)
+    */
+  def bpeTrainStep(s: SparkSession, d: String): DataFrame = {
+    val vocab = Tables.documents(s, d)
+      .select(explode(spaceTokens(col("text"))).as("w"))
+      .filter(col("w") =!= "" && length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wcount"))
+    vocab
+      .select(col("wcount"), explode(
+        transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum(col("wcount")).as("pair_count"))
+      .orderBy(desc("pair_count"), asc("pair"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_tokens" -> (bpeTokens(_, _)),
+    "text_bpe_train_step" -> (bpeTrainStep(_, _)),
     "text_rolling_hash" -> (rollingHash(_, _)),
     "text_tfidf" -> (tfidf(_, _)),
     "text_langid" -> (langId(_, _)),
@@ -132,6 +157,19 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_bpe_train_step" ->
+      """WITH vocab AS (
+        |  SELECT t AS w, CAST(count(*) AS BIGINT) AS wcount
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE t <> '' AND length(t) >= 2
+        |  GROUP BY t),
+        |pairs AS (
+        |  SELECT substr(w, CAST(i AS INT), 2) AS pair, wcount
+        |  FROM vocab,
+        |       LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i))
+        |SELECT pair, CAST(sum(wcount) AS BIGINT) AS pair_count
+        |FROM pairs GROUP BY pair
+        |ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin,
     "text_bpe_tokens" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,

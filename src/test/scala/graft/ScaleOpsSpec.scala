@@ -69,6 +69,21 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_incremental_agg: the base/delta split is non-vacuous on the fixture") {
+    // the oracle proves merge ≡ recompute, but that equality is trivially
+    // true if the 1-day cutoff put everything on one side — the MERGE is
+    // only exercised when both partial relations contribute rows
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+    val cut = ev.agg((max(col("ts")).cast("long") - 86400L).as("c"))
+      .collect()(0).getLong(0)
+    val base = ev.filter(col("ts").cast("long") < cut).count()
+    val delta = ev.filter(col("ts").cast("long") >= cut).count()
+    assert(base > 0 && delta > 0,
+      s"degenerate split: base=$base delta=$delta — merge untested")
+    assert(base + delta == ev.count())
+  }
+
   test("merge upsert labels every row correctly and keeps keys unique") {
     val out = ScaleQueries.mergeUpsert(spark, sf)
     assert(out.groupBy("custkey").count().filter(col("count") > 1).count() == 0L)

@@ -132,6 +132,18 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_late_drop: the committed watermark rejects some late rows, never on-time ones") {
+    import org.apache.spark.sql.functions._
+    val kept = graft.queries.StreamingBridge.lateDropViaStream(spark, sf)
+      .agg(sum("n_events")).collect()(0).getLong(0)
+    val total = Tables.events(spark, sf).count()
+    // the oracle gate proves the drop BOUNDARY is exact; this pins that the
+    // query is a non-vacuous demonstration: late rows were really dropped
+    // (kept < total) and the on-time half survived intact (kept ≥ half)
+    assert(kept < total, s"no late rows dropped: kept=$kept total=$total")
+    assert(kept >= total / 2, s"on-time rows lost: kept=$kept total=$total")
+  }
+
   test("streaming dedup drops re-delivered event_ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
