@@ -259,7 +259,48 @@ object GraphQueries {
     dist.select(col("vtx"), col("dist").cast("int").as("dist")).orderBy("vtx")
   }
 
+  /** k-core decomposition (k = 5): synchronously peel every vertex whose
+    * degree is below k until fixpoint; survivors are the 5-core with their
+    * within-core degree. Each round is one degree aggregate plus two
+    * semi-joins — linear in surviving edges — with a lazy localCheckpoint
+    * truncating lineage and the round's edge count doubling as the
+    * convergence probe (peeling strictly removes edges, so equal
+    * consecutive counts ⇔ fixpoint; one job per round). The fixture needs
+    * 5 rounds at sf0.01, 1 at sf0.1, and peels to EMPTY at sf0.001 — all
+    * three land on the oracle's 8-round unrolled fixpoint because
+    * synchronous peeling is idempotent once converged.
+    *
+    * Scale: k-core is the standard graph-cleaning pass (strip low-degree
+    * fringe before community/centrality work). Peel depth, not graph
+    * size, bounds the round count; every round's shuffle shrinks.
+    */
+  def kcore(s: SparkSession, d: String, k: Int = 5, maxIter: Int = 30): DataFrame = {
+    var e = edges(s, d).localCheckpoint(false)
+    var lastCount = -1L
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val keep = e.groupBy("u").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("u")
+      val next = e.join(keep, Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+        .select("u", "v")
+        .localCheckpoint(false)
+      val c = next.count()
+      converged = c == lastCount
+      lastCount = c
+      e = next
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"k-core peel did not converge within $maxIter rounds")
+    e.groupBy(col("u").as("vtx")).agg(count(lit(1)).as("core_degree"))
+      .orderBy("vtx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_kcore" -> (kcore(_, _)),
     "graph_bfs" -> (bfs(_, _, 30)),
     "graph_components" -> (connectedComponents(_, _, 25)),
     "graph_component_sizes" -> (componentSizes(_, _)),
@@ -287,6 +328,26 @@ object GraphQueries {
        |r0 AS (SELECT u AS vtx, 1.0::DOUBLE / (SELECT n FROM nn) AS pr FROM deg),
        |$iterCtes
        |SELECT vtx, round(pr, 6) AS pr FROM r$iters ORDER BY vtx""".stripMargin
+  }
+
+  /** Synchronous peel unrolled to a fixed round count (≥ fixture depth;
+    * idempotent past convergence, so extra rounds are harmless). CTEs are
+    * MATERIALIZED: each round references the previous edge set three
+    * times, so DuckDB's default inlining would expand the plan 3^rounds-
+    * fold (measured as a hang at 8 rounds; materialized it is ~60 ms). */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    val peels = (1 to rounds).map { i =>
+      s"""k$i AS MATERIALIZED (
+         |  SELECT u FROM e${i - 1} GROUP BY u HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (SELECT e.u, e.v FROM e${i - 1} e
+         |        JOIN k$i a ON e.u = a.u JOIN k$i b ON e.v = b.u)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH und AS MATERIALIZED (
+       |  $undirectedSql
+       |), e0 AS MATERIALIZED (SELECT u, v FROM und),
+       |$peels
+       |SELECT u AS vtx, CAST(count(*) AS BIGINT) AS core_degree
+       |FROM e$rounds GROUP BY u ORDER BY vtx""".stripMargin
   }
 
   private val undirectedSql =
@@ -320,6 +381,7 @@ object GraphQueries {
         |        JOIN e e2 ON e1.v = e2.u
         |        JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v) AS n_triangles""".stripMargin,
     "graph_pagerank" -> pagerankSql(10),
+    "graph_kcore" -> kcoreSql(5, 8),
     "graph_components" ->
       s"""WITH RECURSIVE und AS (
          |  $undirectedSql

@@ -136,7 +136,47 @@ object MlQueries2 {
       .filter(col("weight") =!= 0)
       .orderBy("doc_id", "feat")
 
+  /** Histogram-based split finding — the distributed-GBDT inner loop
+    * (XGBoost/LightGBM "approx" mode). One linear scan folds the corpus
+    * into per-feature-value bins (count + exact cent-scaled label sum, a
+    * map-side-combinable aggregate); split evaluation then runs entirely
+    * on the ~50-row histogram: a cumulative window turns bins into
+    * left/right partition stats, and the variance-reduction surrogate
+    * score = sl²/nl + sr²/nr picks the best threshold. The single-
+    * partition window is over the HISTOGRAM (bins ≤ distinct quantities),
+    * never the data — that collapse is exactly why histogram split
+    * finding scales to 100 TB while exact sorted-split enumeration
+    * cannot. Integer inputs to the score are < 2^53, so the double
+    * expression tree is bit-identical across engines.
+    */
+  def histogramSplit(s: SparkSession, d: String): DataFrame = {
+    val bins = Tables.lineitem(s, d)
+      .select(col("l_quantity").cast("int").as("q"),
+        round(col("l_extendedprice") * 100).cast("long").as("y"))
+      .groupBy("q")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+    val cumW = org.apache.spark.sql.expressions.Window.orderBy("q")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val allW = org.apache.spark.sql.expressions.Window.partitionBy()
+    val tot = bins.agg(sum(col("n")).as("tn"), sum(col("sy")).as("tsy"))
+    bins
+      .select(col("q"), sum(col("n")).over(cumW).as("nl"),
+        sum(col("sy")).over(cumW).as("syl"))
+      .crossJoin(broadcast(tot))
+      .filter(col("nl") < col("tn")) // last bin: empty right side
+      .select(col("q").as("split_q"), col("nl").as("n_left"),
+        (col("tn") - col("nl")).as("n_right"),
+        col("syl").as("sum_left_cents"),
+        (col("tsy") - col("syl")).as("sum_right_cents"))
+      .withColumn("score",
+        col("sum_left_cents").cast("double") * col("sum_left_cents") / col("n_left")
+          + col("sum_right_cents").cast("double") * col("sum_right_cents") / col("n_right"))
+      .withColumn("is_best", col("score") === max(col("score")).over(allW))
+      .orderBy("split_q")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_histogram_split" -> (histogramSplit(_, _)),
     "ml_naive_bayes" -> (naiveBayes(_, _)),
     "ml_logreg_step" -> (logregStep(_, _)),
     "ml_feature_hash" -> (featureHash(_, _))
@@ -145,6 +185,29 @@ object MlQueries2 {
   import OracleSql.fnvIhash31
 
   val oracles: Map[String, String] = Map(
+    "ml_histogram_split" ->
+      """WITH bins AS (
+        |  SELECT CAST(l_quantity AS INT) AS q, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |              AS BIGINT) AS sy
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+        |               CAST(sum(sy) AS BIGINT) AS tsy FROM bins),
+        |cum AS (
+        |  SELECT q, CAST(sum(n) OVER w AS BIGINT) AS nl,
+        |         CAST(sum(sy) OVER w AS BIGINT) AS syl
+        |  FROM bins
+        |  WINDOW w AS (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+        |               AND CURRENT ROW)),
+        |scored AS (
+        |  SELECT q AS split_q, nl AS n_left, tn - nl AS n_right,
+        |         syl AS sum_left_cents, tsy - syl AS sum_right_cents,
+        |         CAST(syl AS DOUBLE) * syl / nl
+        |           + CAST(tsy - syl AS DOUBLE) * (tsy - syl) / (tn - nl) AS score
+        |  FROM cum, tot WHERE nl < tn)
+        |SELECT split_q, n_left, n_right, sum_left_cents, sum_right_cents,
+        |       score, score = max(score) OVER () AS is_best
+        |FROM scored ORDER BY split_q""".stripMargin,
     "ml_naive_bayes" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, t AS tok FROM (

@@ -214,7 +214,40 @@ object ScaleQueries {
       .orderBy("event_type", "slot")
   }
 
+  /** The range-partitioned total-order stage, exposed so PlanShapeSpec can
+    * pin the Exchange rangepartitioning on the query's OWN plan. */
+  private[graft] def globalRankSorted(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .orderBy("ts_us", "event_id")
+
+  /** Distributed global enumeration: a dense 1..N rank over a corpus-wide
+    * total order WITHOUT the single-partition window `row_number() OVER
+    * (ORDER BY …)` plans (the anti-scale shape — one task materializes
+    * everything). Instead: (1) a range-partitioned sort (sampled
+    * boundaries, each partition holds a contiguous key range), then
+    * (2) `zipWithIndex`'s two-pass offset scheme — one tiny job counts
+    * rows per partition, the driver prefix-sums ~hundreds of counts, and
+    * each partition stamps `offset + local position` independently. This
+    * is the TeraSort-style enumeration a 100 TB export actually uses.
+    * The unique (ts, event_id) tie-break makes the order — and therefore
+    * every stamped rank — deterministic; the oracle recomputes it with
+    * the window form, so the distributed ranks must match row-for-row.
+    */
+  def globalRank(s: SparkSession, d: String): DataFrame = {
+    val sorted = globalRankSorted(s, d)
+    val schema = org.apache.spark.sql.types.StructType(sorted.schema.fields :+
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val ranked = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    s.createDataFrame(ranked, schema).orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_global_rank" -> (globalRank(_, _)),
     "layout_compaction_plan" -> (compactionPlan(_, _)),
     "layout_zorder" -> (zorderStats(_, _)),
     "layout_pruning_stats" -> (pruningStats(_, _)),
@@ -242,6 +275,12 @@ object ScaleQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_global_rank" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |       CAST(row_number() OVER (ORDER BY epoch_us(ts), event_id)
+        |            AS BIGINT) AS rank
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY rank""".stripMargin,
     "layout_compaction_plan" ->
       """WITH c AS (
         |  SELECT source, doc_id, n_chars AS bytes,

@@ -52,6 +52,7 @@ class PlanAuditSpec extends SparkSpec {
     "sketch_hll",             // 64-register file × two 1-row scalars (estimate, exact)
     "sketch_hll_union",       // 1-row union estimate × 1-row direct/exact scalar
     "q_incremental_agg",      // broadcast 1-row cutoff scalar × events stream
+    "ml_histogram_split",     // ~50-row histogram × broadcast 1-row totals scalar
     "sketch_bloom",           // 40-probe report × 1-row bits_set scalar
     "ml_naive_bayes"          // doc grid × broadcast C-row class-constant table
   )

@@ -28,6 +28,23 @@ class PlanShapeSpec extends SparkSpec {
       "GreaterThanOrEqual(l_shipdate"), plan)
   }
 
+  test("q_global_rank: range-partitioned sort, no single-partition window") {
+    val sorted = graft.queries.ScaleQueries.globalRankSorted(spark, sf)
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    val plan = sorted.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"),
+      s"global order must come from a range-partitioned sort:\n$plan")
+    assert(!plan.contains("Window"),
+      s"ranking must not plan a window (single-partition at scale):\n$plan")
+    // the two-pass stamping preserves the sorted order exactly: ranks are
+    // dense 1..N and monotone in the (ts_us, event_id) total order
+    val rows = graft.queries.ScaleQueries.globalRank(spark, sf)
+      .select("rank", "ts_us", "event_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq)
+    val keys = rows.map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(keys == keys.sorted, "ranks disagree with the total order")
+  }
+
   test("q_topk_global: TakeOrderedAndProject, never a global sort+limit") {
     val plan = executedPlan("q_topk_global")
     assert(plan.contains("TakeOrderedAndProject"), plan)
