@@ -246,7 +246,57 @@ object AdvancedQueries {
     a.unionByName(b).orderBy("k", "name")
   }
 
+  /** Internals of the two-pass selection, exposed for the spec: returns
+    * (n, the two middle-rank targets, histogram bucket id and row count
+    * actually sorted in pass 2 for each target). */
+  private[graft] def median2passStats(s: SparkSession, d: String):
+      (Long, Seq[(Long, Int, Long, Double)]) = {
+    val v = Tables.orders(s, d).select(col("o_totalprice").as("x"))
+    val mm = v.agg(count(lit(1)).as("n"), min("x").as("lo"), max("x").as("hi"))
+      .collect()(0)
+    val (n, lo, hi) = (mm.getLong(0), mm.getDouble(1), mm.getDouble(2))
+    require(n > 0, "empty input")
+    if (lo == hi) return (n, Seq(((n + 1) / 2, 0, n, lo)))
+    val nb = 256
+    val bucket = least(floor((col("x") - lo) / ((hi - lo) / nb)), lit(nb - 1))
+      .cast("int").as("b")
+    // pass 1: one linear scan → a 256-row histogram (driver-side is fine:
+    // it is the broadcast-sized summary, independent of data volume)
+    val hist = v.select(bucket).groupBy("b").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cumBefore = (0 until nb).scanLeft(0L)((acc, b) => acc + hist.getOrElse(b, 0L))
+    val targets = Seq((n + 1) / 2, (n + 2) / 2).distinct
+    val stats = targets.map { k =>
+      val b = (0 until nb).find(i => cumBefore(i + 1) >= k).get
+      val offset = (k - cumBefore(b)).toInt
+      // pass 2: sort ONLY the target bucket's rows; the k-th order stat is
+      // the max of the offset-smallest (TakeOrdered heap, no global sort)
+      val xk = v.filter(bucket === b).orderBy("x").limit(offset)
+        .agg(max("x")).collect()(0).getDouble(0)
+      (k, b, hist(b), xk)
+    }
+    (n, stats)
+  }
+
+  /** Exact median WITHOUT a global sort — the two-pass selection a 100 TB
+    * order statistic actually uses: pass 1 folds the corpus into a
+    * 256-bucket histogram (one scan, broadcast-sized result), the driver
+    * prefix-sums it to locate the bucket holding each middle rank, and
+    * pass 2 sorts ONLY that bucket (~1/256 of the data; recurse at
+    * extreme skew) to extract the order statistic via a TakeOrdered
+    * heap. Both middle ranks are fetched so even-n interpolation is
+    * exact; (a+b)/2 matches the oracle's avg over the two order
+    * statistics bit-for-bit.
+    */
+  def median2pass(s: SparkSession, d: String): DataFrame = {
+    val (n, stats) = median2passStats(s, d)
+    val med = stats.map(_._4).sum / stats.length
+    import s.implicits._
+    Seq((n, med)).toDF("n", "median")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_median_2pass" -> (median2pass(_, _)),
     "q_asof_join" -> (asofJoin(_, _)),
     "q_asof_forward" -> (asofForward(_, _)),
     "q_asof_native" -> (asofNative(_, _)),
@@ -264,6 +314,16 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // order-statistic median: both middle ranks averaged (odd n → the two
+    // ranks coincide), identical (a+b)/2 float step on both engines
+    "q_median_2pass" ->
+      """WITH v AS (SELECT o_totalprice AS x FROM orders),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x) AS rk FROM v)
+        |SELECT nn.n,
+        |       (SELECT avg(x) FROM r, nn
+        |        WHERE rk IN ((nn.n + 1) // 2, (nn.n + 2) // 2)) AS median
+        |FROM nn""".stripMargin,
     "q_interval_bucketed" ->
       """WITH bands AS (
         |  SELECT b AS band_id, CAST(b AS DOUBLE) * 8000 AS lo,

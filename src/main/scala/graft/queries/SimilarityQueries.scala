@@ -170,7 +170,45 @@ object SimilarityQueries {
       .agg(count(lit(1)).as("cnt"), round(avg(l2norm(col("v"))), 6).as("avg_norm"))
       .orderBy("label")
 
+  /** Product-quantization encode — the memory half of billion-scale ANN
+    * (IVF picks the cells, PQ shrinks the residents): the 64-dim vector
+    * splits into 8 subspaces of 8 dims, each assigned to its nearest of 4
+    * codebook centroids, so a 256-byte float vector serves from 8 code
+    * bytes (32×). Codebook = the 4 lowest-vec_id vectors' subvectors (a
+    * fixed, broadcast-sized model — same contract as the IVF/kmeans
+    * centroid seeds); distances fold squared diffs in index order with a
+    * 0.0 init, so the doubles are bit-identical across engines, and
+    * argmin ties break by centroid id. Output is one row per (vector,
+    * subspace) with the code and its exact quantization error.
+    *
+    * Scale: assignment is a broadcast join (4×8 tiny centroids) over one
+    * linear scan — no shuffle until the output sort; training with real
+    * Lloyd rounds reuses `ml_kmeans_iter`'s shape per subspace.
+    */
+  def pqCodes(s: SparkSession, d: String, m: Int = 8, dsub: Int = 8,
+      k: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val subs = emb.select(col("vec_id"), explode(array((0 until m).map { j =>
+        struct(lit(j).as("j"), slice(col("v"), j * dsub + 1, dsub).as("sv"))
+      }: _*)).as("e"))
+      .select(col("vec_id"), col("e.j").as("j"), col("e.sv").as("sv"))
+    val cents = subs.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("j"), col("sv").as("cv"))
+    val dist = aggregate(
+      zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, t) => acc + t)
+    val w = Window.partitionBy("vec_id", "j").orderBy(col("dist"), col("cid"))
+    subs.join(broadcast(cents), "j")
+      .select(col("vec_id"), col("j"), col("cid"), dist.as("dist"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("j"), col("cid").as("code"), col("dist"))
+      .orderBy("vec_id", "j")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_pq_codes" -> (pqCodes(_, _)),
     "sim_cosine_topk" -> (cosineTopK(_, _)),
     "sim_ann_lsh" -> (annLshBuckets(_, _)),
     "sim_ann_topk" -> (annTopK(_, _)),
@@ -209,6 +247,28 @@ object SimilarityQueries {
     }.mkString(",")
 
   val oracles: Map[String, String] = Map(
+    // same index-order fold: list_reduce's first-element init equals the
+    // 0.0-init fold exactly (0.0 + d1 == d1), so dist is bit-identical
+    "emb_pq_codes" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |subs AS (
+        |  SELECT vec_id, j, list_slice(v, j * 8 + 1, j * 8 + 8) AS sv
+        |  FROM e, (SELECT unnest(generate_series(0, 7)) AS j)),
+        |cents AS (SELECT vec_id AS cid, j, sv AS cv FROM subs WHERE vec_id < 4),
+        |assigned AS (
+        |  SELECT s.vec_id, s.j, c.cid,
+        |         list_reduce(
+        |           list_transform(generate_series(1, 8),
+        |             i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])),
+        |           (a, b) -> a + b) AS dist
+        |  FROM subs s JOIN cents c ON c.j = s.j)
+        |SELECT vec_id, CAST(j AS INT) AS j, code, dist FROM (
+        |  SELECT vec_id, j, cid AS code, dist,
+        |         row_number() OVER (PARTITION BY vec_id, j
+        |                            ORDER BY dist, cid) AS rn
+        |  FROM assigned)
+        |WHERE rn = 1 ORDER BY vec_id, j""".stripMargin,
     "sim_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),

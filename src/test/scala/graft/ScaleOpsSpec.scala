@@ -69,6 +69,15 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_median_2pass: pass 2 sorts only a small bucket, never the corpus") {
+    val (n, stats) = graft.queries.AdvancedQueries.median2passStats(spark, sf)
+    assert(stats.nonEmpty)
+    stats.foreach { case (k, b, rows, _) =>
+      assert(rows < n / 10,
+        s"rank-$k bucket $b holds $rows of $n rows — selection not selective")
+    }
+  }
+
   test("q_incremental_agg: the base/delta split is non-vacuous on the fixture") {
     // the oracle proves merge ≡ recompute, but that equality is trivially
     // true if the 1-day cutoff put everything on one side — the MERGE is
