@@ -93,9 +93,59 @@ object MatchQueries {
       .orderBy("p_partkey")
   }
 
+  /** Sorted-neighborhood blocking — the OTHER classic blocking strategy
+    * (first-char hash blocks above; LSH in the dedup family): master and
+    * dirty records sort together on the name key, and ONLY records within
+    * a w=10 window of the sorted order become candidate pairs, so
+    * candidate generation is O(n·w) regardless of block-size skew (the
+    * failure mode of hash blocking when one block goes hot). Ranks come
+    * from the q_global_rank two-pass (range-partitioned sort +
+    * zipWithIndex), and the window materializes as delta-explode + EQUI
+    * join on rank — never a rank-range theta join. Candidates verify with
+    * edit distance ≤ 2 and keep the best master per dirty row.
+    * Neighborhood recall is a documented trade (a pair separated by > w
+    * strangers in sort order is missed); the oracle restates the same
+    * window, so recall is gated exactly, not estimated.
+    */
+  def sortedNeighborhood(s: SparkSession, d: String, w: Int = 10): DataFrame = {
+    val master = Tables.part(s, d).select(col("p_name")).distinct()
+      .select(lit(-1L).as("rid"), col("p_name").as("name"), lit("m").as("tag"))
+    val dirty = dirtyFeed(s, d)
+      .select(col("p_partkey").as("rid"), col("dirty_name").as("name"),
+        lit("d").as("tag"))
+    val sorted = master.union(dirty).orderBy("name", "tag", "rid")
+    val schema = org.apache.spark.sql.types.StructType(sorted.schema.fields :+
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val ranked = s.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      }, schema)
+    val probes = ranked.select(col("rid").as("rid1"), col("name").as("name1"),
+        col("tag").as("tag1"),
+        explode(sequence(lit(1), lit(w - 1))).as("delta"),
+        col("rank"))
+      .select(col("rid1"), col("name1"), col("tag1"),
+        (col("rank") + col("delta")).as("rank"))
+    val cands = probes.join(ranked, "rank")
+      .filter(col("tag1") =!= col("tag"))
+      .select(
+        when(col("tag1") === "d", col("rid1")).otherwise(col("rid")).as("p_partkey"),
+        when(col("tag1") === "d", col("name1")).otherwise(col("name")).as("dirty_name"),
+        when(col("tag1") === "d", col("name")).otherwise(col("name1")).as("m_name"))
+      .withColumn("dist", levenshtein(col("dirty_name"), col("m_name")))
+      .filter(col("dist") <= 2)
+    val best = Window.partitionBy("p_partkey").orderBy(col("dist"), col("m_name"))
+    cands.withColumn("rn", row_number().over(best)).filter(col("rn") === 1)
+      .select(col("p_partkey"), col("dirty_name"),
+        col("m_name").as("matched_name"), col("dist").cast("long").as("dist"))
+      .orderBy("p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er_fuzzy_match" -> (fuzzyMatch(_, _)),
-    "er_jaro_winkler" -> (jaroMatch(_, _))
+    "er_jaro_winkler" -> (jaroMatch(_, _)),
+    "er_sorted_neighborhood" -> (sortedNeighborhood(_, _))
   )
 
   /** Shared oracle CTE: the identical hash-corrupted feed. NOTE: this
@@ -134,6 +184,35 @@ object MatchQueries {
          |  SELECT *, row_number() OVER (PARTITION BY p_partkey
          |                               ORDER BY dist, m_name) AS rn
          |  FROM cand)
+         |SELECT p_partkey, dirty_name, m_name AS matched_name,
+         |       CAST(dist AS BIGINT) AS dist
+         |FROM best WHERE rn = 1 ORDER BY p_partkey""".stripMargin,
+    "er_sorted_neighborhood" ->
+      s"""WITH $feedSql,
+         |allr AS (
+         |  SELECT CAST(-1 AS BIGINT) AS rid, m_name AS name, 'm' AS tag
+         |  FROM master
+         |  UNION ALL
+         |  SELECT p_partkey, dirty_name, 'd' FROM dirty),
+         |ranked AS (
+         |  SELECT rid, name, tag,
+         |         row_number() OVER (ORDER BY name, tag, rid) - 1 AS rank
+         |  FROM allr),
+         |cands AS (
+         |  SELECT CASE WHEN a.tag = 'd' THEN a.rid ELSE b.rid END AS p_partkey,
+         |         CASE WHEN a.tag = 'd' THEN a.name ELSE b.name END AS dirty_name,
+         |         CASE WHEN a.tag = 'd' THEN b.name ELSE a.name END AS m_name
+         |  FROM ranked a JOIN ranked b
+         |    ON b.rank BETWEEN a.rank + 1 AND a.rank + 9
+         |  WHERE a.tag <> b.tag),
+         |scored AS (
+         |  SELECT p_partkey, dirty_name, m_name,
+         |         levenshtein(dirty_name, m_name) AS dist
+         |  FROM cands WHERE levenshtein(dirty_name, m_name) <= 2),
+         |best AS (
+         |  SELECT *, row_number() OVER (PARTITION BY p_partkey
+         |                               ORDER BY dist, m_name) AS rn
+         |  FROM scored)
          |SELECT p_partkey, dirty_name, m_name AS matched_name,
          |       CAST(dist AS BIGINT) AS dist
          |FROM best WHERE rn = 1 ORDER BY p_partkey""".stripMargin,

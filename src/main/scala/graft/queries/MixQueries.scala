@@ -264,7 +264,29 @@ object MixQueries {
       .orderBy("shard", "pos")
   }
 
+  /** Epoch-repeat upsampling — how a mixture weight actually materializes
+    * into training data: each source gets a deterministic epoch count
+    * (hash-derived 1-3 here; in production the mixture solver's output),
+    * and every document is REPLICATED once per epoch with an epoch tag,
+    * plus a per-replica stable shuffle key so repeats of the same doc
+    * land in different shards (the loader must never see epoch-adjacent
+    * duplicates). One narrow explode — no shuffle until the output sort;
+    * at 100 TB the replication happens at write time into the shard
+    * layout (`pipeline_shard_shuffle`), never as a stored 3x copy.
+    */
+  def repeatUpsample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        (Fnv1a64.ihash31(col("source")) % 3 + 1).as("n_epochs"))
+      .select(col("doc_id"), col("source"), col("n_epochs"),
+        explode(sequence(lit(1L), col("n_epochs"))).as("epoch"))
+      .withColumn("shard_key",
+        Fnv1a64.ihash31(concat(col("doc_id").cast("string"), lit("#"),
+          col("epoch").cast("string"))) % 64)
+      .orderBy("doc_id", "epoch")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_repeat_upsample" -> (repeatUpsample(_, _)),
     "pipeline_shard_shuffle" -> (shardShuffle(_, _)),
     "pipeline_neg_samples" -> (negSamples(_, _)),
     "pipeline_sample_weighted" -> (sampleWeighted(_, _)),
@@ -278,6 +300,16 @@ object MixQueries {
   import OracleSql.fnvIhash31
 
   val oracles: Map[String, String] = Map(
+    "pipeline_repeat_upsample" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source,
+         |         CAST(${fnvIhash31("source")} % 3 + 1 AS BIGINT) AS n_epochs
+         |  FROM documents)
+         |SELECT doc_id, source, n_epochs, CAST(epoch AS BIGINT) AS epoch,
+         |       CAST(${fnvIhash31("doc_id::VARCHAR || '#' || epoch::VARCHAR")} % 64
+         |            AS BIGINT) AS shard_key
+         |FROM base, LATERAL (SELECT unnest(generate_series(1, n_epochs)) AS epoch)
+         |ORDER BY doc_id, epoch""".stripMargin,
     "pipeline_shard_shuffle" ->
       s"""WITH h AS (
          |  SELECT doc_id,

@@ -61,9 +61,13 @@ class PlanAuditSpec extends SparkSpec {
     "q_merge_upsert", // MERGE core is a full outer join — same semantics
     "q_tpch_q21",     // lineitem self-joins co-keyed on l_orderkey (documented)
     "graph_triangles",// edge-set self-joins, both sides same relation
-    "ml_naive_bayes"  // doc-grid ⋈ doc-scores ⋈ doc-lengths: every side is
+    "ml_naive_bayes", // doc-grid ⋈ doc-scores ⋈ doc-lengths: every side is
                       // document-count-sized, co-keyed on doc_id — no
                       // broadcastable side by semantics (model join IS hinted)
+    "er_sorted_neighborhood" // probes (n·w) ⋈ ranked (n) co-keyed on rank:
+                             // both sides corpus-sized by design (and the
+                             // ranked side is an RDD-backed frame with no
+                             // stats) — the O(n·w) equi-join IS the operator
   )
 
   test("no query plans an UNDOCUMENTED cartesian/BNLJ/shuffle join") {
