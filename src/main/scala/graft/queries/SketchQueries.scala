@@ -207,7 +207,69 @@ object SketchQueries {
           col("exact_global") * 0.05).as("within_tol"))
   }
 
+  private val KmvK = 128
+
+  /** KMV (theta-style) sketch with set INTERSECTION — the estimate HLL
+    * structurally cannot give (HLL unions; inclusion-exclusion on it
+    * explodes the error). Per set: the k=128 smallest normalized FNV
+    * hashes of the distinct keys. Union sketch = k smallest of the
+    * combined hash stream; θ = its k-th value; est_union = (k−1)/θ, and
+    * est_inter = ρ · est_union / k where ρ counts union-sketch members
+    * present in BOTH sets — the standard θ-sketch estimator, here over
+    * the part keys bought under returnflag A vs R. Every step (hash,
+    * k-smallest, ρ) is exact integer/rank work, so the whole sketch is
+    * re-derivable in SQL and the gate checks sketch CONTENTS; the
+    * estimates land within the 15% envelope (~1.7σ at k=128) of the
+    * oracle-checked exact counts on all fixtures, deterministically.
+    *
+    * Scale: per-set sketches are k values built by one hash-aggregate +
+    * top-k (map-side partial heaps); union/intersection of ANY pair of
+    * pre-built sketches is k-row work — the pattern that answers overlap
+    * questions across 100 TB corpus slices without re-scanning either.
+    */
+  def kmvIntersect(s: SparkSession, d: String): DataFrame = {
+    val keys = Tables.lineitem(s, d)
+      .filter(col("l_returnflag").isin("A", "R"))
+      .select(col("l_returnflag").as("f"), col("l_partkey"))
+      .distinct()
+      .select(col("f"),
+        // Fibonacci post-mix: the masked low FNV bits are visibly
+        // non-uniform on short numeric strings (θ landed ~2× high,
+        // est_union 50% off); ×2654435761 mod 2^31 re-spreads them
+        // (measured ≤9% estimator error across all three SFs)
+        (((Fnv1a64.ihash31(col("l_partkey").cast("string"))
+          * 2654435761L) % 2147483648L).cast("double")
+          / 2147483647.0).as("h"))
+    val exact = keys.groupBy("f").agg(count(lit(1)).as("n"))
+    val exacts = exact.agg(
+      sum(when(col("f") === "A", col("n"))).as("n_a_exact"),
+      sum(when(col("f") === "R", col("n"))).as("n_r_exact"))
+    val exactInter = keys.groupBy("h").agg(countDistinct("f").as("nf"))
+      .agg(count(lit(1)).as("union_exact"),
+        sum(when(col("nf") === 2, 1L).otherwise(0L)).as("inter_exact"))
+    // k-smallest via sort+limit = a TakeOrdered heap (map-side partial
+    // top-k), never a corpus-wide ranking window
+    val unionKmv = keys.select("h").distinct().orderBy("h").limit(KmvK)
+    val theta = unionKmv.agg(max("h").as("theta"), count(lit(1)).as("k_eff"))
+    val rho = unionKmv.join(keys, "h")
+      .groupBy("h").agg(countDistinct("f").as("nf"))
+      .agg(sum(when(col("nf") === 2, 1L).otherwise(0L)).as("rho"))
+    theta.crossJoin(broadcast(rho)).crossJoin(broadcast(exacts))
+      .crossJoin(broadcast(exactInter))
+      .select(col("n_a_exact"), col("n_r_exact"), col("union_exact"),
+        col("inter_exact"), col("k_eff"), col("rho"),
+        round((lit(KmvK - 1) / col("theta")), 4).as("est_union"),
+        round(col("rho") * (lit(KmvK - 1) / col("theta")) / KmvK, 4)
+          .as("est_inter"))
+      .select(col("*"),
+        (abs(col("est_union") - col("union_exact")) <=
+          col("union_exact") * 0.15).as("union_tol"),
+        (abs(col("est_inter") - col("inter_exact")) <=
+          col("inter_exact") * 0.15).as("inter_tol"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_kmv_intersect" -> (kmvIntersect(_, _)),
     "sketch_hll" -> (hll(_, _)),
     "sketch_hll_union" -> (hllUnion(_, _)),
     "sketch_hll_native" -> (hllNative(_, _)),
@@ -218,6 +280,37 @@ object SketchQueries {
   import OracleSql.fnvIhash31
 
   val oracles: Map[String, String] = Map(
+    "sketch_kmv_intersect" ->
+      s"""WITH keys AS (
+         |  SELECT f,
+         |         CAST(CAST(${fnvIhash31("CAST(l_partkey AS VARCHAR)")} AS BIGINT)
+         |              * 2654435761 % 2147483648 AS DOUBLE)
+         |           / 2147483647.0 AS h
+         |  FROM (SELECT DISTINCT l_returnflag AS f, l_partkey FROM lineitem
+         |        WHERE l_returnflag IN ('A', 'R'))),
+         |ex AS (
+         |  SELECT CAST(sum(CASE WHEN f = 'A' THEN n END) AS BIGINT) AS n_a_exact,
+         |         CAST(sum(CASE WHEN f = 'R' THEN n END) AS BIGINT) AS n_r_exact
+         |  FROM (SELECT f, count(*) AS n FROM keys GROUP BY f)),
+         |exi AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS union_exact,
+         |         CAST(sum(CASE WHEN nf = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS inter_exact
+         |  FROM (SELECT h, count(DISTINCT f) AS nf FROM keys GROUP BY h)),
+         |kmv AS (SELECT DISTINCT h FROM keys ORDER BY h LIMIT 128),
+         |th AS (SELECT max(h) AS theta, CAST(count(*) AS BIGINT) AS k_eff
+         |       FROM kmv),
+         |rho AS (
+         |  SELECT CAST(sum(CASE WHEN nf = 2 THEN 1 ELSE 0 END) AS BIGINT) AS rho
+         |  FROM (SELECT k.h, count(DISTINCT keys.f) AS nf
+         |        FROM kmv k JOIN keys ON keys.h = k.h GROUP BY k.h))
+         |SELECT ex.n_a_exact, ex.n_r_exact, exi.union_exact, exi.inter_exact,
+         |       th.k_eff, rho.rho,
+         |       round(CAST(127 AS DOUBLE) / th.theta, 4) AS est_union,
+         |       round(rho.rho * (CAST(127 AS DOUBLE) / th.theta) / 128, 4)
+         |         AS est_inter,
+         |       TRUE AS union_tol, TRUE AS inter_tol
+         |FROM th, rho, ex, exi""".stripMargin,
     "sketch_hll_union" ->
       """SELECT CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_sketches,
         |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_global,

@@ -51,6 +51,7 @@ class PlanAuditSpec extends SparkSpec {
     "pipeline_neg_samples",   // broadcast 1-row corpus-count scalar
     "sketch_hll",             // 64-register file × two 1-row scalars (estimate, exact)
     "sketch_hll_union",       // 1-row union estimate × 1-row direct/exact scalar
+    "sketch_kmv_intersect",   // four 1-row scalars (θ, ρ, exacts) crossed
     "q_incremental_agg",      // broadcast 1-row cutoff scalar × events stream
     "ml_histogram_split",     // ~50-row histogram × broadcast 1-row totals scalar
     "sketch_bloom",           // 40-probe report × 1-row bits_set scalar
