@@ -294,8 +294,73 @@ object MixQueries {
     "pipeline_mixture" -> (mixture(_, _)),
     "pipeline_mix_temperature" -> (mixtureTemperature(_, _)),
     "emb_centroids" -> (centroids(_, _)),
-    "emb_knn_classify" -> (knnClassify(_, _))
+    "emb_knn_classify" -> (knnClassify(_, _)),
+    "ml_eval_confusion" -> (evalConfusion(_, _)),
+    "pipeline_length_buckets" -> (lengthBuckets(_, _))
   )
+
+  /** Length-bucketed batching stats — the padding-waste ledger behind
+    * bucketed training batches (`pipeline_pack_sequences` is the packing
+    * alternative): each doc lands in a fixed power-of-2 token-length
+    * ladder rung (a CASE ladder, how bucket boundaries are actually
+    * configured), and the per-bucket aggregate reports exactly how many
+    * pad tokens that rung costs (padded = n_docs × rung, waste = padded −
+    * real tokens). All-integer arithmetic, one map-side-combinable
+    * aggregate over one scan — the report a 100 TB tokenization job emits
+    * to choose its ladder.
+    */
+  def lengthBuckets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(size(spaceTokens(col("text"))).cast("long").as("ntok"))
+      .withColumn("bucket_len",
+        when(col("ntok") <= 16, 16L).when(col("ntok") <= 32, 32L)
+          .when(col("ntok") <= 64, 64L).when(col("ntok") <= 128, 128L)
+          .when(col("ntok") <= 256, 256L).otherwise(512L))
+      .groupBy("bucket_len")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("sum_tokens"))
+      .select(col("bucket_len"), col("n_docs"), col("sum_tokens"),
+        (col("n_docs") * col("bucket_len")).as("padded_tokens"),
+        (col("n_docs") * col("bucket_len") - col("sum_tokens")).as("waste"))
+      .orderBy("bucket_len")
+
+  /** Nearest-centroid classification of EVERY vector + the full confusion
+    * matrix — the model-eval aggregate a training pipeline runs at corpus
+    * scale. Centroids are 6dp-rounded per-label means (identical across
+    * engines); each vector takes the argmax-cosine centroid (ties →
+    * smaller label — the margin is a ranking decision, same contract as
+    * emb_knn_classify); the matrix and its row/column marginals are pure
+    * integer counts, so the gate is exact with no float metrics at all
+    * (precision/recall are one division away for the consumer).
+    *
+    * Scale: the 10-centroid model broadcasts; the corpus streams once
+    * through the fused cosine; the only shuffles are the (label,dim)
+    * centroid aggregate and the ≤|labels|² cell aggregate.
+    */
+  def evalConfusion(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cent = e.select(col("label").as("clabel"),
+        posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("clabel", "pos").agg(round(avg("x"), 6).as("c"))
+      .groupBy("clabel")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        p => p.getField("c")).as("cv"))
+    val wBest = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("clabel"))
+    val cells = e.join(broadcast(cent))
+      .withColumn("cos", cosine_sim(col("v"), col("cv")))
+      .withColumn("rk", row_number().over(wBest)).filter(col("rk") === 1)
+      .groupBy(col("label").as("true_label"), col("clabel").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("row_total",
+        sum("n").over(Window.partitionBy("true_label")))
+      .withColumn("col_total",
+        sum("n").over(Window.partitionBy("pred_label")))
+      .withColumn("is_diag", col("true_label") === col("pred_label"))
+      .orderBy("true_label", "pred_label")
+  }
 
   import OracleSql.fnvIhash31
 
@@ -402,6 +467,48 @@ object MixQueries {
         |        FROM e JOIN carr USING (label) GROUP BY e.label)
         |SELECT label, n, centroid_norm, cohesion
         |FROM coh JOIN norm USING (label) ORDER BY label""".stripMargin,
+    "pipeline_length_buckets" ->
+      """WITH t AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        |  FROM documents),
+        |b AS (
+        |  SELECT CASE WHEN ntok <= 16 THEN 16 WHEN ntok <= 32 THEN 32
+        |              WHEN ntok <= 64 THEN 64 WHEN ntok <= 128 THEN 128
+        |              WHEN ntok <= 256 THEN 256 ELSE 512 END AS bucket_len,
+        |         ntok
+        |  FROM t)
+        |SELECT CAST(bucket_len AS BIGINT) AS bucket_len,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(ntok) AS BIGINT) AS sum_tokens,
+        |       CAST(count(*) * bucket_len AS BIGINT) AS padded_tokens,
+        |       CAST(count(*) * bucket_len - sum(ntok) AS BIGINT) AS waste
+        |FROM b GROUP BY bucket_len ORDER BY bucket_len""".stripMargin,
+    "ml_eval_confusion" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |p AS (SELECT label AS clabel, unnest(generate_series(1, len(v))) AS pos,
+        |             unnest(v) AS x FROM e),
+        |cent AS (SELECT clabel, pos, round(avg(x), 6) AS c
+        |         FROM p GROUP BY 1, 2),
+        |carr AS (SELECT clabel, list(c ORDER BY pos) AS cv
+        |         FROM cent GROUP BY clabel),
+        |assigned AS (
+        |  SELECT e.vec_id, e.label, carr.clabel,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY list_cosine_similarity(e.v, carr.cv) DESC,
+        |                    carr.clabel) AS rk
+        |  FROM e, carr),
+        |cells AS (
+        |  SELECT label AS true_label, clabel AS pred_label,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM assigned WHERE rk = 1 GROUP BY 1, 2)
+        |SELECT true_label, pred_label, n,
+        |       CAST(sum(n) OVER (PARTITION BY true_label) AS BIGINT)
+        |         AS row_total,
+        |       CAST(sum(n) OVER (PARTITION BY pred_label) AS BIGINT)
+        |         AS col_total,
+        |       true_label = pred_label AS is_diag
+        |FROM cells ORDER BY true_label, pred_label""".stripMargin,
     "emb_knn_classify" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),

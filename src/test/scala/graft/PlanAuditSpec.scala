@@ -47,6 +47,7 @@ class PlanAuditSpec extends SparkSpec {
     "pipeline_decontam_semantic", // broadcast eval-embedding set × train stream (the design)
     "text_bm25",              // broadcast 1-row corpus-stats scalar (N, avgdl)
     "ml_kmeans_step",         // broadcast k-row centroid set × corpus stream
+    "ml_eval_confusion",      // broadcast 10-row centroid model × corpus stream
     "ml_kmeans_iter",         // same shape, two unrolled Lloyd rounds
     "pipeline_neg_samples",   // broadcast 1-row corpus-count scalar
     "sketch_hll",             // 64-register file × two 1-row scalars (estimate, exact)
