@@ -48,7 +48,8 @@ object SparkEntry {
       (Q.ExperimentQueries.queries, Q.ExperimentQueries.oracles),
       (Q.SketchQueries.queries, Q.SketchQueries.oracles),
       (Q.MlQueries2.queries, Q.MlQueries2.oracles),
-      (Q.CatalogQueries.queries, Q.CatalogQueries.oracles)
+      (Q.CatalogQueries.queries, Q.CatalogQueries.oracles),
+      (Q.MiningQueries.queries, Q.MiningQueries.oracles)
     )
 
   /** Per-module registry sizes — lets ContractSpec prove no cross-module

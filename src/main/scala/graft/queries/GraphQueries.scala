@@ -22,7 +22,7 @@ object GraphQueries {
     * classes mod 10, so the graph has ≥10 real components (the full
     * lineitem graph is one giant blob — useless as a test).
     */
-  private def edges(s: SparkSession, d: String): DataFrame = {
+  private[queries] def edges(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .filter(col("l_partkey") % 10 === col("l_suppkey") % 10)
       .select(col("l_partkey").as("u"), (col("l_suppkey") + 1000000L).as("v"))
@@ -350,7 +350,7 @@ object GraphQueries {
        |FROM e$rounds GROUP BY u ORDER BY vtx""".stripMargin
   }
 
-  private val undirectedSql =
+  private[queries] val undirectedSql =
     """SELECT DISTINCT l_partkey AS u, l_suppkey + 1000000 AS v
       |  FROM lineitem WHERE l_partkey % 10 = l_suppkey % 10
       |  UNION

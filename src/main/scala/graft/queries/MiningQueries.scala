@@ -1,0 +1,327 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pattern-mining + robust-statistics operators — the fifth-round widening
+  * batch: market-basket association rules, community detection by label
+  * propagation, corpus chunk-level dedup with document reassembly (the
+  * CCNet/RefinedWeb line-dedup shape on the word-chunk granularity our
+  * newline-free fixture supports), one deterministic PCA power-iteration
+  * step, and MAD-based robust outlier detection.
+  *
+  * The reference engine (a Rust MapReduce with wc/grep/vertex-degree,
+  * /root/reference/src/app/mod.rs:29-53) expresses none of these directly;
+  * each is the map→shuffle→reduce dataflow (§2.A) applied to a pattern a
+  * production corpus/warehouse pipeline needs.
+  */
+object MiningQueries {
+
+  // ---------------------------------------------------------------- baskets
+
+  /** Market-basket association rules over order baskets: items are part
+    * brands (25-value domain), baskets are orders. Emits
+    * support/confidence/lift for every ordered brand pair with support ≥
+    * 0.5% — the classic Apriori-at-k=2 readout, done as pure relational
+    * algebra.
+    *
+    * Scale: NO basket self-join — baskets aggregate to per-order sorted
+    * brand lists (one shuffle, keyed on `l_orderkey`) and pairs generate
+    * in-array via the shared BucketPairs idiom (two codegen'd generates,
+    * fan-out bounded by per-basket distinct-item count squared; TPC-H
+    * baskets are ≤7 lines). The pair aggregate lands on a ≤ brand²
+    * (625-row) domain with map-side combine, and item/order totals
+    * broadcast back. The same plan at 100 TB needs no change: pair
+    * cardinality is domain-bounded, not data-bounded.
+    */
+  def marketBasket(s: SparkSession, d: String): DataFrame = {
+    val items = Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+      .distinct()
+    val totals = items.agg(countDistinct(col("okey")).as("n_orders"))
+    val brandCnt = items.groupBy("brand").agg(count(lit(1)).as("n"))
+    val baskets = items.groupBy("okey")
+      .agg(sort_array(collect_set(col("brand"))).as("brands"))
+    val pairs = BucketPairs.pairs(baskets, "brands", "brand_a", "brand_b")
+      .groupBy("brand_a", "brand_b")
+      .agg(count(lit(1)).as("pair_cnt"))
+    pairs
+      .join(broadcast(brandCnt.select(col("brand").as("brand_a"), col("n").as("n_a"))), "brand_a")
+      .join(broadcast(brandCnt.select(col("brand").as("brand_b"), col("n").as("n_b"))), "brand_b")
+      .crossJoin(broadcast(totals))
+      .withColumn("support", round(col("pair_cnt") / col("n_orders"), 6))
+      .filter(col("support") >= 0.005)
+      .withColumn("confidence", round(col("pair_cnt") / col("n_a"), 6))
+      .withColumn("lift",
+        round((col("pair_cnt") * col("n_orders")) / (col("n_a") * col("n_b")), 6))
+      .select("brand_a", "brand_b", "pair_cnt", "n_a", "n_b", "n_orders",
+        "support", "confidence", "lift")
+      .orderBy("brand_a", "brand_b")
+  }
+
+  // ------------------------------------------------------------------- LPA
+
+  /** One synchronous label-propagation round: every vertex adopts the most
+    * frequent label among its neighbors, ties broken toward the smallest
+    * label — fully deterministic, unlike classic randomized LPA. */
+  private def lpaRound(e: DataFrame, lbl: DataFrame): DataFrame = {
+    val nb = e
+      .join(lbl.select(col("vtx").as("nv"), col("lbl").as("nlbl")),
+        col("v") === col("nv"))
+      .groupBy(col("u"), col("nlbl"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("u").orderBy(col("cnt").desc, col("nlbl"))
+    nb.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("u").as("vtx"), col("nlbl").as("lbl"))
+  }
+
+  /** Community detection by THREE synchronous label-propagation rounds over
+    * the part↔supplier graph (same edge set as graph_components, so
+    * communities refine those components). Each round is one join + one
+    * count aggregate + one per-vertex argmax — the Pregel superstep as
+    * dataflow. Rounds are unrolled (not run to fixpoint) so the DuckDB
+    * oracle can restate them as three chained CTEs; the fixpoint form
+    * would reuse graph_components' localCheckpoint loop.
+    *
+    * Scale: per-round cost is |E| join + |E| aggregate, hash-partitioned
+    * on vertex id; the argmax window partitions by vertex (no global
+    * sort). Synchronous LPA on 100 TB graphs is exactly this loop with
+    * checkpoint-every-5 lineage truncation.
+    */
+  def labelPropagation(s: SparkSession, d: String, rounds: Int = 3): DataFrame = {
+    // 3 unrolled rounds keep the plan shallow enough to stay declarative;
+    // Spark's ReuseExchange dedupes the identical edge subtrees. A
+    // fixpoint variant would persist edges + localCheckpoint per round
+    // like GraphQueries.computeComponents.
+    val e = GraphQueries.edges(s, d)
+    val l0 = e.select(col("u").as("vtx")).distinct()
+      .withColumn("lbl", col("vtx"))
+    val ln = (1 to rounds).foldLeft(l0)((l, _) => lpaRound(e, l))
+    val cs = Window.partitionBy("lbl")
+    ln.withColumn("csize", count(lit(1)).over(cs))
+      .select("vtx", "lbl", "csize").orderBy("vtx")
+  }
+
+  // ----------------------------------------------------- chunk-level dedup
+
+  /** Corpus chunk-level exact dedup WITH reassembly — the CCNet/C4
+    * line-level dedup shape: split every document into 8-word chunks, keep
+    * only the globally-first occurrence of each distinct chunk (ordered by
+    * (doc_id, position)), and reassemble each document from its surviving
+    * chunks. Emits per-doc chunk/keep counts and the reassembled text, so
+    * the oracle hash-checks the actual rewritten corpus, not just counts.
+    *
+    * Scale: the only big shuffle is the group-by-chunk (hash-partitioned
+    * on chunk text; at 100 TB you'd key on a 128-bit chunk digest instead
+    * of the string — same plan, smaller shuffle payload), and the
+    * reassembly group-by is keyed on doc_id. First-occurrence semantics
+    * need no global sort: the per-chunk argmin is a window over the chunk
+    * partition.
+    */
+  def chunkDedup(s: SparkSession, d: String, width: Int = 8): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val nChunks = ceil(size(col("w")) / lit(width.toDouble)).cast("long")
+    val chunks = docs
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), (nChunks - 1).cast("int")),
+          i => array_join(slice(col("w"), i * width + 1, lit(width)), " ")))
+          .as(Seq("idx", "chunk")))
+    val firstW = Window.partitionBy("chunk").orderBy("doc_id", "idx")
+    chunks
+      .withColumn("rn", row_number().over(firstW))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("rn") === 1,
+              struct(col("idx"), col("chunk"))))),
+            x => x.getField("chunk")),
+          " ").as("kept_text"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------- PCA power
+
+  /** Fixed deterministic start vector for the power iteration: a rational
+    * ramp (no libm), identical bit-for-bit in both engines. */
+  private[queries] def pcaV0(j: Int): Double = ((j * 37 + 11) % 64 - 32) / 32.0
+
+  /** One PCA power-iteration step over the 64-dim embeddings: w = Σ_rows
+    * (xᵀv₀)·x with a fixed rational start vector v₀. Per-row dot products
+    * fold in index order (bit-identical across engines); the per-dimension
+    * row sum — the one order-NONdeterministic float reduction — is
+    * micro-rounded to integer units and summed as BIGINT, the repo's
+    * fixed-point determinism discipline (cf. ml_logreg_step). Output: the
+    * unnormalized eigvec estimate in micro-units plus its max-abs-relative
+    * double form.
+    *
+    * Scale: one linear scan, a 64-key aggregate, no joins; this is the
+    * map-side-combine-friendly shape (partial sums per partition), and k
+    * power iterations = k such scans with v broadcast back — the standard
+    * distributed PCA loop when the 64×64 Gram matrix is too implicit to
+    * materialize... at dim 64 you'd really ship the Gram matrix (64²
+    * doubles) in one pass; the per-step shape here is what survives at
+    * dim 10⁴+.
+    */
+  def pcaPowerStep(s: SparkSession, d: String): DataFrame = {
+    val v0 = array((0 until 64).map(j => lit(pcaV0(j))): _*)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val dot = aggregate(zip_with(col("v"), v0, (x, y) => x * y),
+      lit(0.0), (acc, t) => acc + t)
+    val terms = e.withColumn("dot", dot)
+      .select(posexplode(col("v")).as(Seq("j0", "x")), col("dot"))
+      .select((col("j0") + 1).as("dim"),
+        round(col("dot") * col("x") * 1e6).cast("long").as("term_micro"))
+    val sums = terms.groupBy("dim").agg(sum("term_micro").as("w_micro"))
+    val wmax = Window.partitionBy()
+    sums
+      .withColumn("w_rel",
+        round(col("w_micro") / max(abs(col("w_micro"))).over(wmax), 6))
+      .select(col("dim").cast("int").as("dim"), col("w_micro"), col("w_rel"))
+      .orderBy("dim")
+  }
+
+  // ------------------------------------------------------------ MAD outliers
+
+  /** Robust outlier detection per event type: median/MAD instead of
+    * mean/σ (q_outliers), so a heavy-tailed value column can't inflate its
+    * own threshold. Values are cent-scaled to BIGINT so both engines
+    * interpolate medians over exact integers; the modified z-score
+    * 0.6745·(v−med)/MAD flags |z| > 3.5 (Iglewicz-Hoaglin).
+    *
+    * Scale: two scans (median of values, then median of absolute
+    * deviations — the exact-median two-pass cost), each a per-type exact
+    * median; at 100 TB each median becomes the q_median_2pass
+    * histogram-then-middle-bucket scan per group, with the tiny per-type
+    * stats broadcast back both times. No event-×-event anything.
+    */
+  def outliersMad(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("v_c"))
+    val med = ev.groupBy("event_type").agg(median(col("v_c")).as("med"))
+    val withMed = ev.join(broadcast(med), "event_type")
+    val mad = withMed.groupBy("event_type")
+      .agg(median(abs(col("v_c") - col("med"))).as("mad"))
+    withMed.join(broadcast(mad), "event_type")
+      .filter(col("mad") > 0)
+      .withColumn("z", lit(0.6745) * (col("v_c") - col("med")) / col("mad"))
+      .filter(abs(col("z")) > 3.5)
+      .select(col("event_id"), col("event_type"), col("v_c"), col("med"),
+        col("mad"), round(col("z"), 6).as("z"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_market_basket" -> (marketBasket(_, _)),
+    "graph_label_prop" -> (labelPropagation(_, _)),
+    "dedup_chunks" -> (chunkDedup(_, _)),
+    "ml_pca_power" -> (pcaPowerStep(_, _)),
+    "q_outliers_mad" -> (outliersMad(_, _))
+  )
+
+  private def lpaRoundSql(prev: String, out: String): String =
+    s"""$out AS (
+       |  SELECT vtx, lbl FROM (
+       |    SELECT e.u AS vtx, l.lbl, count(*) AS cnt,
+       |           row_number() OVER (PARTITION BY e.u
+       |                              ORDER BY count(*) DESC, l.lbl) AS rn
+       |    FROM e JOIN $prev l ON l.vtx = e.v
+       |    GROUP BY e.u, l.lbl)
+       |  WHERE rn = 1)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_market_basket" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |tot AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM items),
+        |bc AS (SELECT brand, CAST(count(*) AS BIGINT) AS n FROM items GROUP BY brand),
+        |pairs AS (
+        |  SELECT a.brand AS brand_a, b.brand AS brand_b,
+        |         CAST(count(*) AS BIGINT) AS pair_cnt
+        |  FROM items a JOIN items b
+        |    ON a.okey = b.okey AND a.brand < b.brand
+        |  GROUP BY 1, 2)
+        |SELECT brand_a, brand_b, pair_cnt, ca.n AS n_a, cb.n AS n_b, n_orders,
+        |       round(pair_cnt / n_orders, 6) AS support,
+        |       round(pair_cnt / ca.n, 6) AS confidence,
+        |       round((pair_cnt * n_orders) / (ca.n * cb.n), 6) AS lift
+        |FROM pairs
+        |JOIN bc ca ON ca.brand = brand_a
+        |JOIN bc cb ON cb.brand = brand_b
+        |CROSS JOIN tot
+        |WHERE round(pair_cnt / n_orders, 6) >= 0.005
+        |ORDER BY brand_a, brand_b""".stripMargin,
+    "graph_label_prop" ->
+      s"""WITH e AS MATERIALIZED (
+         |  ${GraphQueries.undirectedSql}
+         |),
+         |l0 AS (SELECT DISTINCT u AS vtx, u AS lbl FROM e),
+         |${lpaRoundSql("l0", "l1")},
+         |${lpaRoundSql("l1", "l2")},
+         |${lpaRoundSql("l2", "l3")}
+         |SELECT vtx, lbl,
+         |       CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT) AS csize
+         |FROM l3 ORDER BY vtx""".stripMargin,
+    "dedup_chunks" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ch AS (
+        |  SELECT doc_id, i AS idx,
+        |         array_to_string(w[(i*8+1):(i*8+8)], ' ') AS chunk
+        |  FROM w, LATERAL (SELECT unnest(range(0,
+        |         CAST(ceil(len(w) / 8.0) AS BIGINT))) AS i)),
+        |kept AS (
+        |  SELECT doc_id, idx, chunk,
+        |         row_number() OVER (PARTITION BY chunk
+        |                            ORDER BY doc_id, idx) AS rn
+        |  FROM ch)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+        |                           ORDER BY idx), '') AS kept_text
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "ml_pca_power" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |dots AS (
+        |  SELECT vec_id, v,
+        |         list_reduce(
+        |           list_transform(generate_series(1, 64),
+        |             i -> v[i] * ((((i - 1) * 37 + 11) % 64 - 32) / 32.0)),
+        |           (a, b) -> a + b) AS dot
+        |  FROM e),
+        |terms AS (
+        |  SELECT j AS dim,
+        |         CAST(round(dot * v[j] * 1e6) AS BIGINT) AS term_micro
+        |  FROM dots, (SELECT unnest(generate_series(1, 64)) AS j)),
+        |sums AS (SELECT dim, CAST(sum(term_micro) AS BIGINT) AS w_micro
+        |         FROM terms GROUP BY dim)
+        |SELECT CAST(dim AS INT) AS dim, w_micro,
+        |       round(w_micro / max(abs(w_micro)) OVER (), 6) AS w_rel
+        |FROM sums ORDER BY dim""".stripMargin,
+    "q_outliers_mad" ->
+      """WITH ev AS (SELECT event_id, event_type,
+        |                   CAST(round(value * 100) AS BIGINT) AS v_c
+        |            FROM events),
+        |med AS (SELECT event_type, quantile_cont(v_c, 0.5) AS med
+        |        FROM ev GROUP BY event_type),
+        |dev AS (SELECT ev.*, med FROM ev JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(abs(v_c - med), 0.5) AS mad
+        |        FROM dev GROUP BY event_type)
+        |SELECT event_id, event_type, v_c, med, mad,
+        |       round(0.6745 * (v_c - med) / mad, 6) AS z
+        |FROM dev JOIN mad USING (event_type)
+        |WHERE mad > 0 AND abs(0.6745 * (v_c - med) / mad) > 3.5
+        |ORDER BY event_id""".stripMargin
+  )
+}

@@ -56,7 +56,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_incremental_agg",      // broadcast 1-row cutoff scalar × events stream
     "ml_histogram_split",     // ~50-row histogram × broadcast 1-row totals scalar
     "sketch_bloom",           // 40-probe report × 1-row bits_set scalar
-    "ml_naive_bayes"          // doc grid × broadcast C-row class-constant table
+    "ml_naive_bayes",         // doc grid × broadcast C-row class-constant table
+    "q_market_basket"         // broadcast 1-row n_orders scalar × pair table
   )
   private val allowShuffleJoin = Set(
     "q_join_full",    // full outer: no broadcastable side by semantics
