@@ -49,7 +49,8 @@ object SparkEntry {
       (Q.SketchQueries.queries, Q.SketchQueries.oracles),
       (Q.MlQueries2.queries, Q.MlQueries2.oracles),
       (Q.CatalogQueries.queries, Q.CatalogQueries.oracles),
-      (Q.MiningQueries.queries, Q.MiningQueries.oracles)
+      (Q.MiningQueries.queries, Q.MiningQueries.oracles),
+      (Q.InsightQueries.queries, Q.InsightQueries.oracles)
     )
 
   /** Per-module registry sizes — lets ContractSpec prove no cross-module

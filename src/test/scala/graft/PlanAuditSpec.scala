@@ -57,7 +57,9 @@ class PlanAuditSpec extends SparkSpec {
     "ml_histogram_split",     // ~50-row histogram × broadcast 1-row totals scalar
     "sketch_bloom",           // 40-probe report × 1-row bits_set scalar
     "ml_naive_bayes",         // doc grid × broadcast C-row class-constant table
-    "q_market_basket"         // broadcast 1-row n_orders scalar × pair table
+    "q_market_basket",        // broadcast 1-row n_orders scalar × pair table
+    "pipeline_curriculum",    // broadcast 1-row quantile-boundary scalar × corpus
+    "sim_matryoshka"          // broadcast 10-query set × corpus stream (sim_cosine_topk shape)
   )
   private val allowShuffleJoin = Set(
     "q_join_full",    // full outer: no broadcastable side by semantics
