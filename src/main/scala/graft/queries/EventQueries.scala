@@ -85,7 +85,32 @@ object EventQueries {
       .orderBy("event_type", "hr")
   }
 
+  /** Hour-of-day seasonal decomposition: per-hour exact cent sums →
+    * hour-of-day mean vs the global mean, the seasonal index a
+    * forecasting pipeline subtracts before modeling trend. Cent-scaled
+    * BIGINT sums keep the means integer-exact; the totals ride on a
+    * 24-row unpartitioned window (aggregate-then-window, never a
+    * corpus-wide window — the pipeline_token_budget pattern).
+    */
+  def seasonalHourly(s: SparkSession, d: String): DataFrame = {
+    val allW = org.apache.spark.sql.expressions.Window.partitionBy()
+    Tables.events(s, d)
+      .select(hour(col("ts")).as("hr"),
+        round(col("value") * 100).cast("long").as("v_c"))
+      .groupBy("hr").agg(count(lit(1)).as("n"), sum(col("v_c")).as("sum_c"))
+      .withColumn("tn", sum(col("n")).over(allW))
+      .withColumn("tsum", sum(col("sum_c")).over(allW))
+      .withColumn("hour_mean", round(col("sum_c") / col("n") / lit(100.0), 6))
+      .withColumn("global_mean", round(col("tsum") / col("tn") / lit(100.0), 6))
+      .withColumn("seasonal_idx",
+        round(col("sum_c") / col("n") / lit(100.0)
+          - col("tsum") / col("tn") / lit(100.0), 6))
+      .select("hr", "n", "sum_c", "hour_mean", "global_mean", "seasonal_idx")
+      .orderBy("hr")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seasonal_hourly" -> (seasonalHourly(_, _)),
     "q_events_tumbling" -> (tumbling(_, _)),
     "q_events_sliding" -> (sliding(_, _)),
     "q_events_session" -> (sessionize(_, _)),
@@ -93,6 +118,20 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_seasonal_hourly" ->
+      """WITH ev AS (SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hr,
+        |                   CAST(round(value * 100) AS BIGINT) AS v_c
+        |            FROM events),
+        |h AS (SELECT hr, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(v_c) AS BIGINT) AS sum_c FROM ev GROUP BY hr),
+        |t AS (SELECT hr, n, sum_c,
+        |             CAST(sum(n) OVER () AS BIGINT) AS tn,
+        |             CAST(sum(sum_c) OVER () AS BIGINT) AS tsum FROM h)
+        |SELECT hr, n, sum_c,
+        |       round(sum_c / n / 100.0, 6) AS hour_mean,
+        |       round(tsum / tn / 100.0, 6) AS global_mean,
+        |       round(sum_c / n / 100.0 - tsum / tn / 100.0, 6) AS seasonal_idx
+        |FROM t ORDER BY hr""".stripMargin,
     "q_events_tumbling" ->
       """SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_start,
         |       event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value

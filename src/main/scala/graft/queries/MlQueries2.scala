@@ -175,7 +175,64 @@ object MlQueries2 {
       .orderBy("split_q")
   }
 
+  /** One gradient-BOOSTING round on top of `ml_histogram_split`: the
+    * round-1 argmax split defines a two-leaf stump whose leaf values are
+    * the exact per-side means; residuals against that stump are
+    * micro-rounded to BIGINT hundredth-cents (integer-exact sums, the
+    * module's fixed-point discipline) and the round-2 per-threshold
+    * variance-reduction scores are emitted over the residual histogram —
+    * the GBDT training loop's steady-state iteration, two scans per round
+    * (histogram build + residual histogram), everything else on ≤50-row
+    * broadcast state.
+    */
+  def gbdtResidualStep(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.lineitem(s, d).select(
+      col("l_quantity").cast("int").as("q"),
+      round(col("l_extendedprice") * 100).cast("long").as("y"))
+    val bins = base.groupBy("q").agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+    val cumW = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    val tot = bins.agg(sum(col("n")).as("tn"), sum(col("sy")).as("tsy"))
+    val best = bins
+      .select(col("q"), sum(col("n")).over(cumW).as("nl"),
+        sum(col("sy")).over(cumW).as("syl"))
+      .crossJoin(broadcast(tot))
+      .filter(col("nl") < col("tn"))
+      .withColumn("score",
+        col("syl").cast("double") * col("syl") / col("nl")
+          + (col("tsy") - col("syl")).cast("double") * (col("tsy") - col("syl"))
+            / (col("tn") - col("nl")))
+      .orderBy(desc("score"), asc("q")).limit(1)
+      .select(col("q").as("r1_split_q"),
+        (col("syl").cast("double") / col("nl")).as("pl"),
+        ((col("tsy") - col("syl")).cast("double") / (col("tn") - col("nl"))).as("pr"))
+    val resid = base.crossJoin(broadcast(best))
+      .withColumn("r",
+        round((col("y") - when(col("q") <= col("r1_split_q"), col("pl"))
+          .otherwise(col("pr"))) * 100).cast("long"))
+    val bins2 = resid.groupBy("r1_split_q", "q")
+      .agg(count(lit(1)).as("n"), sum(col("r")).as("sr"))
+    val tot2 = bins2.agg(sum(col("n")).as("tn"), sum(col("sr")).as("tsr"))
+    val cumW2 = Window.partitionBy("r1_split_q").orderBy("q")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val allW = Window.partitionBy()
+    bins2
+      .select(col("r1_split_q"), col("q"), sum(col("n")).over(cumW2).as("nl"),
+        sum(col("sr")).over(cumW2).as("srl"))
+      .crossJoin(broadcast(tot2))
+      .filter(col("nl") < col("tn"))
+      .select(col("r1_split_q"), col("q").as("split_q"), col("nl").as("n_left"),
+        (col("tn") - col("nl")).as("n_right"),
+        col("srl").as("sum_left_rc"), (col("tsr") - col("srl")).as("sum_right_rc"))
+      .withColumn("score",
+        col("sum_left_rc").cast("double") * col("sum_left_rc") / col("n_left")
+          + col("sum_right_rc").cast("double") * col("sum_right_rc") / col("n_right"))
+      .withColumn("is_best", col("score") === max(col("score")).over(allW))
+      .orderBy("split_q")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_gbdt_residual" -> (gbdtResidualStep(_, _)),
     "ml_histogram_split" -> (histogramSplit(_, _)),
     "ml_naive_bayes" -> (naiveBayes(_, _)),
     "ml_logreg_step" -> (logregStep(_, _)),
@@ -185,6 +242,50 @@ object MlQueries2 {
   import OracleSql.fnvIhash31
 
   val oracles: Map[String, String] = Map(
+    "ml_gbdt_residual" ->
+      """WITH base AS (
+        |  SELECT CAST(l_quantity AS INT) AS q,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |bins AS (SELECT q, CAST(count(*) AS BIGINT) AS n,
+        |                CAST(sum(y) AS BIGINT) AS sy FROM base GROUP BY q),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+        |               CAST(sum(sy) AS BIGINT) AS tsy FROM bins),
+        |cum AS (SELECT q, CAST(sum(n) OVER w AS BIGINT) AS nl,
+        |               CAST(sum(sy) OVER w AS BIGINT) AS syl
+        |        FROM bins WINDOW w AS (ORDER BY q ROWS BETWEEN UNBOUNDED
+        |                               PRECEDING AND CURRENT ROW)),
+        |best AS (
+        |  SELECT q AS r1_split_q, CAST(syl AS DOUBLE) / nl AS pl,
+        |         CAST(tsy - syl AS DOUBLE) / (tn - nl) AS pr
+        |  FROM cum, tot WHERE nl < tn
+        |  ORDER BY CAST(syl AS DOUBLE) * syl / nl
+        |           + CAST(tsy - syl AS DOUBLE) * (tsy - syl) / (tn - nl)
+        |           DESC, q
+        |  LIMIT 1),
+        |resid AS (
+        |  SELECT r1_split_q, q,
+        |         CAST(round((y - CASE WHEN q <= r1_split_q THEN pl ELSE pr END)
+        |                    * 100) AS BIGINT) AS r
+        |  FROM base CROSS JOIN best),
+        |bins2 AS (SELECT r1_split_q, q, CAST(count(*) AS BIGINT) AS n,
+        |                 CAST(sum(r) AS BIGINT) AS sr
+        |          FROM resid GROUP BY 1, 2),
+        |tot2 AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+        |                CAST(sum(sr) AS BIGINT) AS tsr FROM bins2),
+        |cum2 AS (SELECT r1_split_q, q, CAST(sum(n) OVER w AS BIGINT) AS nl,
+        |                CAST(sum(sr) OVER w AS BIGINT) AS srl
+        |         FROM bins2 WINDOW w AS (ORDER BY q ROWS BETWEEN UNBOUNDED
+        |                                 PRECEDING AND CURRENT ROW)),
+        |scored AS (
+        |  SELECT r1_split_q, q AS split_q, nl AS n_left, tn - nl AS n_right,
+        |         srl AS sum_left_rc, tsr - srl AS sum_right_rc,
+        |         CAST(srl AS DOUBLE) * srl / nl
+        |           + CAST(tsr - srl AS DOUBLE) * (tsr - srl) / (tn - nl) AS score
+        |  FROM cum2, tot2 WHERE nl < tn)
+        |SELECT r1_split_q, split_q, n_left, n_right, sum_left_rc,
+        |       sum_right_rc, score, score = max(score) OVER () AS is_best
+        |FROM scored ORDER BY split_q""".stripMargin,
     "ml_histogram_split" ->
       """WITH bins AS (
         |  SELECT CAST(l_quantity AS INT) AS q, CAST(count(*) AS BIGINT) AS n,

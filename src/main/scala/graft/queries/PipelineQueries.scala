@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -215,7 +215,59 @@ object PipelineQueries {
       .orderBy("tbl", "metric")
   }
 
+  /** Quality-gate ablation waterfall — the pipeline-observability readout
+    * every curation run ships with: for each of four gates (length,
+    * language allowlist, lexical diversity, top-word repetition), how many
+    * docs fail it ALONE, how many fail it MARGINALLY (passing every
+    * earlier gate in the canonical order), and how many docs remain after
+    * it. One corpus scan plus one per-doc top-word aggregate; all twelve
+    * counters come from a single conditional-sum aggregate reshaped to
+    * four rows, so adding a gate costs three more counters, not a pass.
+    */
+  def gateAblation(s: SparkSession, d: String): DataFrame = {
+    val toks = spaceTokens(col("text"))
+    val docs = Tables.documents(s, d)
+    val base = docs.select(col("doc_id"), col("lang"),
+      size(toks).as("ntok"), size(array_distinct(toks)).as("ndis"))
+    val topw = docs.select(col("doc_id"), explode(toks).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("topw"))
+    val f = base.join(topw, "doc_id")
+      .withColumn("g_len", col("ntok") >= 20)
+      .withColumn("g_lang", col("lang").isin("en", "es", "de", "fr"))
+      .withColumn("g_div", col("ndis") / col("ntok") >= 0.4)
+      .withColumn("g_rep", col("topw") / col("ntok") <= 0.2)
+    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    val a = f.agg(
+      count(lit(1)).as("total"),
+      cnt(!col("g_len")).as("fa1"), cnt(!col("g_lang")).as("fa2"),
+      cnt(!col("g_div")).as("fa3"), cnt(!col("g_rep")).as("fa4"),
+      cnt(col("g_len") && !col("g_lang")).as("fm2"),
+      cnt(col("g_len") && col("g_lang") && !col("g_div")).as("fm3"),
+      cnt(col("g_len") && col("g_lang") && col("g_div") && !col("g_rep")).as("fm4"),
+      cnt(col("g_len")).as("r1"),
+      cnt(col("g_len") && col("g_lang")).as("r2"),
+      cnt(col("g_len") && col("g_lang") && col("g_div")).as("r3"),
+      cnt(col("g_len") && col("g_lang") && col("g_div") && col("g_rep")).as("r4"))
+    def row(step: Long, gate: String, fa: String, fm: Column, r: String): Column =
+      struct(lit(step).as("step"), lit(gate).as("gate"),
+        col(fa).as("fail_alone"), fm.as("fail_marginal"),
+        col(r).as("remaining"), col("total").as("total_docs"))
+    a.select(explode(array(
+        row(1L, "len_ge_20", "fa1", col("fa1"), "r1"),
+        row(2L, "lang_allowlist", "fa2", col("fm2"), "r2"),
+        row(3L, "diversity_ge_0.4", "fa3", col("fm3"), "r3"),
+        row(4L, "topword_le_0.2", "fa4", col("fm4"), "r4"))).as("x"))
+      .select(col("x.step").as("step"), col("x.gate").as("gate"),
+        col("x.fail_alone").as("fail_alone"),
+        col("x.fail_marginal").as("fail_marginal"),
+        col("x.remaining").as("remaining"),
+        col("x.total_docs").as("total_docs"))
+      .orderBy("step")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_gate_ablation" -> (gateAblation(_, _)),
     "q_dq_checks" -> (dqChecks(_, _)),
     "dedup_clusters" -> (dedupClusters(_, _)),
     "dedup_near_keep_best" -> (nearKeepBest(_, _)),
@@ -261,6 +313,41 @@ object PipelineQueries {
       |), final AS (SELECT vtx, min(comp) AS comp FROM cc GROUP BY vtx)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "pipeline_gate_ablation" ->
+      """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+        |              FROM documents),
+        |base AS (SELECT doc_id, lang, len(w) AS ntok,
+        |                len(list_distinct(w)) AS ndis FROM toks),
+        |wc AS (SELECT doc_id, max(c) AS topw FROM (
+        |         SELECT doc_id, t, count(*) AS c
+        |         FROM (SELECT doc_id, unnest(w) AS t FROM toks)
+        |         GROUP BY 1, 2) GROUP BY doc_id),
+        |f AS (SELECT ntok >= 20 AS g_len,
+        |             lang IN ('en','es','de','fr') AS g_lang,
+        |             ndis / ntok >= 0.4 AS g_div,
+        |             topw / ntok <= 0.2 AS g_rep
+        |      FROM base JOIN wc USING (doc_id)),
+        |a AS (SELECT
+        |  CAST(count(*) AS BIGINT) AS total,
+        |  CAST(sum(CASE WHEN NOT g_len THEN 1 ELSE 0 END) AS BIGINT) AS fa1,
+        |  CAST(sum(CASE WHEN NOT g_lang THEN 1 ELSE 0 END) AS BIGINT) AS fa2,
+        |  CAST(sum(CASE WHEN NOT g_div THEN 1 ELSE 0 END) AS BIGINT) AS fa3,
+        |  CAST(sum(CASE WHEN NOT g_rep THEN 1 ELSE 0 END) AS BIGINT) AS fa4,
+        |  CAST(sum(CASE WHEN g_len AND NOT g_lang THEN 1 ELSE 0 END) AS BIGINT) AS fm2,
+        |  CAST(sum(CASE WHEN g_len AND g_lang AND NOT g_div THEN 1 ELSE 0 END) AS BIGINT) AS fm3,
+        |  CAST(sum(CASE WHEN g_len AND g_lang AND g_div AND NOT g_rep THEN 1 ELSE 0 END) AS BIGINT) AS fm4,
+        |  CAST(sum(CASE WHEN g_len THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+        |  CAST(sum(CASE WHEN g_len AND g_lang THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+        |  CAST(sum(CASE WHEN g_len AND g_lang AND g_div THEN 1 ELSE 0 END) AS BIGINT) AS r3,
+        |  CAST(sum(CASE WHEN g_len AND g_lang AND g_div AND g_rep THEN 1 ELSE 0 END) AS BIGINT) AS r4
+        |  FROM f)
+        |SELECT CAST(1 AS BIGINT) AS step, 'len_ge_20' AS gate,
+        |       fa1 AS fail_alone, fa1 AS fail_marginal, r1 AS remaining,
+        |       total AS total_docs FROM a
+        |UNION ALL SELECT 2, 'lang_allowlist', fa2, fm2, r2, total FROM a
+        |UNION ALL SELECT 3, 'diversity_ge_0.4', fa3, fm3, r3, total FROM a
+        |UNION ALL SELECT 4, 'topword_le_0.2', fa4, fm4, r4, total FROM a
+        |ORDER BY step""".stripMargin,
     "q_dq_checks" ->
       """SELECT tbl, metric, value FROM (
         |  SELECT 'orders' AS tbl, 'rows' AS metric,

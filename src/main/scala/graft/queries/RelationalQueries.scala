@@ -127,7 +127,35 @@ object RelationalQueries {
   def setExcept(s: SparkSession, d: String): DataFrame =
     lnParts(s, d, 6).except(lnParts(s, d, 7)).orderBy("l_partkey")
 
+  /** Exact-money aggregation on the DECIMAL surface: per-row casts to
+    * DECIMAL(18,2), revenue as an exact decimal product re-anchored to
+    * DECIMAL(18,4), and decimal sums (order-independent — the
+    * distributed-float-sum trap does not exist in decimal; cf.
+    * ml_linreg_ols's power sums). Every output column's precision/scale
+    * is pinned explicitly because the two engines widen sums differently
+    * (Spark +10 digits, DuckDB to 38) and the driver's hash is
+    * type-sensitive.
+    */
+  def decimalMoney(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(
+      col("l_returnflag"), col("l_linestatus"),
+      col("l_quantity").cast("decimal(18,2)").as("qty"),
+      col("l_extendedprice").cast("decimal(18,2)").as("price"),
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").as("disc_factor"))
+      .withColumn("revenue", (col("price") * col("disc_factor")).cast("decimal(18,4)"))
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("qty")).cast("decimal(28,2)").as("sum_qty"),
+        sum(col("price")).cast("decimal(28,2)").as("sum_price"),
+        sum(col("revenue")).cast("decimal(28,4)").as("sum_revenue"),
+        min(col("revenue")).cast("decimal(18,4)").as("min_revenue"),
+        max(col("revenue")).cast("decimal(18,4)").as("max_revenue"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decimal_money" -> (decimalMoney(_, _)),
     "q_filter_range" -> (filterRange(_, _)),
     "q_filter_isin" -> (filterIsin(_, _)),
     "q_project_compute" -> (projectCompute(_, _)),
@@ -144,6 +172,24 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_decimal_money" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |         CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+        |         CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+        |         CAST((CAST(l_extendedprice AS DECIMAL(18,2))
+        |               * CAST(1 - CAST(l_discount AS DECIMAL(18,2))
+        |                      AS DECIMAL(18,2)))
+        |              AS DECIMAL(18,4)) AS revenue
+        |  FROM lineitem)
+        |SELECT l_returnflag, l_linestatus,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(qty) AS DECIMAL(28,2)) AS sum_qty,
+        |       CAST(sum(price) AS DECIMAL(28,2)) AS sum_price,
+        |       CAST(sum(revenue) AS DECIMAL(28,4)) AS sum_revenue,
+        |       CAST(min(revenue) AS DECIMAL(18,4)) AS min_revenue,
+        |       CAST(max(revenue) AS DECIMAL(18,4)) AS max_revenue
+        |FROM li GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_filter_range" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_shipdate
         |FROM lineitem

@@ -145,9 +145,41 @@ object TextQueries {
       .limit(20)
   }
 
+  /** One BPE merge APPLICATION round — the inference-side complement of
+    * `text_bpe_train_step`: take the single argmax pair from the current
+    * pair statistics, rewrite the weighted vocabulary with the merge
+    * (merged pair → one placeholder symbol, left-to-right non-overlapping
+    * like real BPE), and emit the NEXT round's top-10 pair counts over
+    * the rewritten vocabulary. Chaining train→apply→train is exactly the
+    * BPE training loop; each round stays a vocab-sized aggregate, never a
+    * corpus-character-stream pass.
+    */
+  def bpeApplyMerge(s: SparkSession, d: String): DataFrame = {
+    val vocab = Tables.documents(s, d)
+      .select(explode(spaceTokens(col("text"))).as("w"))
+      .filter(col("w") =!= "" && length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wcount"))
+    val merge = vocab
+      .select(col("wcount"), explode(
+        transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum(col("wcount")).as("pair_count"))
+      .orderBy(desc("pair_count"), asc("pair")).limit(1)
+      .select(col("pair").as("merge_rule"))
+    vocab.crossJoin(broadcast(merge))
+      .withColumn("w2", replace(col("w"), col("merge_rule"), lit("@")))
+      .filter(length(col("w2")) >= 2)
+      .select(col("merge_rule"), col("wcount"), explode(
+        transform(sequence(lit(1), length(col("w2")) - 1),
+          i => col("w2").substr(i, lit(2)))).as("pair"))
+      .groupBy("merge_rule", "pair").agg(sum(col("wcount")).as("pair_count"))
+      .orderBy(desc("pair_count"), asc("pair")).limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_tokens" -> (bpeTokens(_, _)),
     "text_bpe_train_step" -> (bpeTrainStep(_, _)),
+    "text_bpe_apply" -> (bpeApplyMerge(_, _)),
     "text_rolling_hash" -> (rollingHash(_, _)),
     "text_tfidf" -> (tfidf(_, _)),
     "text_langid" -> (langId(_, _)),
@@ -157,6 +189,31 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_bpe_apply" ->
+      """WITH vocab AS (
+        |  SELECT t AS w, CAST(count(*) AS BIGINT) AS wcount
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE t <> '' AND length(t) >= 2
+        |  GROUP BY t),
+        |merge AS (
+        |  SELECT pair AS merge_rule FROM (
+        |    SELECT substr(w, CAST(i AS INT), 2) AS pair,
+        |           CAST(sum(wcount) AS BIGINT) AS pair_count
+        |    FROM vocab,
+        |         LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i)
+        |    GROUP BY 1)
+        |  ORDER BY pair_count DESC, pair LIMIT 1),
+        |v2 AS (
+        |  SELECT merge_rule, wcount, replace(w, merge_rule, '@') AS w2
+        |  FROM vocab CROSS JOIN merge),
+        |p2 AS (
+        |  SELECT merge_rule, substr(w2, CAST(i AS INT), 2) AS pair, wcount
+        |  FROM v2,
+        |       LATERAL (SELECT unnest(generate_series(1, length(w2) - 1)) AS i)
+        |  WHERE length(w2) >= 2)
+        |SELECT merge_rule, pair, CAST(sum(wcount) AS BIGINT) AS pair_count
+        |FROM p2 GROUP BY 1, 2
+        |ORDER BY pair_count DESC, pair LIMIT 10""".stripMargin,
     "text_bpe_train_step" ->
       """WITH vocab AS (
         |  SELECT t AS w, CAST(count(*) AS BIGINT) AS wcount

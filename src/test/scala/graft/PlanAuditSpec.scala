@@ -59,7 +59,9 @@ class PlanAuditSpec extends SparkSpec {
     "ml_naive_bayes",         // doc grid × broadcast C-row class-constant table
     "q_market_basket",        // broadcast 1-row n_orders scalar × pair table
     "pipeline_curriculum",    // broadcast 1-row quantile-boundary scalar × corpus
-    "sim_matryoshka"          // broadcast 10-query set × corpus stream (sim_cosine_topk shape)
+    "sim_matryoshka",         // broadcast 10-query set × corpus stream (sim_cosine_topk shape)
+    "ml_gbdt_residual",       // broadcast 1-row best-split/totals scalars × histogram
+    "text_bpe_apply"          // broadcast 1-row merge-rule scalar × vocabulary
   )
   private val allowShuffleJoin = Set(
     "q_join_full",    // full outer: no broadcastable side by semantics
