@@ -320,7 +320,51 @@ object CatalogQueries {
       s.createDataFrame(rows, shaped.schema)
     }
 
+  /** `binaryFile` source surface: the documents corpus is written as ONE
+    * text file in doc_id order, then read back whole via the binaryFile
+    * format (path/length/content — the ingestion path for opaque media
+    * blobs, cf. sources/Multimodal) and fingerprinted. The oracle
+    * recomputes the exact file bytes relationally (newline-joined texts +
+    * trailing newline), so file count, byte length, and the md5 of the
+    * raw content are all hash-checked. Byte-level: octet_length/strlen,
+    * not char counts.
+    */
+  def binaryfileRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = s"$tmpRoot/docs_bin_${sfTag(d)}"
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .coalesce(1).sortWithinPartitions("doc_id").select("text")
+      .write.mode("overwrite").text(path)
+    s.read.format("binaryFile").option("pathGlobFilter", "part-*").load(path)
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("length")).as("total_bytes"),
+        min(md5(col("content"))).as("digest"))
+  }
+
+  /** Parquet schema-evolution read (`mergeSchema`): two snapshots of the
+    * orders table written with DIFFERENT column sets are read under one
+    * merged schema — the column-add migration every long-lived lake table
+    * goes through. The readback aggregates prove rows double, each
+    * snapshot-specific column is null exactly outside its snapshot, and
+    * the money sum survives the merge bit-exactly (cent-scaled).
+    */
+  def schemaMerge(s: SparkSession, d: String): DataFrame = {
+    val root = s"$tmpRoot/orders_evo_${sfTag(d)}"
+    val o = Tables.orders(s, d)
+    o.select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$root/snap=1")
+    o.select("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$root/snap=2")
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$root/snap=1", s"$root/snap=2")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("o_totalprice")).as("n_price"),
+        count(col("o_custkey")).as("n_cust"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_price_c"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_binaryfile_roundtrip" -> (binaryfileRoundtrip(_, _)),
+    "q_schema_merge" -> (schemaMerge(_, _)),
     "q_bucketed_join" -> (bucketedJoin(_, _)),
     "q_partition_pruned" -> (partitionPruned(_, _)),
     "q_skew_join_aqe" -> (skewJoinAqe(_, _)),
@@ -333,6 +377,19 @@ object CatalogQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_binaryfile_roundtrip" ->
+      """SELECT CAST(1 AS BIGINT) AS n_files,
+        |       CAST(sum(strlen(text) + 1) AS BIGINT) AS total_bytes,
+        |       md5(string_agg(text, chr(10) ORDER BY doc_id) || chr(10))
+        |         AS digest
+        |FROM documents""".stripMargin,
+    "q_schema_merge" ->
+      """SELECT CAST(2 * count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(*) AS BIGINT) AS n_price,
+        |       CAST(count(*) AS BIGINT) AS n_cust,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) AS sum_price_c
+        |FROM orders""".stripMargin,
     "q_bucketed_join" ->
       """SELECT o_orderstatus, count(*) AS cnt,
         |       round(sum(l_quantity), 2) AS sum_qty

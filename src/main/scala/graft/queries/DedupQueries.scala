@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` — exact, n-gram Jaccard,
@@ -174,12 +174,17 @@ object DedupQueries {
     * truth for both the signature query and the pairs query (mirrors the
     * shared `simhashSigSql` on the oracle side).
     */
-  private def simhashSigs(s: SparkSession, d: String): DataFrame =
+  /** The 64-bit SimHash of a `text` column as a pure expression — usable
+    * on batch AND streaming frames (StreamingBridge.simhashDedupViaStream
+    * reuses it verbatim, so the streaming dedup can never drift from the
+    * batch signature definition). */
+  private[queries] def simhashCol: Column =
+    simhash64(transform(filter(spaceTokens(col("text")), t => t =!= lit("")),
+      t => graft.plans.Fnv1a64.fnv1a64(t)))
+
+  private[queries] def simhashSigs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"),
-        transform(filter(spaceTokens(col("text")), t => t =!= lit("")),
-          t => graft.plans.Fnv1a64.fnv1a64(t)).as("hashes"))
-      .select(col("doc_id"), simhash64(col("hashes")).as("simhash"))
+      .select(col("doc_id"), simhashCol.as("simhash"))
 
   def simhashSignatures(s: SparkSession, d: String): DataFrame =
     simhashSigs(s, d).orderBy("doc_id")
@@ -456,7 +461,7 @@ object DedupQueries {
   /** The signature re-derivation shared by both simhash oracles, ending in
     * `signed(doc_id, simhash BIGINT)`.
     */
-  private lazy val simhashSigSql: String =
+  private[queries] lazy val simhashSigSql: String =
     """WITH toks AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
       |), hashed AS (

@@ -137,7 +137,26 @@ object JoinQueries {
         col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
       .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
 
+  /** SHUFFLE_HASH-hinted join — the third physical equi-join strategy
+    * (broadcast and sort-merge are exercised elsewhere): the hint forces a
+    * ShuffledHashJoin, which beats sort-merge when one side is much
+    * smaller than the other but too big to broadcast — it builds a hash
+    * map per partition instead of sorting BOTH sides. Orders is the build
+    * side here (smaller than lineitem by the basket factor). Plan pinned
+    * in PlanShapeSpec; strategy whitelisted in PlanAuditSpec because the
+    * shuffle IS the demonstration.
+    */
+  def shuffleHashJoin(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).hint("SHUFFLE_HASH"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_c"))
+      .orderBy("o_orderpriority")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_shuffle_hash_join" -> (shuffleHashJoin(_, _)),
     "q_join_inner_agg" -> (joinInnerAgg(_, _)),
     "q_join_left" -> (joinLeft(_, _)),
     "q_join_full" -> (joinFull(_, _)),
@@ -151,6 +170,12 @@ object JoinQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_shuffle_hash_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |            AS BIGINT) AS sum_price_c
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_join_inner_agg" ->
       """SELECT n_name AS nation,
         |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

@@ -266,7 +266,22 @@ object PipelineQueries {
       .orderBy("step")
   }
 
+  /** k-anonymity audit over quasi-identifiers — the privacy gate a
+    * dataset release runs before publication: every (nationkey,
+    * mktsegment) equivalence class is measured and classes smaller than
+    * k=5 are flagged at-risk (they would need suppression or
+    * generalization). One aggregate over the quasi-identifier key plus a
+    * 125-class readout; the same plan audits any QI set at any volume.
+    */
+  def kAnonymity(s: SparkSession, d: String, k: Int = 5): DataFrame =
+    Tables.customer(s, d)
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("at_risk", (col("class_size") < k).cast("int"))
+      .orderBy("c_nationkey", "c_mktsegment")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_k_anonymity" -> (kAnonymity(_, _)),
     "pipeline_gate_ablation" -> (gateAblation(_, _)),
     "q_dq_checks" -> (dqChecks(_, _)),
     "dedup_clusters" -> (dedupClusters(_, _)),
@@ -313,6 +328,11 @@ object PipelineQueries {
       |), final AS (SELECT vtx, min(comp) AS comp FROM cc GROUP BY vtx)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |       CAST(count(*) AS BIGINT) AS class_size,
+        |       CAST(count(*) < 5 AS INT) AS at_risk
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "pipeline_gate_ablation" ->
       """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w
         |              FROM documents),

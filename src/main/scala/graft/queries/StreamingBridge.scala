@@ -417,7 +417,33 @@ object StreamingBridge {
     }.orderBy("band_id")
   }
 
+  /** Streaming near-dup dedup by SimHash signature: the documents fixture
+    * runs twice through the stream (at-least-once redelivery) and every
+    * signature must survive exactly once — the in-flight dedup stage of a
+    * streaming ingestion pipeline. The signature expression is shared
+    * verbatim with the batch dedup_simhash (DedupQueries.simhashCol), so
+    * stream and batch can never disagree on what "near-duplicate" means;
+    * event time is synthesized from doc_id (documents carry no timestamp)
+    * only to give the watermark a column to bound state by. The oracle is
+    * the batch distinct-signature set with n_rows pinned to 1, so a
+    * dropped-dup failure (n_rows=2) or an over-drop (missing signature)
+    * both hash-mismatch.
+    */
+  def simhashDedupViaStream(s: SparkSession, d: String): DataFrame = {
+    val raw = s.read.parquet(s"$d/documents.parquet").schema
+    val src = s.readStream.schema(raw).parquet(s"$d/{documents}.parquet")
+    val sigs = src.select(col("doc_id"), DedupQueries.simhashCol.as("simhash"))
+      .withColumn("ts",
+        timestamp_seconds(lit(1700000000L) + col("doc_id") % 600))
+    runSettled(s, "simdedup",
+      StreamingOps.streamingSimhashDedup(sigs.union(sigs)),
+      OutputMode.Append()) {
+      _.groupBy(col("simhash")).agg(count(lit(1)).as("n_rows"))
+    }.orderBy("simhash")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_simhash_dedup" -> (simhashDedupViaStream(_, _)),
     "stream_interval_enrich" -> (intervalEnrichViaStream(_, _)),
     "stream_leaderboard" -> (leaderboardViaStream(_, _)),
     "stream_foreach_upsert" -> (foreachUpsertViaStream(_, _)),
@@ -436,6 +462,11 @@ object StreamingBridge {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_simhash_dedup" ->
+      s"""${DedupQueries.simhashSigSql}
+         |SELECT simhash, CAST(1 AS BIGINT) AS n_rows
+         |FROM (SELECT DISTINCT simhash FROM signed)
+         |ORDER BY simhash""".stripMargin,
     "stream_interval_enrich" ->
       """WITH bands AS (
         |  SELECT b AS band_id, CAST(b AS DOUBLE) * 20 AS lo,

@@ -233,6 +233,18 @@ object StreamingOps {
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming NEAR-dup dedup: drop any document whose 64-bit SimHash
+    * signature was already seen within the watermark horizon — the
+    * in-flight analog of the batch `dedup_simhash` family (same signature
+    * expression, see DedupQueries.simhashCol). State is one row per
+    * distinct signature inside the horizon; the watermark bounds it the
+    * same way it bounds the exact-dedup state above. Expects (ts,
+    * simhash, ...) columns on the input. */
+  def streamingSimhashDedup(docs: DataFrame): DataFrame =
+    docs
+      .withWatermark("ts", "60 minutes")
+      .dropDuplicatesWithinWatermark("simhash")
+
   /** Complete-mode streaming leaderboard: per-user event counts kept
     * globally sorted in the sink (sorting is legal on streaming frames
     * only after aggregation in Complete mode — this exercises exactly

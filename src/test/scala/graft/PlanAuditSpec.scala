@@ -71,6 +71,8 @@ class PlanAuditSpec extends SparkSpec {
     "ml_naive_bayes", // doc-grid ⋈ doc-scores ⋈ doc-lengths: every side is
                       // document-count-sized, co-keyed on doc_id — no
                       // broadcastable side by semantics (model join IS hinted)
+    "q_shuffle_hash_join", // the SHUFFLE_HASH hint demonstration itself —
+                           // the forced ShuffledHashJoin IS the operator
     "er_sorted_neighborhood" // probes (n·w) ⋈ ranked (n) co-keyed on rank:
                              // both sides corpus-sized by design (and the
                              // ranked side is an RDD-backed frame with no
