@@ -47,6 +47,38 @@ object DedupQueries {
     */
   val PairUniverseMaxDocId: Long = 500L
 
+  /** ASYMMETRIC containment detection — the near-dup class Jaccard
+    * systematically misses: when doc A is (nearly) a sub-document of a
+    * larger B, |A∩B|/|A| ≈ 1 while Jaccard |A∩B|/|A∪B| can sit far below
+    * any symmetric threshold. Emits both directed containments plus the
+    * Jaccard for contrast, flagging pairs whose larger containment ≥ 0.9
+    * — the quote/boilerplate/subset-dup gate (cf. Broder's containment
+    * sketches). Same shingle universe and intersection shape as
+    * `ngramJaccard`; at 100 TB the intersection join keys on shingle
+    * hashes exactly as documented there.
+    */
+  def containmentPairs(s: SparkSession, d: String,
+      maxDocId: Long = PairUniverseMaxDocId, threshold: Double = 0.9): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .filter(col("doc_id") < maxDocId)
+      .select(col("doc_id"), bigramShingles(spaceTokens(col("text"))).as("shingles"))
+    val sizes = docs.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+    val exploded = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+      .withColumn("cont_ab", col("n_inter") / col("na"))
+      .withColumn("cont_ba", col("n_inter") / col("nb"))
+      .withColumn("jac", col("n_inter") / (col("na") + col("nb") - col("n_inter")))
+      .filter(greatest(col("cont_ab"), col("cont_ba")) >= threshold)
+      .select("da", "db", "n_inter", "na", "nb", "cont_ab", "cont_ba", "jac")
+      .orderBy("da", "db")
+  }
+
   def ngramJaccard(s: SparkSession, d: String, maxDocId: Long = PairUniverseMaxDocId,
       threshold: Double = 0.8, sorted: Boolean = true): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -337,6 +369,7 @@ object DedupQueries {
     "pipeline_clean_corpus" -> (cleanCorpus(_, _)),
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_ngram_jaccard" -> (ngramJaccard(_, _)),
+    "dedup_containment" -> (containmentPairs(_, _)),
     "dedup_minhash_lsh" -> (minhashLsh(_, _)),
     "dedup_simhash" -> (simhashSignatures(_, _)),
     "dedup_simhash_pairs" -> (simhashPairs(_, _))
@@ -397,6 +430,28 @@ object DedupQueries {
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "dedup_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(list_zip(l[1:len(l)-1], l[2:len(l)]),
+        |                                      x -> x[1] || ' ' || x[2])) AS shingles
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |        WHERE doc_id < 500)
+        |), sizes AS (SELECT doc_id, len(shingles) AS n FROM sh
+        |), ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh
+        |), inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_inter
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da, db, n_inter, sa.n AS na, sb.n AS nb,
+        |       n_inter / sa.n AS cont_ab,
+        |       n_inter / sb.n AS cont_ba,
+        |       n_inter / (sa.n + sb.n - n_inter) AS jac
+        |FROM inter
+        |JOIN sizes sa ON da = sa.doc_id
+        |JOIN sizes sb ON db = sb.doc_id
+        |WHERE greatest(n_inter / sa.n, n_inter / sb.n) >= 0.9
+        |ORDER BY da, db""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id,

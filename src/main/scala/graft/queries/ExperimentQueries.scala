@@ -103,7 +103,39 @@ object ExperimentQueries {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Trailing-1h rolling regression slope per event type (rolling beta):
+    * the five power sums (n, Σx, Σy, Σxy, Σx²) accumulate as exact
+    * BIGINTs inside a time-RANGE window — x is epoch seconds rebased to
+    * the fixture epoch so x² stays far from 2⁶³, y is cents — and the
+    * closed-form slope assembles in doubles from those exact integers
+    * (identical formula both engines; degenerate windows emit NULL).
+    * RANGE framing makes the result independent of intra-second row
+    * order. Scale: one shuffle on event_type + a per-partition
+    * time-ordered pass — the streaming-adjacent rolling-statistic shape.
+    */
+  def rollingSlope(s: SparkSession, d: String): DataFrame = {
+    val base = 1704067200L // 2024-01-01, the fixture epoch
+    val ev = Tables.events(s, d).select(col("event_id"), col("event_type"),
+      (unix_seconds(col("ts")) - base).as("x"),
+      round(col("value") * 100).cast("long").as("y"))
+    val w = Window.partitionBy("event_type").orderBy("x").rangeBetween(-3600, 0)
+    ev
+      .withColumn("n_w", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("den", col("n_w").cast("double") * col("sxx")
+        - col("sx").cast("double") * col("sx"))
+      .withColumn("slope", when(col("den") > 0,
+        round((col("n_w").cast("double") * col("sxy")
+          - col("sx").cast("double") * col("sy")) / col("den"), 6)))
+      .select("event_id", "event_type", "x", "y", "n_w", "slope")
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_slope" -> (rollingSlope(_, _)),
     "q_attribution" -> (attribution(_, _)),
     "q_ab_ttest" -> (abTtest(_, _)),
     "q_autocorr" -> (autocorr(_, _)),
@@ -111,6 +143,31 @@ object ExperimentQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_rolling_slope" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) - 1704067200 AS x,
+        |         CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events),
+        |wnd AS (
+        |  SELECT event_id, event_type, x, y,
+        |         CAST(count(*) OVER w AS BIGINT) AS n_w,
+        |         CAST(sum(x) OVER w AS BIGINT) AS sx,
+        |         CAST(sum(y) OVER w AS BIGINT) AS sy,
+        |         CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) OVER w AS BIGINT) AS sxx
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY x
+        |               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, event_type, x, y, n_w,
+        |       CASE WHEN CAST(n_w AS DOUBLE) * sxx
+        |                 - CAST(sx AS DOUBLE) * sx > 0
+        |            THEN round((CAST(n_w AS DOUBLE) * sxy
+        |                        - CAST(sx AS DOUBLE) * sy)
+        |                       / (CAST(n_w AS DOUBLE) * sxx
+        |                          - CAST(sx AS DOUBLE) * sx), 6)
+        |       END AS slope
+        |FROM wnd ORDER BY event_id""".stripMargin,
     "q_attribution" ->
       """WITH e AS (SELECT user_id, event_id, event_type, value,
         |                 epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

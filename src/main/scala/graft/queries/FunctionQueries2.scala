@@ -230,7 +230,22 @@ object FunctionQueries2 {
         count(lit(1)).as("n"))
       .orderBy("n_regionkey")
 
+  /** OUTER generator semantics (`posexplode_outer`): rows whose array is
+    * empty survive with NULL (pos, tok) instead of vanishing — the
+    * LEFT-JOIN-shaped explode every flatten-then-aggregate pipeline needs
+    * when "no matches" must stay observable. The filter keeps only long
+    * tokens so the fixture exercises BOTH branches (docs with and without
+    * survivors).
+    */
+  def explodeOuter(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), t => length(t) >= 8).as("lst"))
+      .select(col("doc_id"), posexplode_outer(col("lst")).as(Seq("pos", "tok")))
+      .orderBy("doc_id", "pos")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_explode_outer" -> (explodeOuter(_, _)),
     "q_listagg" -> (listaggQ(_, _)),
     "q_xml_funcs" -> (xmlFuncs(_, _)),
     "q_hash_funcs" -> (hashFuncs(_, _)),
@@ -251,6 +266,21 @@ object FunctionQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_explode_outer" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, ' '),
+        |                     t -> length(t) >= 8) AS lst
+        |  FROM documents),
+        |x AS (SELECT doc_id,
+        |             CASE WHEN len(lst) = 0 THEN [NULL] ELSE lst END AS lst2
+        |      FROM l),
+        |u AS (SELECT doc_id, unnest(lst2) AS tok,
+        |             unnest(range(len(lst2))) AS i FROM x)
+        |SELECT doc_id,
+        |       CASE WHEN tok IS NULL THEN NULL ELSE CAST(i AS INT) END AS pos,
+        |       tok
+        |FROM u ORDER BY doc_id, pos""".stripMargin,
     "q_listagg" ->
       """SELECT n_regionkey,
         |       string_agg(n_name, ',' ORDER BY n_name) AS nations,

@@ -207,7 +207,59 @@ object SimilarityQueries {
       .orderBy("vec_id", "j")
   }
 
+  /** SPARSE similarity search — TF-IDF cosine top-k over the inverted
+    * index (the dense family above covers embeddings; this is the
+    * lexical/BM25-side retrieval shape): candidate pairs generate ONLY
+    * through shared vocabulary terms, with a document-frequency cap
+    * (df ≤ n/4) pruning stopword-grade terms exactly like champion
+    * lists, so per-query work is Σ_term posting-list length, never a
+    * corpus scan. Per-term weight products and per-doc norm terms are
+    * micro-rounded to BIGINT before summing (fixed-point discipline —
+    * absorbs any last-ulp ln() divergence too); cosine assembles from
+    * those exact integers.
+    */
+  def sparseKnn(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    import graft.functions.TextFunctions.spaceTokens
+    val docs = Tables.documents(s, d)
+    // term space = word BIGRAMS: on this small-vocabulary corpus every
+    // unigram is stopword-grade (df ≈ n) and a df cap would empty the
+    // index; bigrams give a realistically long-tailed term distribution
+    val words = spaceTokens(col("text"))
+    val bigrams = transform(sequence(lit(1), size(words) - 1),
+      i => concat_ws(" ", element_at(words, i), element_at(words, i + 1)))
+    val terms = docs
+      .filter(size(words) >= 2)
+      .select(col("doc_id"), explode(bigrams).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val voc = terms.groupBy("word").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * 4 <= col("n_docs"))
+      .withColumn("idf", log(col("n_docs").cast("double") / col("df")))
+      .select("word", "idf")
+    val w = terms.join(voc, "word").withColumn("wt", col("tf") * col("idf"))
+    val norms = w.groupBy("doc_id")
+      .agg(sum(round(col("wt") * col("wt") * 1e6).cast("long")).as("nrm_micro"))
+    val qw = w.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("qid"), col("word"), col("wt").as("qwt"))
+    val dots = w.join(broadcast(qw), "word")
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy("qid", "doc_id")
+      .agg(sum(round(col("wt") * col("qwt") * 1e6).cast("long")).as("dot_micro"))
+    val qNorms = norms.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("qid"), col("nrm_micro").as("qn_micro"))
+    val wnd = Window.partitionBy("qid").orderBy(col("cos").desc, col("doc_id"))
+    dots.join(norms, "doc_id").join(broadcast(qNorms), "qid")
+      .withColumn("cos", col("dot_micro") / 1e6
+        / (sqrt(col("nrm_micro") / 1e6) * sqrt(col("qn_micro") / 1e6)))
+      .select(col("qid"), col("doc_id"), col("cos"),
+        row_number().over(wnd).as("rank"))
+      .filter(col("rank") <= k)
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_sparse_knn" -> (sparseKnn(_, _)),
     "emb_pq_codes" -> (pqCodes(_, _)),
     "sim_cosine_topk" -> (cosineTopK(_, _)),
     "sim_ann_lsh" -> (annLshBuckets(_, _)),
@@ -247,6 +299,48 @@ object SimilarityQueries {
     }.mkString(",")
 
   val oracles: Map[String, String] = Map(
+    "sim_sparse_knn" ->
+      """WITH terms AS (
+        |  SELECT doc_id, t AS word, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id,
+        |               unnest(list_transform(
+        |                 list_zip(l[1:len(l)-1], l[2:len(l)]),
+        |                 x -> x[1] || ' ' || x[2])) AS t
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS l
+        |              FROM documents WHERE len(string_split(text, ' ')) >= 2))
+        |  GROUP BY 1, 2),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |voc AS (
+        |  SELECT word, ln(CAST(n_docs AS DOUBLE) / df) AS idf
+        |  FROM (SELECT word, CAST(count(*) AS BIGINT) AS df
+        |        FROM terms GROUP BY word), n
+        |  WHERE df * 4 <= n_docs),
+        |w AS (SELECT doc_id, terms.word, tf * idf AS wt
+        |      FROM terms JOIN voc USING (word)),
+        |norms AS (SELECT doc_id,
+        |                 CAST(sum(CAST(round(wt * wt * 1e6) AS BIGINT))
+        |                      AS BIGINT) AS nrm_micro
+        |          FROM w GROUP BY doc_id),
+        |qw AS (SELECT doc_id AS qid, word, wt AS qwt FROM w WHERE doc_id < 10),
+        |dots AS (
+        |  SELECT qid, w.doc_id,
+        |         CAST(sum(CAST(round(wt * qwt * 1e6) AS BIGINT)) AS BIGINT)
+        |           AS dot_micro
+        |  FROM w JOIN qw USING (word) WHERE w.doc_id <> qid GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT qid, d.doc_id,
+        |         dot_micro / 1000000.0
+        |           / (sqrt(nb.nrm_micro / 1000000.0)
+        |              * sqrt(nq.nrm_micro / 1000000.0)) AS cos
+        |  FROM dots d
+        |  JOIN norms nb ON nb.doc_id = d.doc_id
+        |  JOIN norms nq ON nq.doc_id = d.qid)
+        |SELECT qid, doc_id, cos, rank FROM (
+        |  SELECT qid, doc_id, cos,
+        |         CAST(row_number() OVER (PARTITION BY qid
+        |              ORDER BY cos DESC, doc_id) AS INT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     // same index-order fold: list_reduce's first-element init equals the
     // 0.0-init fold exactly (0.0 + d1 == d1), so dist is bit-identical
     "emb_pq_codes" ->

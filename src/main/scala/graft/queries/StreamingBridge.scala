@@ -442,7 +442,38 @@ object StreamingBridge {
     }.orderBy("simhash")
   }
 
+  /** Per-user running top-3 event values via transformWithState's
+    * LISTSTATE handle (stream_transform_state covers ValueState) — O(k)
+    * state per key, the streaming leaderboard-per-key shape. Values
+    * cent-scaled so the ranking and the oracle compare on exact
+    * integers. Single Trigger.Once batch → exactly one emission per
+    * user, so the sink rows ARE the final ranking (multi-batch runs
+    * would re-emit; the batch oracle pins the converged result either
+    * way since ranks are keyed).
+    */
+  def topkStateViaStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ev = eventsStream(s, d)
+        .select(col("user_id"),
+          round(col("value") * 100).cast("long").as("value_c"),
+          col("event_id"))
+        .as[StreamingOps.TopEntry]
+      runSettled(s, "topk", StreamingOps.runningTopKTws(ev).toDF(),
+        OutputMode.Update()) { df => df }
+        .orderBy("user_id", "rank")
+    } finally saved match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_topk_state" -> (topkStateViaStream(_, _)),
     "stream_simhash_dedup" -> (simhashDedupViaStream(_, _)),
     "stream_interval_enrich" -> (intervalEnrichViaStream(_, _)),
     "stream_leaderboard" -> (leaderboardViaStream(_, _)),
@@ -462,6 +493,16 @@ object StreamingBridge {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_topk_state" ->
+      """WITH e AS (SELECT user_id,
+        |                  CAST(round(value * 100) AS BIGINT) AS value_c,
+        |                  event_id FROM events),
+        |r AS (SELECT user_id, value_c, event_id,
+        |             CAST(row_number() OVER (PARTITION BY user_id
+        |                  ORDER BY value_c DESC, event_id) AS INT) AS rank
+        |      FROM e)
+        |SELECT user_id, rank, value_c, event_id
+        |FROM r WHERE rank <= 3 ORDER BY user_id, rank""".stripMargin,
     "stream_simhash_dedup" ->
       s"""${DedupQueries.simhashSigSql}
          |SELECT simhash, CAST(1 AS BIGINT) AS n_rows

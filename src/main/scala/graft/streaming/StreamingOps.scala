@@ -117,6 +117,47 @@ object StreamingOps {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  case class TopEntry(user_id: Long, value_c: Long, event_id: Long)
+  case class TopKRow(user_id: Long, rank: Int, value_c: Long, event_id: Long)
+
+  /** Per-user running top-k via `transformWithState` with a LIST state
+    * handle — the other typed-state shape (UserTotalProcessor covers
+    * ValueState): state is the current top-k entries per user, merged
+    * with each batch's arrivals and truncated back to k, so state size is
+    * O(k) per key no matter how long the stream runs. Emits the updated
+    * ranking (rank 1..k) on every batch that touches the key.
+    */
+  class UserTopKProcessor(k: Int) extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, TopEntry, TopKRow] {
+    @transient private var top:
+      org.apache.spark.sql.streaming.ListState[TopEntry] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      top = getHandle.getListState[TopEntry]("top",
+        org.apache.spark.sql.Encoders.product[TopEntry],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TopEntry],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TopKRow] = {
+      val merged = (top.get().toSeq ++ rows)
+        .sortBy(e => (-e.value_c, e.event_id)).take(k)
+      top.put(merged.toArray)
+      merged.iterator.zipWithIndex.map { case (e, i) =>
+        TopKRow(key, i + 1, e.value_c, e.event_id)
+      }
+    }
+  }
+
+  def runningTopKTws(entries: Dataset[TopEntry], k: Int = 3): Dataset[TopKRow] = {
+    import entries.sparkSession.implicits._
+    entries
+      .groupByKey(_.user_id)
+      .transformWithState(new UserTopKProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Session-START detection via `flatMapGroupsWithState` — the 0..N
     * emission surface (mapGroupsWithState is exactly-1): emits one record
     * per event that opens a new session (first event, or gap > 30 min from

@@ -61,7 +61,8 @@ class PlanAuditSpec extends SparkSpec {
     "pipeline_curriculum",    // broadcast 1-row quantile-boundary scalar × corpus
     "sim_matryoshka",         // broadcast 10-query set × corpus stream (sim_cosine_topk shape)
     "ml_gbdt_residual",       // broadcast 1-row best-split/totals scalars × histogram
-    "text_bpe_apply"          // broadcast 1-row merge-rule scalar × vocabulary
+    "text_bpe_apply",         // broadcast 1-row merge-rule scalar × vocabulary
+    "sim_sparse_knn"          // broadcast 1-row n_docs scalar × term stats
   )
   private val allowShuffleJoin = Set(
     "q_join_full",    // full outer: no broadcastable side by semantics
@@ -73,6 +74,9 @@ class PlanAuditSpec extends SparkSpec {
                       // broadcastable side by semantics (model join IS hinted)
     "q_shuffle_hash_join", // the SHUFFLE_HASH hint demonstration itself —
                            // the forced ShuffledHashJoin IS the operator
+    "sim_sparse_knn",  // query-candidate dot table ⋈ corpus-sized norm
+                       // table, co-keyed on doc_id — no broadcastable
+                       // side by semantics (norms grow with the corpus)
     "er_sorted_neighborhood" // probes (n·w) ⋈ ranked (n) co-keyed on rank:
                              // both sides corpus-sized by design (and the
                              // ranked side is an RDD-backed frame with no
