@@ -155,7 +155,55 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  /** Gaps-and-islands: longest consecutive-DAY activity streak per user —
+    * the canonical islands pattern (day_number − row_number is constant
+    * within a run of consecutive days). One shuffle on user_id; island
+    * detection and length aggregation happen inside the partition. Day
+    * numbers are exact integer date arithmetic on both engines.
+    */
+  def streaks(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.events(s, d)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).as("day_num"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day_num")
+    days
+      .withColumn("grp", col("day_num") - row_number().over(w))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(sum(col("len")).as("active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"))
+      .orderBy("user_id")
+  }
+
+  /** View→purchase conversion latency per user: first view timestamp,
+    * first purchase AT OR AFTER it, and the exact µs gap — the funnel's
+    * time dimension (q_funnel counts stages; this measures them). The
+    * first-view anchor is an unordered full-partition window min
+    * (deterministic), so the whole thing costs one shuffle on user_id
+    * plus the final per-user aggregate.
+    */
+  def conversionLatency(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val uw = Window.partitionBy("user_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("first_view_us",
+        min(when(col("event_type") === "view", col("us"))).over(uw))
+      .filter(col("event_type") === "purchase" &&
+        col("us") >= col("first_view_us"))
+      .groupBy("user_id")
+      .agg(min(col("first_view_us")).as("first_view_us"),
+        min(col("us")).as("first_purch_us"))
+      .withColumn("latency_us", col("first_purch_us") - col("first_view_us"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_streaks" -> (streaks(_, _)),
+    "q_conversion_latency" -> (conversionLatency(_, _)),
     "q_incremental_agg" -> (incrementalAgg(_, _)),
     "q_salted_join" -> (saltedJoin(_, _)),
     "q_profile_nulls" -> (profileNulls(_, _)),
@@ -165,6 +213,35 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INT) AS day_num
+        |  FROM events),
+        |grp AS (
+        |  SELECT user_id,
+        |         day_num - CAST(row_number() OVER (PARTITION BY user_id
+        |                        ORDER BY day_num) AS INT) AS g
+        |  FROM days),
+        |runs AS (SELECT user_id, g, CAST(count(*) AS BIGINT) AS len
+        |         FROM grp GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS active_days,
+        |       CAST(count(*) AS BIGINT) AS n_streaks,
+        |       CAST(max(len) AS BIGINT) AS longest_streak
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_conversion_latency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |         min(CASE WHEN event_type = 'view' THEN
+        |               epoch_us(CAST(ts AS TIMESTAMP)) END)
+        |           OVER (PARTITION BY user_id) AS first_view_us
+        |  FROM events)
+        |SELECT user_id, CAST(min(first_view_us) AS BIGINT) AS first_view_us,
+        |       CAST(min(us) AS BIGINT) AS first_purch_us,
+        |       CAST(min(us) - min(first_view_us) AS BIGINT) AS latency_us
+        |FROM e WHERE event_type = 'purchase' AND us >= first_view_us
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_incremental_agg" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum,

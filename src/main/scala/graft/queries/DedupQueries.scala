@@ -79,6 +79,41 @@ object DedupQueries {
       .orderBy("da", "db")
   }
 
+  /** Dedup-yield threshold curve: how many candidate pairs clear each
+    * Jaccard threshold from 0.50 to 0.95 — the tuning table every dedup
+    * rollout is calibrated against before picking its production cut.
+    * All ten counters come from ONE conditional-sum pass over the pair
+    * stats (no per-threshold rescans, no pair×threshold join), reshaped
+    * to rows exactly like pipeline_gate_ablation.
+    */
+  def thresholdCurve(s: SparkSession, d: String,
+      maxDocId: Long = PairUniverseMaxDocId): DataFrame = {
+    val thresholds = (50 to 95 by 5).map(_ / 100.0)
+    val docs = Tables.documents(s, d)
+      .filter(col("doc_id") < maxDocId)
+      .select(col("doc_id"), bigramShingles(spaceTokens(col("text"))).as("shingles"))
+    val sizes = docs.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+    val exploded = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val pairs = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+      .withColumn("jac", col("n_inter") / (col("na") + col("nb") - col("n_inter")))
+    val counters = thresholds.map(t =>
+      sum(when(col("jac") >= t, 1L).otherwise(0L)).as(s"ge_${(t * 100).toInt}"))
+    val a = pairs.agg(count(lit(1)).as("n_candidates"), counters: _*)
+    a.select(explode(array(thresholds.map(t =>
+        struct(lit(t).as("threshold"),
+          col(s"ge_${(t * 100).toInt}").as("n_pairs"),
+          col("n_candidates").as("n_candidates"))): _*)).as("x"))
+      .select(col("x.threshold").as("threshold"), col("x.n_pairs").as("n_pairs"),
+        col("x.n_candidates").as("n_candidates"))
+      .orderBy("threshold")
+  }
+
   def ngramJaccard(s: SparkSession, d: String, maxDocId: Long = PairUniverseMaxDocId,
       threshold: Double = 0.8, sorted: Boolean = true): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -370,6 +405,7 @@ object DedupQueries {
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_ngram_jaccard" -> (ngramJaccard(_, _)),
     "dedup_containment" -> (containmentPairs(_, _)),
+    "dedup_threshold_curve" -> (thresholdCurve(_, _)),
     "dedup_minhash_lsh" -> (minhashLsh(_, _)),
     "dedup_simhash" -> (simhashSignatures(_, _)),
     "dedup_simhash_pairs" -> (simhashPairs(_, _))
@@ -430,6 +466,33 @@ object DedupQueries {
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "dedup_threshold_curve" -> {
+      val selects = (50 to 95 by 5).map { t =>
+        s"""SELECT CAST(0.$t AS DOUBLE) AS threshold,
+           |  CAST(sum(CASE WHEN jac >= 0.$t THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_pairs,
+           |  CAST(count(*) AS BIGINT) AS n_candidates FROM scored""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(list_zip(l[1:len(l)-1], l[2:len(l)]),
+         |                                      x -> x[1] || ' ' || x[2])) AS shingles
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+         |        WHERE doc_id < 500)
+         |), sizes AS (SELECT doc_id, len(shingles) AS n FROM sh
+         |), ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh
+         |), inter AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_inter
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), scored AS (
+         |  SELECT n_inter / (sa.n + sb.n - n_inter) AS jac
+         |  FROM inter
+         |  JOIN sizes sa ON da = sa.doc_id
+         |  JOIN sizes sb ON db = sb.doc_id)
+         |$selects
+         |ORDER BY threshold""".stripMargin
+    },
     "dedup_containment" ->
       """WITH sh AS (
         |  SELECT doc_id,

@@ -91,7 +91,9 @@ object MiningQueries {
     * sort). Synchronous LPA on 100 TB graphs is exactly this loop with
     * checkpoint-every-5 lineage truncation.
     */
-  def labelPropagation(s: SparkSession, d: String, rounds: Int = 3): DataFrame = {
+  /** The converged (vtx, lbl) table after `rounds` synchronous LPA
+    * rounds — shared by the labeling query and the modularity scorer. */
+  private def lpaLabels(s: SparkSession, d: String, rounds: Int): DataFrame = {
     // 3 unrolled rounds keep the plan shallow enough to stay declarative;
     // Spark's ReuseExchange dedupes the identical edge subtrees. A
     // fixpoint variant would persist edges + localCheckpoint per round
@@ -99,10 +101,46 @@ object MiningQueries {
     val e = GraphQueries.edges(s, d)
     val l0 = e.select(col("u").as("vtx")).distinct()
       .withColumn("lbl", col("vtx"))
-    val ln = (1 to rounds).foldLeft(l0)((l, _) => lpaRound(e, l))
+    (1 to rounds).foldLeft(l0)((l, _) => lpaRound(e, l))
+  }
+
+  def labelPropagation(s: SparkSession, d: String, rounds: Int = 3): DataFrame = {
     val cs = Window.partitionBy("lbl")
-    ln.withColumn("csize", count(lit(1)).over(cs))
+    lpaLabels(s, d, rounds).withColumn("csize", count(lit(1)).over(cs))
       .select("vtx", "lbl", "csize").orderBy("vtx")
+  }
+
+  /** Newman modularity of the LPA communities, per community: Q_c =
+    * intra_c/2m − (Σdeg_c/2m)² — the quality score that tells you whether
+    * the propagation converged to real structure (ΣQ_c > 0) or noise.
+    * Both terms assemble from exact BIGINT edge counts (intra2 counts
+    * both directions, m2 = 2m, so no halving ever leaves the integers);
+    * only the final two divisions are floats, identical on both engines.
+    * One pass over edges for degrees, one label-annotation join for intra
+    * counts, everything after on community-sized tables.
+    */
+  def modularity(s: SparkSession, d: String, rounds: Int = 3): DataFrame = {
+    val e = GraphQueries.edges(s, d)
+    val lbl = lpaLabels(s, d, rounds)
+    val lu = lbl.select(col("vtx").as("u"), col("lbl").as("lu"))
+    val lv = lbl.select(col("vtx").as("v"), col("lbl").as("lv"))
+    val m2tbl = e.agg(count(lit(1)).as("m2"))
+    val intra = e.join(lu, "u").join(lv, "v")
+      .filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("lbl")).agg(count(lit(1)).as("intra2"))
+    val ds = e.groupBy("u").agg(count(lit(1)).as("deg"))
+      .join(lu, "u")
+      .groupBy(col("lu").as("lbl"))
+      .agg(sum(col("deg")).as("deg_sum"), count(lit(1)).as("n_vertices"))
+    ds.join(intra, Seq("lbl"), "left")
+      .withColumn("intra2", coalesce(col("intra2"), lit(0L)))
+      .crossJoin(broadcast(m2tbl))
+      .withColumn("q_contrib", // + 0.0 canonicalizes IEEE -0.0 → +0.0
+        round(col("intra2") / col("m2")
+          - (col("deg_sum").cast("double") / col("m2"))
+            * (col("deg_sum").cast("double") / col("m2")), 6) + lit(0.0))
+      .select("lbl", "n_vertices", "intra2", "deg_sum", "q_contrib")
+      .orderBy("lbl")
   }
 
   // ----------------------------------------------------- chunk-level dedup
@@ -223,6 +261,7 @@ object MiningQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_market_basket" -> (marketBasket(_, _)),
     "graph_label_prop" -> (labelPropagation(_, _)),
+    "graph_modularity" -> (modularity(_, _)),
     "dedup_chunks" -> (chunkDedup(_, _)),
     "ml_pca_power" -> (pcaPowerStep(_, _)),
     "q_outliers_mad" -> (outliersMad(_, _))
@@ -261,6 +300,33 @@ object MiningQueries {
         |CROSS JOIN tot
         |WHERE round(pair_cnt / n_orders, 6) >= 0.005
         |ORDER BY brand_a, brand_b""".stripMargin,
+    "graph_modularity" ->
+      s"""WITH e AS MATERIALIZED (
+         |  ${GraphQueries.undirectedSql}
+         |),
+         |l0 AS (SELECT DISTINCT u AS vtx, u AS lbl FROM e),
+         |${lpaRoundSql("l0", "l1")},
+         |${lpaRoundSql("l1", "l2")},
+         |${lpaRoundSql("l2", "l3")},
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM e),
+         |ann AS (
+         |  SELECT lu.lbl AS lu, lv.lbl AS lv FROM e
+         |  JOIN l3 lu ON lu.vtx = e.u
+         |  JOIN l3 lv ON lv.vtx = e.v),
+         |intra AS (SELECT lu AS lbl, CAST(count(*) AS BIGINT) AS intra2
+         |          FROM ann WHERE lu = lv GROUP BY 1),
+         |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY u),
+         |ds AS (
+         |  SELECT l.lbl, CAST(sum(deg) AS BIGINT) AS deg_sum,
+         |         CAST(count(*) AS BIGINT) AS n_vertices
+         |  FROM deg JOIN l3 l ON l.vtx = deg.u GROUP BY 1)
+         |SELECT ds.lbl, n_vertices,
+         |       CAST(coalesce(intra2, 0) AS BIGINT) AS intra2, deg_sum,
+         |       round(coalesce(intra2, 0) / m2
+         |             - (CAST(deg_sum AS DOUBLE) / m2)
+         |               * (CAST(deg_sum AS DOUBLE) / m2), 6) + 0.0 AS q_contrib
+         |FROM ds LEFT JOIN intra USING (lbl) CROSS JOIN m
+         |ORDER BY lbl""".stripMargin,
     "graph_label_prop" ->
       s"""WITH e AS MATERIALIZED (
          |  ${GraphQueries.undirectedSql}

@@ -231,7 +231,38 @@ object MlQueries2 {
       .orderBy("split_q")
   }
 
+  /** EXACT ROC AUC without a global sort: the Mann-Whitney rank-sum
+    * computed from the SCORE HISTOGRAM — group rows by (micro-rounded)
+    * score, cumulate negatives below each score, and assemble
+    * 2·U = Σ_s pos(s)·(2·neg_below(s) + neg(s)) in exact BIGINT
+    * arithmetic (the ½-credit for ties stays integral in the doubled
+    * form). AUC = U/(P·N) divides exact integers at the end. The
+    * histogram (distinct scores) is what flows through the one ordered
+    * window — never the row stream — so this scales like a histogram
+    * build, not a sort. Scorer shared with ml_calibration_bins.
+    */
+  def aucExact(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, d).select(
+      col("l_discount").as("x1"), col("l_tax").as("x2"),
+      when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+    val z = lit(-1.0) + lit(20.0) * col("x1") - lit(15.0) * col("x2")
+    val p = lit(1.0) / (lit(1.0) + exp(-z))
+    val hist = li.withColumn("score", round(p * 1e6).cast("long"))
+      .groupBy("score")
+      .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
+    val below = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("cum_nn", coalesce(sum(col("nn")).over(below), lit(0L)))
+      .agg(sum(col("np")).as("p_total"), sum(col("nn")).as("n_total"),
+        sum(col("np") * (lit(2L) * col("cum_nn") + col("nn"))).as("u2"))
+      .withColumn("auc",
+        round(col("u2") / (lit(2.0) * col("p_total") * col("n_total")), 6))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_auc_exact" -> (aucExact(_, _)),
     "ml_gbdt_residual" -> (gbdtResidualStep(_, _)),
     "ml_histogram_split" -> (histogramSplit(_, _)),
     "ml_naive_bayes" -> (naiveBayes(_, _)),
@@ -242,6 +273,30 @@ object MlQueries2 {
   import OracleSql.fnvIhash31
 
   val oracles: Map[String, String] = Map(
+    "ml_auc_exact" ->
+      """WITH li AS (
+        |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+        |         CAST(round((1.0 / (1.0 + exp(-(-1.0 + 20.0 * l_discount
+        |           - 15.0 * l_tax)))) * 1e6) AS BIGINT) AS score
+        |  FROM lineitem),
+        |hist AS (
+        |  SELECT score, CAST(sum(y) AS BIGINT) AS np,
+        |         CAST(sum(1 - y) AS BIGINT) AS nn
+        |  FROM li GROUP BY score),
+        |cum AS (
+        |  SELECT np, nn,
+        |         CAST(coalesce(sum(nn) OVER (ORDER BY score ROWS BETWEEN
+        |              UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |           AS cum_nn
+        |  FROM hist),
+        |tot AS (
+        |  SELECT CAST(sum(np) AS BIGINT) AS p_total,
+        |         CAST(sum(nn) AS BIGINT) AS n_total,
+        |         CAST(sum(np * (2 * cum_nn + nn)) AS BIGINT) AS u2
+        |  FROM cum)
+        |SELECT p_total, n_total, u2,
+        |       round(u2 / (2.0 * p_total * n_total), 6) AS auc
+        |FROM tot""".stripMargin,
     "ml_gbdt_residual" ->
       """WITH base AS (
         |  SELECT CAST(l_quantity AS INT) AS q,

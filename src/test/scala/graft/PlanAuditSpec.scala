@@ -62,7 +62,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim_matryoshka",         // broadcast 10-query set × corpus stream (sim_cosine_topk shape)
     "ml_gbdt_residual",       // broadcast 1-row best-split/totals scalars × histogram
     "text_bpe_apply",         // broadcast 1-row merge-rule scalar × vocabulary
-    "sim_sparse_knn"          // broadcast 1-row n_docs scalar × term stats
+    "sim_sparse_knn",         // broadcast 1-row n_docs scalar × term stats
+    "graph_modularity"        // broadcast 1-row 2m-edge-count scalar × communities
   )
   private val allowShuffleJoin = Set(
     "q_join_full",    // full outer: no broadcastable side by semantics
@@ -77,6 +78,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim_sparse_knn",  // query-candidate dot table ⋈ corpus-sized norm
                        // table, co-keyed on doc_id — no broadcastable
                        // side by semantics (norms grow with the corpus)
+    "graph_modularity", // edges ⋈ vertex-label table (both graph-sized,
+                        // co-keyed on vertex id) — the Pregel annotate shape
     "er_sorted_neighborhood" // probes (n·w) ⋈ ranked (n) co-keyed on rank:
                              // both sides corpus-sized by design (and the
                              // ranked side is an RDD-backed frame with no
