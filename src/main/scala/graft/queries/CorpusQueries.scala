@@ -261,7 +261,38 @@ object CorpusQueries {
       .orderBy("flag")
   }
 
+  /** Word-association mining: top-20 PPMI pairs over within-document
+    * co-occurrence — the statistic under classic word embeddings (PPMI
+    * matrix factorization). Pairs generate from per-doc sorted DISTINCT
+    * word lists via BucketPairs (fan-out = per-doc vocab², never a corpus
+    * self-join); the PMI log's argument is an exact integer ratio, so
+    * ranking order is engine-stable. Floor of 5 co-occurrences kills the
+    * noise tail exactly like real PPMI pipelines.
+    */
+  def cooccurrencePmi(s: SparkSession, d: String, minCooc: Long = 5,
+      k: Int = 20): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val words = docs.select(col("doc_id"),
+      array_sort(array_distinct(spaceTokens(col("text")))).as("ws"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val df = words.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("df"))
+    val cooc = BucketPairs.pairs(words, "ws", "w_a", "w_b")
+      .groupBy("w_a", "w_b").agg(count(lit(1)).as("cooc"))
+      .filter(col("cooc") >= minCooc)
+    cooc
+      .join(broadcast(df.select(col("w").as("w_a"), col("df").as("df_a"))), "w_a")
+      .join(broadcast(df.select(col("w").as("w_b"), col("df").as("df_b"))), "w_b")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("pmi",
+        round(log((col("cooc") * col("n_docs")) / (col("df_a") * col("df_b"))), 6))
+      .select("w_a", "w_b", "cooc", "df_a", "df_b", "pmi")
+      .orderBy(col("pmi").desc, col("w_a"), col("w_b"))
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_cooc_pmi" -> (cooccurrencePmi(_, _)),
     "text_trigram_lm" -> (trigramLm(_, _)),
     "q_na_fill" -> (naFill(_, _)),
     "text_chunk_overlap" -> (chunkOverlap(_, _)),
@@ -283,6 +314,27 @@ object CorpusQueries {
     s"${OracleSql.fnvIhash31(e)}::BIGINT"
 
   val oracles: Map[String, String] = Map(
+    "text_cooc_pmi" ->
+      """WITH ws AS (
+        |  SELECT doc_id,
+        |         list_sort(list_distinct(string_split(text, ' '))) AS ws
+        |  FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df
+        |       FROM (SELECT doc_id, unnest(ws) AS w FROM ws) GROUP BY w),
+        |pairs AS (
+        |  SELECT a.w AS w_a, b.w AS w_b, CAST(count(*) AS BIGINT) AS cooc
+        |  FROM (SELECT doc_id, unnest(ws) AS w FROM ws) a
+        |  JOIN (SELECT doc_id, unnest(ws) AS w FROM ws) b
+        |    ON a.doc_id = b.doc_id AND a.w < b.w
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT w_a, w_b, cooc, da.df AS df_a, db.df AS df_b,
+        |       round(ln((cooc * n_docs) / (da.df * db.df)), 6) AS pmi
+        |FROM pairs
+        |JOIN df da ON da.w = w_a
+        |JOIN df db ON db.w = w_b
+        |CROSS JOIN n
+        |ORDER BY pmi DESC, w_a, w_b LIMIT 20""".stripMargin,
     "text_trigram_lm" ->
       """WITH t AS (
         |  SELECT unnest(list_zip(l[1:greatest(len(l)-2, 0)], l[2:len(l)-1], l[3:len(l)])) AS g

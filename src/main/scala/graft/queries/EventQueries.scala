@@ -109,7 +109,32 @@ object EventQueries {
       .orderBy("hr")
   }
 
+  /** Time-weighted average (TWAP) per event type: each observation holds
+    * until the next one, so the mean weights every value by its exact µs
+    * holding duration (the IoT/market-data staple a row-count average
+    * silently gets wrong on irregular sampling). Σ(v·Δt) and Σ(Δt)
+    * accumulate as exact BIGINT µs·cents; one lead() pass on the (µs,
+    * event_id) total order per type, one aggregate. At much larger
+    * per-key volumes, rescale Δt to ms to keep Σ(v·Δt) within int64.
+    */
+  def timeWeightedAvg(s: SparkSession, d: String): DataFrame = {
+    val byType = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("v_c"))
+      .withColumn("dt_us", lead(col("us"), 1).over(byType) - col("us"))
+      .filter(col("dt_us").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("dt_us")).as("sum_dt_us"),
+        sum(col("v_c") * col("dt_us")).as("sum_vdt"))
+      .withColumn("twap", round(col("sum_vdt") / col("sum_dt_us") / lit(100.0), 6))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_twap" -> (timeWeightedAvg(_, _)),
     "q_seasonal_hourly" -> (seasonalHourly(_, _)),
     "q_events_tumbling" -> (tumbling(_, _)),
     "q_events_sliding" -> (sliding(_, _)),
@@ -118,6 +143,23 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_twap" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |         CAST(round(value * 100) AS BIGINT) AS v_c
+        |  FROM events),
+        |seg AS (
+        |  SELECT event_type, v_c,
+        |         lead(us) OVER (PARTITION BY event_type
+        |                        ORDER BY us, event_id) - us AS dt_us
+        |  FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_segments,
+        |       CAST(sum(dt_us) AS BIGINT) AS sum_dt_us,
+        |       CAST(sum(v_c * dt_us) AS BIGINT) AS sum_vdt,
+        |       round(sum(v_c * dt_us) / sum(dt_us) / 100.0, 6) AS twap
+        |FROM seg WHERE dt_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_seasonal_hourly" ->
       """WITH ev AS (SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hr,
         |                   CAST(round(value * 100) AS BIGINT) AS v_c

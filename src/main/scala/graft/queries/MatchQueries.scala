@@ -142,7 +142,54 @@ object MatchQueries {
       .orderBy("p_partkey")
   }
 
+  /** Golden-record consolidation — the step AFTER matching: three
+    * deterministically-derived versions of every 5th part (clean, one
+    * 1-edit name corruption + a null, a price outlier + a conditional
+    * null) collapse into one consensus row by per-field majority vote
+    * over non-null values, ties to the smallest value. Implemented in
+    * LONG format — (entity, field, value) — so ONE count + ONE window
+    * argmax resolves every field at once and adding a field costs zero
+    * new shuffles; the winner pivots back with conditional aggregates.
+    */
+  def goldenRecord(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.part(s, d)
+      .filter(col("p_partkey") % 5 === 0 && length(col("p_name")) >= 4)
+      .withColumn("h", Fnv1a64.ihash31(col("p_partkey").cast("string")))
+      .withColumn("dirty_name", concat(substring(col("p_name"), 1, 1),
+        lit("0"), expr("substring(p_name, 3)")))
+      .withColumn("price_c", round(col("p_retailprice") * 100).cast("long"))
+    val versions = base.select(col("p_partkey"), explode(array(
+        struct(col("p_name").as("name"), lit(null).cast("string").as("brand"),
+          col("p_size").cast("string").as("size"),
+          col("price_c").cast("string").as("price")),
+        struct(col("dirty_name").as("name"), col("p_brand").as("brand"),
+          lit(null).cast("string").as("size"),
+          (col("price_c") + 1).cast("string").as("price")),
+        struct(col("p_name").as("name"), col("p_brand").as("brand"),
+          when(col("h") % 2 === 0, col("p_size").cast("string")).as("size"),
+          col("price_c").cast("string").as("price")))).as("v"))
+    val long = versions.select(col("p_partkey"),
+        explode(array(
+          struct(lit("name").as("field"), col("v.name").as("value")),
+          struct(lit("brand").as("field"), col("v.brand").as("value")),
+          struct(lit("size").as("field"), col("v.size").as("value")),
+          struct(lit("price").as("field"), col("v.price").as("value")))).as("f"))
+      .select(col("p_partkey"), col("f.field").as("field"), col("f.value").as("value"))
+      .filter(col("value").isNotNull)
+    val w = Window.partitionBy("p_partkey", "field")
+      .orderBy(col("cnt").desc, col("value"))
+    long.groupBy("p_partkey", "field", "value").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy("p_partkey")
+      .agg(max(when(col("field") === "name", col("value"))).as("name_g"),
+        max(when(col("field") === "brand", col("value"))).as("brand_g"),
+        max(when(col("field") === "size", col("value"))).as("size_g"),
+        max(when(col("field") === "price", col("value"))).as("price_g"))
+      .orderBy("p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_golden_record" -> (goldenRecord(_, _)),
     "er_fuzzy_match" -> (fuzzyMatch(_, _)),
     "er_jaro_winkler" -> (jaroMatch(_, _)),
     "er_sorted_neighborhood" -> (sortedNeighborhood(_, _))
@@ -171,6 +218,43 @@ object MatchQueries {
        |master AS (SELECT DISTINCT p_name AS m_name FROM part)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "er_golden_record" ->
+      s"""WITH base AS (
+         |  SELECT p_partkey, p_name, p_brand,
+         |         substr(p_name, 1, 1) || '0' || substr(p_name, 3) AS dirty_name,
+         |         CAST(p_size AS VARCHAR) AS size_s,
+         |         CAST(CAST(round(p_retailprice * 100) AS BIGINT) AS VARCHAR)
+         |           AS price_s,
+         |         CAST(CAST(round(p_retailprice * 100) AS BIGINT) + 1 AS VARCHAR)
+         |           AS price1_s,
+         |         CAST(${OracleSql.fnvIhash31("CAST(p_partkey AS VARCHAR)")}
+         |              AS BIGINT) AS h
+         |  FROM part WHERE p_partkey % 5 = 0 AND length(p_name) >= 4),
+         |long AS (
+         |  SELECT p_partkey, 'name' AS field, p_name AS value FROM base
+         |  UNION ALL SELECT p_partkey, 'name', dirty_name FROM base
+         |  UNION ALL SELECT p_partkey, 'name', p_name FROM base
+         |  UNION ALL SELECT p_partkey, 'brand', p_brand FROM base
+         |  UNION ALL SELECT p_partkey, 'brand', p_brand FROM base
+         |  UNION ALL SELECT p_partkey, 'size', size_s FROM base
+         |  UNION ALL SELECT p_partkey, 'size',
+         |    CASE WHEN h % 2 = 0 THEN size_s END FROM base
+         |  UNION ALL SELECT p_partkey, 'price', price_s FROM base
+         |  UNION ALL SELECT p_partkey, 'price', price1_s FROM base
+         |  UNION ALL SELECT p_partkey, 'price', price_s FROM base),
+         |winners AS (
+         |  SELECT p_partkey, field, value FROM (
+         |    SELECT p_partkey, field, value, count(*) AS cnt,
+         |           row_number() OVER (PARTITION BY p_partkey, field
+         |               ORDER BY count(*) DESC, value) AS rn
+         |    FROM long WHERE value IS NOT NULL GROUP BY 1, 2, 3)
+         |  WHERE rn = 1)
+         |SELECT p_partkey,
+         |       max(CASE WHEN field = 'name' THEN value END) AS name_g,
+         |       max(CASE WHEN field = 'brand' THEN value END) AS brand_g,
+         |       max(CASE WHEN field = 'size' THEN value END) AS size_g,
+         |       max(CASE WHEN field = 'price' THEN value END) AS price_g
+         |FROM winners GROUP BY p_partkey ORDER BY p_partkey""".stripMargin,
     "er_fuzzy_match" ->
       s"""WITH $feedSql,
          |cand AS (

@@ -153,7 +153,43 @@ object MlQueries {
       .orderBy("token")
   }
 
+  /** Item-item collaborative-filtering recommendations over implicit
+    * basket feedback: items = parts, "users" = orders, similarity =
+    * binary cosine cooc/√(n_a·n_b). Co-occurrence pairs generate from
+    * per-order sorted distinct item lists via BucketPairs (fan-out
+    * bounded by basket size², never an item×item or order×order join);
+    * per-item top-5 comes from one window over the symmetrized pair
+    * table. The floor of 2 shared baskets mirrors production min-support
+    * pruning. Cosines divide exact integers (√ is IEEE-exact), rounded
+    * at 6dp AFTER ranking on the raw value with an id tie-break.
+    */
+  def itemRecs(s: SparkSession, d: String, minCooc: Long = 2, k: Int = 5): DataFrame = {
+    val baskets = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("item"))
+      .distinct()
+    val itemCnt = baskets.groupBy("item").agg(count(lit(1)).as("n"))
+    val lists = baskets.groupBy("okey")
+      .agg(sort_array(collect_set(col("item"))).as("items"))
+    val cooc = BucketPairs.pairs(lists, "items", "ia", "ib")
+      .groupBy("ia", "ib").agg(count(lit(1)).as("cooc"))
+      .filter(col("cooc") >= minCooc)
+    val sym = cooc.select(col("ia").as("item"), col("ib").as("rec"), col("cooc"))
+      .union(cooc.select(col("ib").as("item"), col("ia").as("rec"), col("cooc")))
+    val w = Window.partitionBy("item").orderBy(col("score").desc, col("rec"))
+    sym
+      .join(itemCnt.select(col("item"), col("n").as("n_item")), "item")
+      .join(itemCnt.select(col("item").as("rec"), col("n").as("n_rec")), "rec")
+      .withColumn("score",
+        col("cooc") / (sqrt(col("n_item").cast("double")) * sqrt(col("n_rec").cast("double"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("item"), col("rec"), col("cooc"), col("n_item"), col("n_rec"),
+        round(col("score"), 6).as("score"), col("rank"))
+      .orderBy("item", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_item_recs" -> (itemRecs(_, _)),
     "ml_kmeans_step" -> (kmeansStep(_, _)),
     "ml_kmeans_iter" -> (kmeansIter(_, _)),
     "ml_linreg_ols" -> (linregOls(_, _)),
@@ -163,6 +199,32 @@ object MlQueries {
   import OracleSql.fnvIhash31
 
   val oracles: Map[String, String] = Map(
+    "ml_item_recs" ->
+      """WITH baskets AS (
+        |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS item
+        |  FROM lineitem),
+        |ic AS (SELECT item, CAST(count(*) AS BIGINT) AS n
+        |       FROM baskets GROUP BY item),
+        |cooc AS (
+        |  SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS BIGINT) AS cooc
+        |  FROM baskets a JOIN baskets b
+        |    ON a.okey = b.okey AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (
+        |  SELECT ia AS item, ib AS rec, cooc FROM cooc
+        |  UNION ALL SELECT ib, ia, cooc FROM cooc),
+        |scored AS (
+        |  SELECT s.item, s.rec, s.cooc, ni.n AS n_item, nr.n AS n_rec,
+        |         s.cooc / (sqrt(CAST(ni.n AS DOUBLE))
+        |                   * sqrt(CAST(nr.n AS DOUBLE))) AS score
+        |  FROM sym s
+        |  JOIN ic ni ON ni.item = s.item
+        |  JOIN ic nr ON nr.item = s.rec)
+        |SELECT item, rec, cooc, n_item, n_rec, round(score, 6) AS score, rank
+        |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY item
+        |                     ORDER BY score DESC, rec) AS INT) AS rank
+        |      FROM scored)
+        |WHERE rank <= 5 ORDER BY item, rank""".stripMargin,
     "ml_kmeans_step" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),

@@ -63,7 +63,8 @@ class PlanAuditSpec extends SparkSpec {
     "ml_gbdt_residual",       // broadcast 1-row best-split/totals scalars × histogram
     "text_bpe_apply",         // broadcast 1-row merge-rule scalar × vocabulary
     "sim_sparse_knn",         // broadcast 1-row n_docs scalar × term stats
-    "graph_modularity"        // broadcast 1-row 2m-edge-count scalar × communities
+    "graph_modularity",       // broadcast 1-row 2m-edge-count scalar × communities
+    "text_cooc_pmi"           // broadcast 1-row n_docs scalar × pair table
   )
   private val allowShuffleJoin = Set(
     "q_join_full",    // full outer: no broadcastable side by semantics
