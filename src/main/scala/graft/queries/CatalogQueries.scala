@@ -362,7 +362,73 @@ object CatalogQueries {
         sum(round(col("o_totalprice") * 100).cast("long")).as("sum_price_c"))
   }
 
+  /** Cache/persist surface: the projected lineitem columns are cached
+    * (columnar InMemoryRelation) and the aggregate reads through the
+    * InMemoryTableScan — plan-pinned in SurfaceRoundtripSpec. The sweep in
+    * Verify/Bench unpersists it between queries like every other
+    * persisted block, so the cache cannot leak across the registry.
+    */
+  def cachedScan(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity")).cache()
+    li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_c"))
+      .orderBy("l_returnflag")
+  }
+
+  /** CSV malformed-record modes: the nation table plus three deliberately
+    * broken lines read back under PERMISSIVE (corrupt rows quarantined in
+    * `_corrupt_record`) and DROPMALFORMED (corrupt rows vanish) — the
+    * dirty-ingestion contract every CSV pipeline depends on. One
+    * malformed line has a non-numeric key, one has too many columns, one
+    * too few; all three must quarantine, and the clean rows must survive
+    * both modes bit-identically.
+    */
+  def csvMalformed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = s"$tmpRoot/nation_dirty_${sfTag(d)}"
+    val nation = Tables.nation(s, d)
+    nation.write.mode("overwrite").csv(s"$root/good")
+    Seq("notakey,BADLAND,0", "1,TOOMANY,2,3,4", "7")
+      .toDF("value").coalesce(1)
+      .write.mode("overwrite").text(s"$root/bad")
+    val schema = org.apache.spark.sql.types.StructType(
+      nation.schema.fields :+ org.apache.spark.sql.types
+        .StructField("_corrupt_record", org.apache.spark.sql.types.StringType))
+    // Spark disallows queries that reference ONLY the corrupt-record
+    // column against the raw files (the parser would need a second,
+    // inconsistent pass); caching the parsed frame first is the
+    // documented contract for corrupt-record analytics
+    val permissive = s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(s"$root/good", s"$root/bad")
+      .cache()
+    // DROPMALFORMED only drops rows the parser actually PARSES: with CSV
+    // column pruning on, a count(*) references zero columns and malformed
+    // rows sail through. Disable pruning around an eager count so every
+    // field is parsed and all three bad lines are detected.
+    val pruneKey = "spark.sql.csv.parser.columnPruning.enabled"
+    val saved = s.conf.getOption(pruneKey)
+    s.conf.set(pruneKey, "false")
+    val nDrop =
+      try s.read.schema(nation.schema).option("mode", "DROPMALFORMED")
+        .csv(s"$root/good", s"$root/bad").count()
+      finally saved match {
+        case Some(v) => s.conf.set(pruneKey, v)
+        case None    => s.conf.unset(pruneKey)
+      }
+    permissive
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_corrupt"))
+      .withColumn("n_dropmode", lit(nDrop))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cached_scan" -> (cachedScan(_, _)),
+    "q_csv_malformed" -> (csvMalformed(_, _)),
     "q_binaryfile_roundtrip" -> (binaryfileRoundtrip(_, _)),
     "q_schema_merge" -> (schemaMerge(_, _)),
     "q_bucketed_join" -> (bucketedJoin(_, _)),
@@ -377,6 +443,17 @@ object CatalogQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_cached_scan" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_qty_c
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_csv_malformed" ->
+      """SELECT CAST(count(*) + 3 AS BIGINT) AS n_total,
+        |       CAST(count(*) AS BIGINT) AS n_good,
+        |       CAST(3 AS BIGINT) AS n_corrupt,
+        |       CAST(count(*) + 1 AS BIGINT) AS n_dropmode
+        |FROM nation""".stripMargin,
     "q_binaryfile_roundtrip" ->
       """SELECT CAST(1 AS BIGINT) AS n_files,
         |       CAST(sum(strlen(text) + 1) AS BIGINT) AS total_bytes,

@@ -65,7 +65,34 @@ object MultimodalQueries {
       .orderBy("id")
   }
 
+  /** Multimodal PAIRING: join the decoded media features with the
+    * embeddings table on id (the media↔embedding association a paired
+    * training set needs), then report per-label pair counts, total media
+    * bytes, and the mean embedding norm — norms micro-rounded to BIGINT
+    * before summing (the fixed-point discipline) so the per-label mean is
+    * integer-exact. The join is co-keyed on the id both tables already
+    * carry; at scale it is THE shuffle of multimodal sample assembly.
+    */
+  def pairEmbed(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.l2norm
+    val media = Multimodal.decodeBatch(Multimodal.fromDocuments(s, d))
+      .toDF().select(col("id"), col("n_bytes"))
+    val emb = graft.Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("norm_micro", round(l2norm(col("v")) * 1e6).cast("long"))
+    media.join(emb, "id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("norm_micro")).as("sum_norm_micro"))
+      .withColumn("avg_norm",
+        round(col("sum_norm_micro") / col("n_pairs") / lit(1000000.0), 6))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_pair_embed" -> (pairEmbed(_, _)),
     "mm_binary_meta" -> (binaryMeta(_, _)),
     "mm_media_sizes" -> (mediaSizes(_, _)),
     "mm_frame_stats" -> (frameStats(_, _)),
@@ -73,6 +100,20 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_pair_embed" ->
+      """WITH m AS (SELECT doc_id AS id, strlen(text) AS n_bytes
+        |           FROM documents),
+        |e AS (SELECT vec_id AS id, label,
+        |             CAST(round(sqrt(list_sum(list_transform(
+        |                    CAST(embedding AS DOUBLE[]), x -> x * x))) * 1e6)
+        |                  AS BIGINT) AS norm_micro
+        |      FROM embeddings)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |       CAST(sum(norm_micro) AS BIGINT) AS sum_norm_micro,
+        |       round(sum(norm_micro) / count(*) / 1000000.0, 6) AS avg_norm
+        |FROM m JOIN e USING (id)
+        |GROUP BY label ORDER BY label""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id AS id, 'image' AS kind,
         |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

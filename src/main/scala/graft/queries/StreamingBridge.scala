@@ -472,7 +472,38 @@ object StreamingBridge {
     }
   }
 
+  /** Event-time timers under the gate: per-user counts that emit ONLY
+    * when each key's absolute timer (2024-01-25, mid-fixture) expires.
+    * The single data micro-batch processes every event and registers the
+    * timers; the watermark then advances past the timer epoch and the
+    * trailing no-data micro-batch fires them all — so the multi-batch
+    * (`singleBatch = false`) path is load-bearing here, exactly like the
+    * outer interval join's eviction batch. Oracle = plain per-user
+    * totals: rows can ONLY match if every timer fired exactly once.
+    */
+  def timerViaStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fireAt = 1706140800000L // 2024-01-25T00:00:00Z, inside the fixture
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ev = eventsStream(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"))
+        .as[StreamingOps.Event]
+      runSettled(s, "timer", StreamingOps.timerCounts(ev, fireAt).toDF(),
+        OutputMode.Append(), singleBatch = false) { df => df }
+        .orderBy("user_id")
+    } finally saved match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tws_timers" -> (timerViaStream(_, _)),
     "stream_topk_state" -> (topkStateViaStream(_, _)),
     "stream_simhash_dedup" -> (simhashDedupViaStream(_, _)),
     "stream_interval_enrich" -> (intervalEnrichViaStream(_, _)),
@@ -493,6 +524,10 @@ object StreamingBridge {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_tws_timers" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(1706140800000 AS BIGINT) AS timer_ms
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_topk_state" ->
       """WITH e AS (SELECT user_id,
         |                  CAST(round(value * 100) AS BIGINT) AS value_c,

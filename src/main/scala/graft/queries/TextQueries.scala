@@ -176,7 +176,26 @@ object TextQueries {
       .orderBy(desc("pair_count"), asc("pair")).limit(10)
   }
 
+  /** Language-ID quality readout: the (labeled lang × predicted lang)
+    * confusion matrix over `langId`'s per-doc classifier, with per-cell
+    * counts and row-relative rates — the evaluation table a production
+    * langid filter ships with (text_langid emits per-doc predictions;
+    * this is its aggregate truth). One extra aggregate over the same
+    * single-pass classifier expression.
+    */
+  def langIdConfusion(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLang = Window.partitionBy("lang")
+    langId(s, d)
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+      .withColumn("lang_total", sum(col("n")).over(byLang))
+      .withColumn("rate", round(col("n") / col("lang_total"), 6))
+      .select("lang", "lang_pred", "n", "lang_total", "rate")
+      .orderBy("lang", "lang_pred")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid_confusion" -> (langIdConfusion(_, _)),
     "text_bpe_tokens" -> (bpeTokens(_, _)),
     "text_bpe_train_step" -> (bpeTrainStep(_, _)),
     "text_bpe_apply" -> (bpeApplyMerge(_, _)),
@@ -261,6 +280,24 @@ object TextQueries {
         |SELECT doc_id, word, tf, df, round(score, 6) AS score, rnk
         |FROM ranked WHERE rnk <= 3
         |ORDER BY doc_id, rnk""".stripMargin,
+    "text_langid_confusion" ->
+      """WITH pred AS (
+        |  SELECT lang,
+        |         CASE WHEN list_contains(string_split(text, ' '), 'the') THEN 'en'
+        |              WHEN list_contains(string_split(text, ' '), 'le')
+        |                OR list_contains(string_split(text, ' '), 'la') THEN 'fr'
+        |              WHEN list_contains(string_split(text, ' '), 'el')
+        |                OR list_contains(string_split(text, ' '), 'los') THEN 'es'
+        |              WHEN list_contains(string_split(text, ' '), 'der')
+        |                OR list_contains(string_split(text, ' '), 'und') THEN 'de'
+        |              ELSE 'unknown' END AS lang_pred
+        |  FROM documents),
+        |cells AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+        |          FROM pred GROUP BY 1, 2)
+        |SELECT lang, lang_pred, n,
+        |       CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
+        |       round(n / (sum(n) OVER (PARTITION BY lang)), 6) AS rate
+        |FROM cells ORDER BY lang, lang_pred""".stripMargin,
     "text_langid" ->
       """SELECT doc_id, lang,
         |       CASE WHEN list_contains(string_split(text, ' '), 'the') THEN 'en'

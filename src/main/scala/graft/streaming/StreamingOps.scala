@@ -150,6 +150,54 @@ object StreamingOps {
     }
   }
 
+  case class TimerFire(user_id: Long, n_events: Long, timer_ms: Long)
+
+  /** EVENT-TIME TIMER surface of `transformWithState`: every key counts
+    * its rows in ValueState and registers one absolute event-time timer;
+    * NOTHING is emitted from the data path — output exists only because
+    * `handleExpiredTimer` fires once the watermark passes the timer, so
+    * an empty result means the timer machinery (registration, watermark
+    * propagation, the trailing no-data micro-batch) broke somewhere. The
+    * scheduled-callback primitive under session timeouts, SLA alerts, and
+    * TTL evictions.
+    */
+  class TimerCountProcessor(fireAtMs: Long) extends org.apache.spark.sql
+      .streaming.StatefulProcessor[Long, Event, TimerFire] {
+    @transient private var counts:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getValueState[Long]("counts",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TimerFire] = {
+      val prev = if (counts.exists()) counts.get() else 0L
+      counts.update(prev + rows.size)
+      getHandle.registerTimer(fireAtMs) // same-ts re-registration is a no-op
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[TimerFire] =
+      Iterator.single(
+        TimerFire(key, counts.get(), expiredTimerInfo.getExpiryTimeInMs()))
+  }
+
+  def timerCounts(events: Dataset[Event], fireAtMs: Long): Dataset[TimerFire] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new TimerCountProcessor(fireAtMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   def runningTopKTws(entries: Dataset[TopEntry], k: Int = 3): Dataset[TopKRow] = {
     import entries.sparkSession.implicits._
     entries
