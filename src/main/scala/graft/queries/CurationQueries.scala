@@ -116,13 +116,65 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** Preference-PAIR construction (the DPO/RLHF dataset builder): within
+    * each source, the highest-scoring document becomes `chosen` and the
+    * lowest-scoring `rejected` (score = distinct-token ratio, the
+    * pipeline's shared quality proxy; ties to the smaller doc_id on both
+    * ends), with the score margin carried for margin-weighted losses.
+    * Two windows over one source-partitioned shuffle — the same plan per
+    * prompt-group at any corpus size.
+    */
+  def dpoPairs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col("text"), " ")
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        (size(array_distinct(toks)) / size(toks)).as("score"))
+    val up = Window.partitionBy("source").orderBy(col("score").desc, col("doc_id"))
+    val down = Window.partitionBy("source").orderBy(col("score").asc, col("doc_id"))
+    val both = scored
+      .withColumn("rn_top", row_number().over(up))
+      .withColumn("rn_bot", row_number().over(down))
+    val chosen = both.filter(col("rn_top") === 1)
+      .select(col("source"), col("doc_id").as("chosen_doc"),
+        col("score").as("chosen_score"))
+    val rejected = both.filter(col("rn_bot") === 1)
+      .select(col("source"), col("doc_id").as("rejected_doc"),
+        col("score").as("rejected_score"))
+    chosen.join(broadcast(rejected), "source")
+      .withColumn("margin", round(col("chosen_score") - col("rejected_score"), 6))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_dpo_pairs" -> (dpoPairs(_, _)),
     "pipeline_decontam" -> (decontam(_, _)),
     "pipeline_decontam_semantic" -> (decontamSemantic(_, _)),
     "text_repetition" -> (repetition(_, _))
   )
 
   val oracles: Map[String, String] = Map(
+    "pipeline_dpo_pairs" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source,
+        |         len(list_distinct(string_split(text, ' ')))
+        |           / len(string_split(text, ' ')) AS score
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY source
+        |             ORDER BY score DESC, doc_id) AS rn_top,
+        |         row_number() OVER (PARTITION BY source
+        |             ORDER BY score ASC, doc_id) AS rn_bot
+        |  FROM scored),
+        |c AS (SELECT source, doc_id AS chosen_doc, score AS chosen_score
+        |      FROM ranked WHERE rn_top = 1),
+        |r AS (SELECT source, doc_id AS rejected_doc, score AS rejected_score
+        |      FROM ranked WHERE rn_bot = 1)
+        |SELECT source, chosen_doc, chosen_score, rejected_doc,
+        |       rejected_score,
+        |       round(chosen_score - rejected_score, 6) AS margin
+        |FROM c JOIN r USING (source) ORDER BY source""".stripMargin,
     // gram fingerprints re-derived as the FNV-1a HUGEINT fold (codepoint ==
     // byte on this ASCII corpus, as in q_fnv_buckets); signed/unsigned is a
     // bijection so join matches and distinct counts are identical

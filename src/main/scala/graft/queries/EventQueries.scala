@@ -133,7 +133,24 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** Pivot with MULTIPLE aggregates (q_pivot_events covers the
+    * single-agg form): per user-cohort, each event type fans out to a
+    * count column AND an exact cent-sum column — the `<value>_<agg>`
+    * column-name contract the pivot surface defines. Explicit pivot
+    * values keep the output schema static (no extra distinct-values
+    * job, the production form).
+    */
+  def pivotMultiAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select((col("user_id") % 10).as("cohort"), col("event_type"),
+        round(col("value") * 100).cast("long").as("v_c"))
+      .groupBy("cohort")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)).as("n"), sum(col("v_c")).as("s"))
+      .orderBy("cohort")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot_multi" -> (pivotMultiAgg(_, _)),
     "q_twap" -> (timeWeightedAvg(_, _)),
     "q_seasonal_hourly" -> (seasonalHourly(_, _)),
     "q_events_tumbling" -> (tumbling(_, _)),
@@ -143,6 +160,18 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pivot_multi" -> {
+      val cells = Seq("click", "error", "purchase", "signup", "view").map { t =>
+        s"""CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT)
+           |  AS ${t}_n,
+           |CAST(sum(CASE WHEN event_type = '$t'
+           |         THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+           |  AS ${t}_s""".stripMargin
+      }.mkString(",\n")
+      s"""SELECT user_id % 10 AS cohort,
+         |$cells
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q_twap" ->
       """WITH e AS (
         |  SELECT event_type, event_id,

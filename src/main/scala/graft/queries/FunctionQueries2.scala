@@ -244,7 +244,53 @@ object FunctionQueries2 {
       .select(col("doc_id"), posexplode_outer(col("lst")).as(Seq("pos", "tok")))
       .orderBy("doc_id", "pos")
 
+  /** Map higher-order functions — transform_values / map_filter /
+    * map_entries over a per-user event_type→count map (built with a
+    * SORTED entry list so map iteration order is deterministic): counts
+    * double, small entries filter out, survivors explode back to rows.
+    * The oracle states the same pointwise pipeline relationally, which is
+    * exactly what the map HOFs guarantee.
+    */
+  def mapHof(s: SparkSession, d: String): DataFrame = {
+    val m = Tables.events(s, d)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      .groupBy("user_id")
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("event_type"), col("c"))))).as("m"))
+      .withColumn("m2", transform_values(col("m"), (_, v) => v * 2))
+      .withColumn("m3", map_filter(col("m2"), (_, v) => v >= lit(8L)))
+    m.select(col("user_id"), explode(map_entries(col("m3"))).as(Seq("x")))
+      .select(col("user_id"), col("x.key").as("event_type"),
+        col("x.value").as("doubled"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Row-level CSV codec expressions (`to_csv` / `from_csv`): each order
+    * serializes to one CSV line and parses back; the aggregate proves the
+    * round trip is lossless and pins the lexicographic extremes of the
+    * encoded lines (so the encoding itself — not just the parsed values —
+    * is oracle-checked).
+    */
+  def csvExpr(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+    val line = to_csv(struct(col("o_orderkey"), col("o_orderstatus"),
+      col("o_orderpriority")))
+    val parsed = from_csv(line,
+      lit("o_orderkey BIGINT, o_orderstatus STRING, o_orderpriority STRING"),
+      new java.util.HashMap[String, String]())
+    src.withColumn("line", line).withColumn("p", parsed)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("p.o_orderkey") === col("o_orderkey") &&
+          col("p.o_orderstatus") === col("o_orderstatus") &&
+          col("p.o_orderpriority") === col("o_orderpriority"), 1L)
+          .otherwise(0L)).as("n_ok"),
+        min(col("line")).as("min_line"), max(col("line")).as("max_line"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_map_hof" -> (mapHof(_, _)),
+    "q_csv_expr" -> (csvExpr(_, _)),
     "q_explode_outer" -> (explodeOuter(_, _)),
     "q_listagg" -> (listaggQ(_, _)),
     "q_xml_funcs" -> (xmlFuncs(_, _)),
@@ -266,6 +312,22 @@ object FunctionQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_map_hof" ->
+      """SELECT user_id, event_type,
+        |       CAST(count(*) * 2 AS BIGINT) AS doubled
+        |FROM events GROUP BY user_id, event_type
+        |HAVING count(*) * 2 >= 8
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q_csv_expr" ->
+      """WITH l AS (
+        |  SELECT o_orderkey,
+        |         CAST(o_orderkey AS VARCHAR) || ',' || o_orderstatus
+        |           || ',' || o_orderpriority AS line
+        |  FROM orders)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(*) AS BIGINT) AS n_ok,
+        |       min(line) AS min_line, max(line) AS max_line
+        |FROM l""".stripMargin,
     "q_explode_outer" ->
       """WITH l AS (
         |  SELECT doc_id,

@@ -261,7 +261,40 @@ object MlQueries2 {
         round(col("u2") / (lit(2.0) * col("p_total") * col("n_total")), 6))
   }
 
+  /** K-fold evaluation of the shared scorer: rows hash-assign to 3 folds
+    * (salted FNV of the row identity — the pipeline_split discipline, so
+    * folds are layout- and engine-stable), and each fold gets its own
+    * histogram-exact AUC (the ml_auc_exact rank-sum, per fold). The
+    * variance across folds is the error bar a single AUC hides. Cost: one
+    * scan + a (fold × score) histogram; the ordered window runs over
+    * histogram rows partitioned by fold.
+    */
+  def kfoldAuc(s: SparkSession, d: String, folds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, d).select(
+      col("l_discount").as("x1"), col("l_tax").as("x2"),
+      when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"),
+      (Fnv1a64.ihash31(concat_ws("-", col("l_orderkey"), col("l_linenumber")))
+        % folds).as("fold"))
+    val z = lit(-1.0) + lit(20.0) * col("x1") - lit(15.0) * col("x2")
+    val p = lit(1.0) / (lit(1.0) + exp(-z))
+    val hist = li.withColumn("score", round(p * 1e6).cast("long"))
+      .groupBy("fold", "score")
+      .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
+    val below = Window.partitionBy("fold").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("cum_nn", coalesce(sum(col("nn")).over(below), lit(0L)))
+      .groupBy("fold")
+      .agg(sum(col("np")).as("p_total"), sum(col("nn")).as("n_total"),
+        sum(col("np") * (lit(2L) * col("cum_nn") + col("nn"))).as("u2"))
+      .withColumn("auc",
+        round(col("u2") / (lit(2.0) * col("p_total") * col("n_total")), 6))
+      .orderBy("fold")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_kfold_auc" -> (kfoldAuc(_, _)),
     "ml_auc_exact" -> (aucExact(_, _)),
     "ml_gbdt_residual" -> (gbdtResidualStep(_, _)),
     "ml_histogram_split" -> (histogramSplit(_, _)),
@@ -273,6 +306,33 @@ object MlQueries2 {
   import OracleSql.fnvIhash31
 
   val oracles: Map[String, String] = Map(
+    "ml_kfold_auc" ->
+      s"""WITH li AS (
+         |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         |         CAST(round((1.0 / (1.0 + exp(-(-1.0 + 20.0 * l_discount
+         |           - 15.0 * l_tax)))) * 1e6) AS BIGINT) AS score,
+         |         CAST(${fnvIhash31(
+                    "(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR))")}
+         |              % 3 AS BIGINT) AS fold
+         |  FROM lineitem),
+         |hist AS (
+         |  SELECT fold, score, CAST(sum(y) AS BIGINT) AS np,
+         |         CAST(sum(1 - y) AS BIGINT) AS nn
+         |  FROM li GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT fold, np, nn,
+         |         CAST(coalesce(sum(nn) OVER (PARTITION BY fold ORDER BY score
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |              AS BIGINT) AS cum_nn
+         |  FROM hist),
+         |tot AS (
+         |  SELECT fold, CAST(sum(np) AS BIGINT) AS p_total,
+         |         CAST(sum(nn) AS BIGINT) AS n_total,
+         |         CAST(sum(np * (2 * cum_nn + nn)) AS BIGINT) AS u2
+         |  FROM cum GROUP BY fold)
+         |SELECT fold, p_total, n_total, u2,
+         |       round(u2 / (2.0 * p_total * n_total), 6) AS auc
+         |FROM tot ORDER BY fold""".stripMargin,
     "ml_auc_exact" ->
       """WITH li AS (
         |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
