@@ -149,7 +149,30 @@ object EventQueries {
       .agg(count(lit(1)).as("n"), sum(col("v_c")).as("s"))
       .orderBy("cohort")
 
+  /** Day-over-day growth per event type: daily exact cent totals, the
+    * previous day's total via lag() on the (type, day) grid, and the
+    * relative change — the KPI trend table. Division of exact integers,
+    * NULL on the first day and on a zero base. Aggregate first, window
+    * over the tiny (type × day) grid after — never a row-level window.
+    */
+  def dailyGrowth(s: SparkSession, d: String): DataFrame = {
+    val byType = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day")
+    Tables.events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("v_c"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"), sum(col("v_c")).as("total_c"))
+      .withColumn("prev_c", lag(col("total_c"), 1).over(byType))
+      .withColumn("delta_c", col("total_c") - col("prev_c"))
+      .withColumn("pct_change",
+        when(col("prev_c").isNotNull && col("prev_c") =!= 0,
+          round((col("total_c") - col("prev_c")) / col("prev_c"), 6)))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_daily_growth" -> (dailyGrowth(_, _)),
     "q_pivot_multi" -> (pivotMultiAgg(_, _)),
     "q_twap" -> (timeWeightedAvg(_, _)),
     "q_seasonal_hourly" -> (seasonalHourly(_, _)),
@@ -160,6 +183,22 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_daily_growth" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS total_c
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT *, lag(total_c) OVER (PARTITION BY event_type
+        |                               ORDER BY day) AS prev_c
+        |  FROM daily)
+        |SELECT event_type, day, n, total_c, prev_c,
+        |       total_c - prev_c AS delta_c,
+        |       CASE WHEN prev_c IS NOT NULL AND prev_c <> 0
+        |            THEN round((total_c - prev_c) / prev_c, 6) END AS pct_change
+        |FROM g ORDER BY event_type, day""".stripMargin,
     "q_pivot_multi" -> {
       val cells = Seq("click", "error", "purchase", "signup", "view").map { t =>
         s"""CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT)

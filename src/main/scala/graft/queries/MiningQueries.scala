@@ -258,7 +258,35 @@ object MiningQueries {
       .orderBy("event_id")
   }
 
+  /** Degree assortativity (Newman's r): the Pearson correlation of
+    * endpoint degrees across edges — do hubs attach to hubs (r > 0) or
+    * to leaves (r < 0, the classic bipartite/dependency-graph signature)?
+    * All six power sums accumulate as exact BIGINTs over one
+    * degree-annotated edge pass; the closed form assembles in doubles
+    * identically on both engines. One row out — the graph-level health
+    * metric next to the per-community modularity table.
+    */
+  def assortativity(s: SparkSession, d: String): DataFrame = {
+    val e = GraphQueries.edges(s, d)
+    val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
+    val ann = e
+      .join(deg.select(col("u"), col("deg").as("dx")), "u")
+      .join(deg.select(col("u").as("v"), col("deg").as("dy")), "v")
+    def dbl(c: String): Column = col(c).cast("double")
+    ann
+      .agg(count(lit(1)).as("m2"), sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .withColumn("r", round(
+        (dbl("m2") * col("sxy") - dbl("sx") * col("sy"))
+          / sqrt((dbl("m2") * col("sxx") - dbl("sx") * col("sx"))
+            * (dbl("m2") * col("syy") - dbl("sy") * col("sy"))), 6))
+      .select("m2", "sx", "sxy", "sxx", "syy", "r")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_assortativity" -> (assortativity(_, _)),
     "q_market_basket" -> (marketBasket(_, _)),
     "graph_label_prop" -> (labelPropagation(_, _)),
     "graph_modularity" -> (modularity(_, _)),
@@ -278,6 +306,29 @@ object MiningQueries {
        |  WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "graph_assortativity" ->
+      s"""WITH e AS MATERIALIZED (
+         |  ${GraphQueries.undirectedSql}
+         |),
+         |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY u),
+         |ann AS (
+         |  SELECT dx.deg AS dx, dy.deg AS dy FROM e
+         |  JOIN deg dx ON dx.u = e.u
+         |  JOIN deg dy ON dy.u = e.v),
+         |a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS m2,
+         |         CAST(sum(dx) AS BIGINT) AS sx,
+         |         CAST(sum(dy) AS BIGINT) AS sy,
+         |         CAST(sum(dx * dy) AS BIGINT) AS sxy,
+         |         CAST(sum(dx * dx) AS BIGINT) AS sxx,
+         |         CAST(sum(dy * dy) AS BIGINT) AS syy
+         |  FROM ann)
+         |SELECT m2, sx, sxy, sxx, syy,
+         |       round((CAST(m2 AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         |             / sqrt((CAST(m2 AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+         |                    * (CAST(m2 AS DOUBLE) * syy
+         |                       - CAST(sy AS DOUBLE) * sy)), 6) AS r
+         |FROM a""".stripMargin,
     "q_market_basket" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey AS okey, p_brand AS brand

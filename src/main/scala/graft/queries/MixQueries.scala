@@ -285,7 +285,38 @@ object MixQueries {
           col("epoch").cast("string"))) % 64)
       .orderBy("doc_id", "epoch")
 
+  /** Embedding-distribution DRIFT monitor: split the corpus into two
+    * cohorts (vec_id parity stands in for two ingestion days) and compare
+    * per-dimension means — the feature-drift table a serving pipeline
+    * alerts on. Per-cohort per-dimension sums accumulate as micro-rounded
+    * BIGINTs (order-independent, the fixed-point discipline), so means
+    * and shifts are integer-exact; one scan, a 2×64-key aggregate.
+    */
+  def embDrift(s: SparkSession, d: String): DataFrame = {
+    val terms = Tables.embeddings(s, d)
+      .select((col("vec_id") % 2).as("grp"),
+        posexplode(transform(col("embedding"), x => x.cast("double")))
+          .as(Seq("j0", "x")))
+      .select(col("grp"), (col("j0") + 1).as("dim"),
+        round(col("x") * 1e6).cast("long").as("x_micro"))
+    terms.groupBy("dim")
+      .agg(sum(when(col("grp") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("grp") === 0, col("x_micro")).otherwise(0L)).as("sum_a_micro"),
+        sum(when(col("grp") === 1, col("x_micro")).otherwise(0L)).as("sum_b_micro"))
+      .withColumn("mean_a", round(col("sum_a_micro") / col("n_a") / lit(1000000.0), 6))
+      .withColumn("mean_b", round(col("sum_b_micro") / col("n_b") / lit(1000000.0), 6))
+      .withColumn("shift",
+        round(abs(col("sum_a_micro") / col("n_a") / lit(1000000.0)
+          - col("sum_b_micro") / col("n_b") / lit(1000000.0)), 6))
+      .select(col("dim").cast("int").as("dim"), col("n_a"), col("n_b"),
+        col("sum_a_micro"), col("sum_b_micro"), col("mean_a"), col("mean_b"),
+        col("shift"))
+      .orderBy("dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_drift" -> (embDrift(_, _)),
     "pipeline_repeat_upsample" -> (repeatUpsample(_, _)),
     "pipeline_shard_shuffle" -> (shardShuffle(_, _)),
     "pipeline_neg_samples" -> (negSamples(_, _)),
@@ -365,6 +396,32 @@ object MixQueries {
   import OracleSql.fnvIhash31
 
   val oracles: Map[String, String] = Map(
+    "emb_drift" ->
+      """WITH t AS (
+        |  SELECT vec_id % 2 AS grp, j AS dim,
+        |         CAST(round(CAST(embedding[j] AS DOUBLE) * 1e6) AS BIGINT)
+        |           AS x_micro
+        |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS j))
+        |SELECT CAST(dim AS INT) AS dim,
+        |       CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |       CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |       CAST(sum(CASE WHEN grp = 0 THEN x_micro ELSE 0 END) AS BIGINT)
+        |         AS sum_a_micro,
+        |       CAST(sum(CASE WHEN grp = 1 THEN x_micro ELSE 0 END) AS BIGINT)
+        |         AS sum_b_micro,
+        |       round(sum(CASE WHEN grp = 0 THEN x_micro ELSE 0 END)
+        |             / sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
+        |             / 1000000.0, 6) AS mean_a,
+        |       round(sum(CASE WHEN grp = 1 THEN x_micro ELSE 0 END)
+        |             / sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+        |             / 1000000.0, 6) AS mean_b,
+        |       round(abs(sum(CASE WHEN grp = 0 THEN x_micro ELSE 0 END)
+        |                 / sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
+        |                 / 1000000.0
+        |                 - sum(CASE WHEN grp = 1 THEN x_micro ELSE 0 END)
+        |                   / sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+        |                   / 1000000.0), 6) AS shift
+        |FROM t GROUP BY dim ORDER BY dim""".stripMargin,
     "pipeline_repeat_upsample" ->
       s"""WITH base AS (
          |  SELECT doc_id, source,

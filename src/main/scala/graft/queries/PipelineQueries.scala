@@ -224,7 +224,10 @@ object PipelineQueries {
     * counters come from a single conditional-sum aggregate reshaped to
     * four rows, so adding a gate costs three more counters, not a pass.
     */
-  def gateAblation(s: SparkSession, d: String): DataFrame = {
+  /** Per-doc gate flags shared by the ablation waterfall and the bitmask
+    * histogram — one definition so the two readouts can never disagree
+    * on what a gate means. */
+  private def gateFlags(s: SparkSession, d: String): DataFrame = {
     val toks = spaceTokens(col("text"))
     val docs = Tables.documents(s, d)
     val base = docs.select(col("doc_id"), col("lang"),
@@ -232,11 +235,15 @@ object PipelineQueries {
     val topw = docs.select(col("doc_id"), explode(toks).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max(col("c")).as("topw"))
-    val f = base.join(topw, "doc_id")
+    base.join(topw, "doc_id")
       .withColumn("g_len", col("ntok") >= 20)
       .withColumn("g_lang", col("lang").isin("en", "es", "de", "fr"))
       .withColumn("g_div", col("ndis") / col("ntok") >= 0.4)
       .withColumn("g_rep", col("topw") / col("ntok") <= 0.2)
+  }
+
+  def gateAblation(s: SparkSession, d: String): DataFrame = {
+    val f = gateFlags(s, d)
     def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
     val a = f.agg(
       count(lit(1)).as("total"),
@@ -280,7 +287,29 @@ object PipelineQueries {
       .withColumn("at_risk", (col("class_size") < k).cast("int"))
       .orderBy("c_nationkey", "c_mktsegment")
 
+  /** Gate-combination histogram: each document's pass/fail pattern packs
+    * into a 4-bit provenance mask (bit i = gate i passed) and the corpus
+    * rolls up per mask — the filter-provenance table that shows WHICH
+    * gate combinations actually co-occur (the ablation waterfall shows
+    * marginal effects; this shows the joint distribution). Same gateFlags
+    * definition, one extra 16-key aggregate.
+    */
+  def gateBitmask(s: SparkSession, d: String): DataFrame = {
+    def bit(c: Column, v: Long): Column = when(c, v).otherwise(0L)
+    gateFlags(s, d)
+      .withColumn("mask", bit(col("g_len"), 1L) + bit(col("g_lang"), 2L)
+        + bit(col("g_div"), 4L) + bit(col("g_rep"), 8L))
+      .groupBy("mask")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("passed_len", (col("mask").bitwiseAND(1) > 0).cast("int"))
+      .withColumn("passed_lang", (col("mask").bitwiseAND(2) > 0).cast("int"))
+      .withColumn("passed_div", (col("mask").bitwiseAND(4) > 0).cast("int"))
+      .withColumn("passed_rep", (col("mask").bitwiseAND(8) > 0).cast("int"))
+      .orderBy("mask")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_gate_bitmask" -> (gateBitmask(_, _)),
     "q_k_anonymity" -> (kAnonymity(_, _)),
     "pipeline_gate_ablation" -> (gateAblation(_, _)),
     "q_dq_checks" -> (dqChecks(_, _)),
@@ -328,6 +357,28 @@ object PipelineQueries {
       |), final AS (SELECT vtx, min(comp) AS comp FROM cc GROUP BY vtx)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "pipeline_gate_bitmask" ->
+      """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+        |              FROM documents),
+        |base AS (SELECT doc_id, lang, len(w) AS ntok,
+        |                len(list_distinct(w)) AS ndis FROM toks),
+        |wc AS (SELECT doc_id, max(c) AS topw FROM (
+        |         SELECT doc_id, t, count(*) AS c
+        |         FROM (SELECT doc_id, unnest(w) AS t FROM toks)
+        |         GROUP BY 1, 2) GROUP BY doc_id),
+        |f AS (SELECT
+        |        CASE WHEN ntok >= 20 THEN 1 ELSE 0 END
+        |        + CASE WHEN lang IN ('en','es','de','fr') THEN 2 ELSE 0 END
+        |        + CASE WHEN ndis / ntok >= 0.4 THEN 4 ELSE 0 END
+        |        + CASE WHEN topw / ntok <= 0.2 THEN 8 ELSE 0 END AS mask
+        |      FROM base JOIN wc USING (doc_id))
+        |SELECT CAST(mask AS BIGINT) AS mask,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(mask & 1 > 0 AS INT) AS passed_len,
+        |       CAST(mask & 2 > 0 AS INT) AS passed_lang,
+        |       CAST(mask & 4 > 0 AS INT) AS passed_div,
+        |       CAST(mask & 8 > 0 AS INT) AS passed_rep
+        |FROM f GROUP BY mask ORDER BY mask""".stripMargin,
     "q_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment,
         |       CAST(count(*) AS BIGINT) AS class_size,

@@ -246,7 +246,51 @@ object ScaleQueries {
     s.createDataFrame(ranked, schema).orderBy("rank")
   }
 
+  /** Run-length encoding statistics — the storage-engineering readout
+    * behind sort-key choice: with lineitem laid out in (orderkey,
+    * linenumber) order, how RLE-compressible is each low-cardinality
+    * column? A run starts where lag() differs; runs are counted inside
+    * each order's partition (partition-local windows, no global sort) and
+    * the cross-order boundary conservatively counts as a new run —
+    * exactly how parquet pages behave at row-group boundaries. Output per
+    * column: total runs, rows, and mean run length.
+    */
+  def encodingStats(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // (orderkey, linenumber) is NOT unique in the fixture; adding the
+    // compared columns to the sort key makes any remaining ties
+    // interchangeable for run counting, so the count is total-order-free
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy(col("l_linenumber"), col("l_returnflag"), col("l_linestatus"),
+        col("ship"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate").cast("date").cast("string").as("ship"))
+    val runCols = Seq("l_returnflag", "l_linestatus", "ship").map { c =>
+      when(lag(col(c), 1).over(w).isNull ||
+        lag(col(c), 1).over(w) =!= col(c), 1L).otherwise(0L).as(s"r_$c")
+    }
+    val runs = li.select(col("l_orderkey") +: runCols: _*)
+    val a = runs.agg(count(lit(1)).as("n_rows"),
+      sum(col("r_l_returnflag")).as("runs_returnflag"),
+      sum(col("r_l_linestatus")).as("runs_linestatus"),
+      sum(col("r_ship")).as("runs_shipdate"))
+    a.select(explode(array(
+        struct(lit("l_returnflag").as("column"), col("runs_returnflag").as("n_runs"),
+          col("n_rows").as("n_rows")),
+        struct(lit("l_linestatus").as("column"), col("runs_linestatus").as("n_runs"),
+          col("n_rows").as("n_rows")),
+        struct(lit("l_shipdate").as("column"), col("runs_shipdate").as("n_runs"),
+          col("n_rows").as("n_rows")))).as("x"))
+      .select(col("x.column").as("column"), col("x.n_runs").as("n_runs"),
+        col("x.n_rows").as("n_rows"),
+        round(col("x.n_rows") / col("x.n_runs"), 6).as("avg_run_len"))
+      .orderBy("column")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_encoding_stats" -> (encodingStats(_, _)),
     "q_global_rank" -> (globalRank(_, _)),
     "layout_compaction_plan" -> (compactionPlan(_, _)),
     "layout_zorder" -> (zorderStats(_, _)),
@@ -275,6 +319,36 @@ object ScaleQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "layout_encoding_stats" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+        |         CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship
+        |  FROM lineitem),
+        |runs AS (
+        |  SELECT
+        |    CASE WHEN lag(l_returnflag) OVER w IS NULL
+        |           OR lag(l_returnflag) OVER w <> l_returnflag
+        |         THEN 1 ELSE 0 END AS r_flag,
+        |    CASE WHEN lag(l_linestatus) OVER w IS NULL
+        |           OR lag(l_linestatus) OVER w <> l_linestatus
+        |         THEN 1 ELSE 0 END AS r_status,
+        |    CASE WHEN lag(ship) OVER w IS NULL
+        |           OR lag(ship) OVER w <> ship
+        |         THEN 1 ELSE 0 END AS r_ship
+        |  FROM li
+        |  WINDOW w AS (PARTITION BY l_orderkey
+        |               ORDER BY l_linenumber, l_returnflag, l_linestatus,
+        |                        ship)),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |             CAST(sum(r_flag) AS BIGINT) AS rf,
+        |             CAST(sum(r_status) AS BIGINT) AS rs,
+        |             CAST(sum(r_ship) AS BIGINT) AS rd
+        |      FROM runs)
+        |SELECT 'l_returnflag' AS "column", rf AS n_runs, n_rows,
+        |       round(n_rows / rf, 6) AS avg_run_len FROM a
+        |UNION ALL SELECT 'l_linestatus', rs, n_rows, round(n_rows / rs, 6) FROM a
+        |UNION ALL SELECT 'l_shipdate', rd, n_rows, round(n_rows / rd, 6) FROM a
+        |ORDER BY "column"""".stripMargin,
     "q_global_rank" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |       CAST(row_number() OVER (ORDER BY epoch_us(ts), event_id)
