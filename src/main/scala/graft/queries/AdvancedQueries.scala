@@ -220,6 +220,40 @@ object AdvancedQueries {
     * views (the reference's "named app + args" dispatch, but with a real
     * parser/optimizer in front).
     */
+  /** Spark 4 SQL PIPE syntax (`|>`): the same logical plan as a nested
+    * standard query, written as a linear left-to-right pipeline — scan
+    * |> filter |> aggregate |> sort. The oracle is the standard-SQL
+    * restatement, so this gates that the pipe surface reaches the same
+    * plan, not just that it parses.
+    */
+  def sqlPipe(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """FROM lineitem_v
+        ||> WHERE l_quantity >= 30
+        ||> AGGREGATE count(*) AS cnt,
+        |             sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |               AS sum_price_c
+        |   GROUP BY l_returnflag
+        ||> ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** Parameterized SQL (named-parameter binding, Spark 3.4+): the text
+    * carries `:minQty`/`:flag` placeholders and values bind at execution
+    * — the injection-safe templating surface. Oracle inlines the same
+    * constants.
+    */
+  def sqlParams(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT l_linestatus, count(*) AS cnt,
+        |       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c
+        |FROM lineitem_v
+        |WHERE l_quantity >= :minQty AND l_returnflag = :flag
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+      Map("minQty" -> 25, "flag" -> "R"))
+  }
+
   def sqlEntry(s: SparkSession, d: String): DataFrame = {
     Tables.orders(s, d).createOrReplaceTempView("orders_v")
     Tables.customer(s, d).createOrReplaceTempView("customer_v")
@@ -309,6 +343,8 @@ object AdvancedQueries {
     "wc_typed" -> (typedWordcount(_, _)),
     "wc_rdd" -> (rddWordcount(_, _)),
     "q_sql_entry" -> (sqlEntry(_, _)),
+    "q_sql_pipe" -> (sqlPipe(_, _)),
+    "q_sql_params" -> (sqlParams(_, _)),
     "q_cross_join" -> (crossJoinSmall(_, _)),
     "q_union_byname" -> (unionByNameQ(_, _))
   )
@@ -404,6 +440,19 @@ object AdvancedQueries {
         |WHERE word <> ''
         |GROUP BY word
         |ORDER BY cnt ASC, word ASC""".stripMargin,
+    "q_sql_pipe" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |            AS BIGINT) AS sum_price_c
+        |FROM lineitem WHERE l_quantity >= 30
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_sql_params" ->
+      """SELECT l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_qty_c
+        |FROM lineitem
+        |WHERE l_quantity >= 25 AND l_returnflag = 'R'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "q_sql_entry" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         |       round(sum(o_totalprice), 2) AS total

@@ -315,7 +315,30 @@ object MixQueries {
       .orderBy("dim")
   }
 
+  /** Shard MANIFEST with content checksums — what a 100 TB shard writer
+    * emits next to the data so any later copy/load can verify integrity
+    * without re-reading sources: per shard (same hash assignment as
+    * pipeline_shard_shuffle) the doc count, byte total, and two
+    * ORDER-INDEPENDENT content fingerprints (sum and xor of per-doc FNV
+    * text hashes — the q_table_fingerprint commutative-reduction trick,
+    * so the manifest is identical under any partitioning or write
+    * order).
+    */
+  def shardManifest(s: SparkSession, d: String, shards: Int = 8): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        (Fnv1a64.ihash31(concat(lit("shard|"), col("doc_id").cast("string")))
+          % shards).as("shard"),
+        col("n_chars"),
+        Fnv1a64.ihash31(col("text")).as("fp"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        sum(col("fp")).as("sum_fp"), expr("bit_xor(fp)").as("xor_fp"))
+      .orderBy("shard")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_shard_manifest" -> (shardManifest(_, _)),
+    "ml_eval_prf" -> (evalPrf(_, _)),
     "emb_drift" -> (embDrift(_, _)),
     "pipeline_repeat_upsample" -> (repeatUpsample(_, _)),
     "pipeline_shard_shuffle" -> (shardShuffle(_, _)),
@@ -367,7 +390,9 @@ object MixQueries {
     * through the fused cosine; the only shuffles are the (label,dim)
     * centroid aggregate and the ≤|labels|² cell aggregate.
     */
-  def evalConfusion(s: SparkSession, d: String): DataFrame = {
+  /** Shared nearest-centroid confusion cells (true_label, pred_label, n)
+    * — one definition for the matrix view and the P/R/F1 view. */
+  private def confusionCells(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -379,11 +404,43 @@ object MixQueries {
         p => p.getField("c")).as("cv"))
     val wBest = Window.partitionBy("vec_id")
       .orderBy(col("cos").desc, col("clabel"))
-    val cells = e.join(broadcast(cent))
+    e.join(broadcast(cent))
       .withColumn("cos", cosine_sim(col("v"), col("cv")))
       .withColumn("rk", row_number().over(wBest)).filter(col("rk") === 1)
       .groupBy(col("label").as("true_label"), col("clabel").as("pred_label"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** Per-class precision / recall / F1 from the nearest-centroid
+    * assignments — the scalar metrics one division away from
+    * ml_eval_confusion's integer matrix, computed here so the derivation
+    * itself is gated: tp/support/pred_total reduce from the cells, the
+    * three ratios divide exact integers, F1 assembles from the raw
+    * ratios before rounding. Classes never predicted get precision NULL
+    * (0/0), the honest answer.
+    */
+  def evalPrf(s: SparkSession, d: String): DataFrame = {
+    val cells = confusionCells(s, d)
+    val byTrue = cells.groupBy(col("true_label").as("class"))
+      .agg(sum(col("n")).as("support"),
+        sum(when(col("true_label") === col("pred_label"), col("n"))
+          .otherwise(0L)).as("tp"))
+    val byPred = cells.groupBy(col("pred_label").as("class"))
+      .agg(sum(col("n")).as("pred_total"))
+    val p = col("tp") / col("pred_total")
+    val r = col("tp") / col("support")
+    byTrue.join(broadcast(byPred), Seq("class"), "left")
+      .withColumn("pred_total", coalesce(col("pred_total"), lit(0L)))
+      .withColumn("precision", when(col("pred_total") > 0, round(p, 6)))
+      .withColumn("recall", round(r, 6))
+      .withColumn("f1", when(col("pred_total") > 0 && (p + r) > 0,
+        round(lit(2.0) * p * r / (p + r), 6)))
+      .select("class", "support", "pred_total", "tp", "precision", "recall", "f1")
+      .orderBy("class")
+  }
+
+  def evalConfusion(s: SparkSession, d: String): DataFrame = {
+    val cells = confusionCells(s, d)
     cells
       .withColumn("row_total",
         sum("n").over(Window.partitionBy("true_label")))
@@ -395,7 +452,64 @@ object MixQueries {
 
   import OracleSql.fnvIhash31
 
+  /** Shared nearest-centroid cells CTE chain, ending in
+    * `cells(true_label, pred_label, n)` — one SQL definition for the
+    * confusion-matrix and P/R/F1 oracles. */
+  private val confusionCellsSql: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |p AS (SELECT label AS clabel, unnest(generate_series(1, len(v))) AS pos,
+      |             unnest(v) AS x FROM e),
+      |cent AS (SELECT clabel, pos, round(avg(x), 6) AS c
+      |         FROM p GROUP BY 1, 2),
+      |carr AS (SELECT clabel, list(c ORDER BY pos) AS cv
+      |         FROM cent GROUP BY clabel),
+      |assigned AS (
+      |  SELECT e.vec_id, e.label, carr.clabel,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |           ORDER BY list_cosine_similarity(e.v, carr.cv) DESC,
+      |                    carr.clabel) AS rk
+      |  FROM e, carr),
+      |cells AS (
+      |  SELECT label AS true_label, clabel AS pred_label,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM assigned WHERE rk = 1 GROUP BY 1, 2)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "ml_eval_prf" ->
+      s"""$confusionCellsSql,
+         |byt AS (
+         |  SELECT true_label AS class, CAST(sum(n) AS BIGINT) AS support,
+         |         CAST(sum(CASE WHEN true_label = pred_label THEN n
+         |                  ELSE 0 END) AS BIGINT) AS tp
+         |  FROM cells GROUP BY 1),
+         |byp AS (
+         |  SELECT pred_label AS class, CAST(sum(n) AS BIGINT) AS pred_total
+         |  FROM cells GROUP BY 1)
+         |SELECT class, support,
+         |       CAST(coalesce(pred_total, 0) AS BIGINT) AS pred_total, tp,
+         |       CASE WHEN coalesce(pred_total, 0) > 0
+         |            THEN round(tp / pred_total, 6) END AS precision,
+         |       round(tp / support, 6) AS recall,
+         |       CASE WHEN coalesce(pred_total, 0) > 0
+         |             AND tp / pred_total + tp / support > 0
+         |            THEN round(2.0 * (tp / pred_total) * (tp / support)
+         |                       / (tp / pred_total + tp / support), 6)
+         |       END AS f1
+         |FROM byt LEFT JOIN byp USING (class)
+         |ORDER BY class""".stripMargin,
+    "pipeline_shard_manifest" ->
+      s"""WITH docs AS (
+         |  SELECT CAST(${OracleSql.fnvIhash31("('shard|' || CAST(doc_id AS VARCHAR))")}
+         |              % 8 AS BIGINT) AS shard,
+         |         n_chars,
+         |         CAST(${OracleSql.fnvIhash31("text")} AS BIGINT) AS fp
+         |  FROM documents)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |       CAST(sum(fp) AS BIGINT) AS sum_fp,
+         |       CAST(bit_xor(fp) AS BIGINT) AS xor_fp
+         |FROM docs GROUP BY shard ORDER BY shard""".stripMargin,
     "emb_drift" ->
       """WITH t AS (
         |  SELECT vec_id % 2 AS grp, j AS dim,
@@ -541,24 +655,7 @@ object MixQueries {
         |       CAST(count(*) * bucket_len - sum(ntok) AS BIGINT) AS waste
         |FROM b GROUP BY bucket_len ORDER BY bucket_len""".stripMargin,
     "ml_eval_confusion" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-        |           FROM embeddings),
-        |p AS (SELECT label AS clabel, unnest(generate_series(1, len(v))) AS pos,
-        |             unnest(v) AS x FROM e),
-        |cent AS (SELECT clabel, pos, round(avg(x), 6) AS c
-        |         FROM p GROUP BY 1, 2),
-        |carr AS (SELECT clabel, list(c ORDER BY pos) AS cv
-        |         FROM cent GROUP BY clabel),
-        |assigned AS (
-        |  SELECT e.vec_id, e.label, carr.clabel,
-        |         row_number() OVER (PARTITION BY e.vec_id
-        |           ORDER BY list_cosine_similarity(e.v, carr.cv) DESC,
-        |                    carr.clabel) AS rk
-        |  FROM e, carr),
-        |cells AS (
-        |  SELECT label AS true_label, clabel AS pred_label,
-        |         CAST(count(*) AS BIGINT) AS n
-        |  FROM assigned WHERE rk = 1 GROUP BY 1, 2)
+      s"""$confusionCellsSql
         |SELECT true_label, pred_label, n,
         |       CAST(sum(n) OVER (PARTITION BY true_label) AS BIGINT)
         |         AS row_total,

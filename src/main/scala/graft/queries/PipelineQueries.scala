@@ -308,7 +308,21 @@ object PipelineQueries {
       .orderBy("mask")
   }
 
+  /** Near-dup cluster SIZE distribution: how many clusters of each size
+    * the pair graph resolves into — the shape parameter that decides
+    * whether dedup costs 1% or 30% of the corpus and the first chart of
+    * every dedup report. Rides the memoized connected-components labels
+    * (dedup_clusters); two tiny aggregates on top.
+    */
+  def clusterSizes(s: SparkSession, d: String): DataFrame =
+    dedupClusters(s, d)
+      .groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+      .groupBy(col("csize").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("csize")).as("n_docs"))
+      .orderBy("cluster_size")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cluster_sizes" -> (clusterSizes(_, _)),
     "pipeline_gate_bitmask" -> (gateBitmask(_, _)),
     "q_k_anonymity" -> (kAnonymity(_, _)),
     "pipeline_gate_ablation" -> (gateAblation(_, _)),
@@ -453,6 +467,16 @@ object PipelineQueries {
          |$ccSql
          |SELECT vtx AS doc_id, comp AS cluster_id, vtx = comp AS is_keeper
          |FROM final ORDER BY doc_id""".stripMargin,
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE $pairsSql,
+         |$ccSql,
+         |cl_sizes AS (SELECT comp AS cluster_id,
+         |                    CAST(count(*) AS BIGINT) AS csize
+         |             FROM final GROUP BY comp)
+         |SELECT csize AS cluster_size,
+         |       CAST(count(*) AS BIGINT) AS n_clusters,
+         |       CAST(sum(csize) AS BIGINT) AS n_docs
+         |FROM cl_sizes GROUP BY csize ORDER BY cluster_size""".stripMargin,
     "dedup_near_keep_best" ->
       s"""WITH RECURSIVE $pairsSql,
          |$ccSql,

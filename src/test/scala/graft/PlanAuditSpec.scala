@@ -64,7 +64,9 @@ class PlanAuditSpec extends SparkSpec {
     "text_bpe_apply",         // broadcast 1-row merge-rule scalar × vocabulary
     "sim_sparse_knn",         // broadcast 1-row n_docs scalar × term stats
     "graph_modularity",       // broadcast 1-row 2m-edge-count scalar × communities
-    "text_cooc_pmi"           // broadcast 1-row n_docs scalar × pair table
+    "text_cooc_pmi",          // broadcast 1-row n_docs scalar × pair table
+    "ml_eval_prf"             // broadcast 10-row centroid model × corpus stream
+                              // (the ml_eval_confusion shape, shared cells)
   )
   private val allowShuffleJoin = Set(
     "q_join_full",    // full outer: no broadcastable side by semantics
