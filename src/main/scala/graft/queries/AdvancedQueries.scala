@@ -254,6 +254,35 @@ object AdvancedQueries {
       Map("minQty" -> 25, "flag" -> "R"))
   }
 
+  /** GROUP BY ALL / ORDER BY ALL (Spark 3.4+ / DuckDB shared shorthand):
+    * every non-aggregate select item becomes a grouping key implicitly —
+    * the schema-drift-proof form of wide rollups. The oracle uses the
+    * SAME shorthand in DuckDB, gating that both engines infer identical
+    * keys.
+    */
+  def groupByAll(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_price_c
+        |FROM orders_v GROUP BY ALL ORDER BY ALL""".stripMargin)
+  }
+
+  /** IDENTIFIER() dynamic-name binding (Spark 3.4+): the table name
+    * arrives as a named PARAMETER and resolves through IDENTIFIER — the
+    * injection-safe way to template object names (plain :param cannot
+    * appear in a FROM clause).
+    */
+  def sqlIdentifier(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    s.sql(
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt
+        |FROM IDENTIFIER(:tbl) GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+      Map("tbl" -> "customer_v"))
+  }
+
   def sqlEntry(s: SparkSession, d: String): DataFrame = {
     Tables.orders(s, d).createOrReplaceTempView("orders_v")
     Tables.customer(s, d).createOrReplaceTempView("customer_v")
@@ -345,6 +374,8 @@ object AdvancedQueries {
     "q_sql_entry" -> (sqlEntry(_, _)),
     "q_sql_pipe" -> (sqlPipe(_, _)),
     "q_sql_params" -> (sqlParams(_, _)),
+    "q_group_by_all" -> (groupByAll(_, _)),
+    "q_sql_identifier" -> (sqlIdentifier(_, _)),
     "q_cross_join" -> (crossJoinSmall(_, _)),
     "q_union_byname" -> (unionByNameQ(_, _))
   )
@@ -440,6 +471,15 @@ object AdvancedQueries {
         |WHERE word <> ''
         |GROUP BY word
         |ORDER BY cnt ASC, word ASC""".stripMargin,
+    "q_group_by_all" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_price_c
+        |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin,
+    "q_sql_identifier" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_sql_pipe" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
         |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))

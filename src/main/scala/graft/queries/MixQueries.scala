@@ -336,7 +336,35 @@ object MixQueries {
         sum(col("fp")).as("sum_fp"), expr("bit_xor(fp)").as("xor_fp"))
       .orderBy("shard")
 
+  /** Round-robin SOURCE INTERLEAVING — the training-reader order that
+    * guarantees every window of ~n_sources consecutive samples touches
+    * every domain (no long single-domain runs, the lightweight
+    * alternative to full shuffling): docs rank within their source by
+    * the salted-FNV order hash (same determinism as
+    * pipeline_shard_shuffle), and global position = src_rank·n_sources +
+    * dense source index. Positions are unique and layout-stable; one
+    * shuffle on source for the rank, one tiny source-index broadcast.
+    */
+  def interleaveSources(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val srcIdx = docs.select(col("source")).distinct()
+      .withColumn("src_idx",
+        (dense_rank().over(Window.orderBy("source")) - 1).cast("long"))
+    val nSrc = srcIdx.count()
+    val w = Window.partitionBy("source").orderBy(col("ord"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("source"),
+        Fnv1a64.ihash31(concat(lit("ilv|"), col("doc_id").cast("string")))
+          .as("ord"))
+      .withColumn("src_rank", (row_number().over(w) - 1).cast("long"))
+      .join(broadcast(srcIdx), "source")
+      .withColumn("global_pos", col("src_rank") * lit(nSrc) + col("src_idx"))
+      .select("doc_id", "source", "src_rank", "src_idx", "global_pos")
+      .orderBy("global_pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_interleave" -> (interleaveSources(_, _)),
     "pipeline_shard_manifest" -> (shardManifest(_, _)),
     "ml_eval_prf" -> (evalPrf(_, _)),
     "emb_drift" -> (embDrift(_, _)),
@@ -476,6 +504,27 @@ object MixQueries {
       |  FROM assigned WHERE rk = 1 GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "pipeline_interleave" ->
+      s"""WITH si AS (
+         |  SELECT source,
+         |         CAST(dense_rank() OVER (ORDER BY source) - 1 AS BIGINT)
+         |           AS src_idx
+         |  FROM (SELECT DISTINCT source FROM documents)),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_src FROM si),
+         |r AS (
+         |  SELECT doc_id, source,
+         |         CAST(${OracleSql.fnvIhash31("('ilv|' || CAST(doc_id AS VARCHAR))")}
+         |              AS BIGINT) AS ord
+         |  FROM documents),
+         |rk AS (
+         |  SELECT doc_id, source,
+         |         CAST(row_number() OVER (PARTITION BY source
+         |              ORDER BY ord, doc_id) - 1 AS BIGINT) AS src_rank
+         |  FROM r)
+         |SELECT doc_id, source, src_rank, src_idx,
+         |       CAST(src_rank * n_src + src_idx AS BIGINT) AS global_pos
+         |FROM rk JOIN si USING (source) CROSS JOIN n
+         |ORDER BY global_pos""".stripMargin,
     "ml_eval_prf" ->
       s"""$confusionCellsSql,
          |byt AS (
