@@ -285,7 +285,41 @@ object MiningQueries {
       .select("m2", "sx", "sxy", "sxx", "syy", "r")
   }
 
+  /** Deterministic RANDOM WALKS — the DeepWalk/node2vec corpus generator:
+    * from every start vertex (id < 50), take 5 steps where each step's
+    * "random" neighbor is the argmin of a salted FNV hash over
+    * (walk, step, candidate) — pseudo-random per walk-step but fully
+    * reproducible across engines, partitionings, and reruns (the same
+    * property every deterministic sampler in this repo builds on). Each
+    * step is one equi-join on the current vertex + one per-walk argmin
+    * window; k steps = k such rounds, the exact shape a distributed walk
+    * engine runs at any scale. Emits the walks in long format
+    * (walk_id, step, node).
+    */
+  def randomWalks(s: SparkSession, d: String, steps: Int = 5,
+      maxStart: Long = 50L): DataFrame = {
+    val e = GraphQueries.edges(s, d)
+    val w0 = e.select(col("u").as("walk_id")).distinct()
+      .filter(col("walk_id") < maxStart)
+      .withColumn("cur", col("walk_id"))
+      .withColumn("step", lit(0L))
+    val all = (1 to steps).foldLeft((w0, w0)) { case ((frontier, acc), k) =>
+      val cand = frontier.select(col("walk_id"), col("cur"))
+        .join(e, col("cur") === col("u"))
+        .withColumn("h", graft.plans.Fnv1a64.ihash31(
+          concat_ws("|", col("walk_id"), lit(k), col("v"))))
+      val wd = Window.partitionBy("walk_id").orderBy(col("h"), col("v"))
+      val next = cand.withColumn("rn", row_number().over(wd))
+        .filter(col("rn") === 1)
+        .select(col("walk_id"), col("v").as("cur"), lit(k.toLong).as("step"))
+      (next, acc.unionByName(next))
+    }._2
+    all.select(col("walk_id"), col("step"), col("cur").as("node"))
+      .orderBy("walk_id", "step")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_random_walk" -> (randomWalks(_, _)),
     "graph_assortativity" -> (assortativity(_, _)),
     "q_market_basket" -> (marketBasket(_, _)),
     "graph_label_prop" -> (labelPropagation(_, _)),
@@ -305,7 +339,35 @@ object MiningQueries {
        |    GROUP BY e.u, l.lbl)
        |  WHERE rn = 1)""".stripMargin
 
+  private def walkStepSql(k: Int, prev: String): String =
+    s"""w$k AS (
+       |  SELECT walk_id, v AS cur, CAST($k AS BIGINT) AS step FROM (
+       |    SELECT p.walk_id, e.v,
+       |           row_number() OVER (PARTITION BY p.walk_id
+       |             ORDER BY CAST(${OracleSql.fnvIhash31(
+                 s"(CAST(p.walk_id AS VARCHAR) || '|' || '$k' || '|' || CAST(e.v AS VARCHAR))")}
+       |                  AS BIGINT), e.v) AS rn
+       |    FROM $prev p JOIN e ON p.cur = e.u)
+       |  WHERE rn = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "graph_random_walk" ->
+      s"""WITH e AS MATERIALIZED (
+         |  ${GraphQueries.undirectedSql}
+         |),
+         |w0 AS (SELECT DISTINCT u AS walk_id, u AS cur,
+         |              CAST(0 AS BIGINT) AS step
+         |       FROM e WHERE u < 50),
+         |${walkStepSql(1, "w0")},
+         |${walkStepSql(2, "w1")},
+         |${walkStepSql(3, "w2")},
+         |${walkStepSql(4, "w3")},
+         |${walkStepSql(5, "w4")}
+         |SELECT walk_id, step, cur AS node
+         |FROM (SELECT * FROM w0 UNION ALL SELECT * FROM w1
+         |      UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3
+         |      UNION ALL SELECT * FROM w4 UNION ALL SELECT * FROM w5)
+         |ORDER BY walk_id, step""".stripMargin,
     "graph_assortativity" ->
       s"""WITH e AS MATERIALIZED (
          |  ${GraphQueries.undirectedSql}

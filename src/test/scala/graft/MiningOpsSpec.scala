@@ -80,6 +80,30 @@ class MiningOpsSpec extends SparkSpec {
     }
   }
 
+  test("random walks: every step follows an edge, walks are complete") {
+    val rows = MiningQueries.randomWalks(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byWalk = rows.groupBy(_.getAs[Long]("walk_id"))
+    byWalk.foreach { case (start, steps) =>
+      val path = steps.sortBy(_.getAs[Long]("step")).map(_.getAs[Long]("node"))
+      assert(path.length === 6, s"walk $start incomplete")
+      assert(path.head === start, "step 0 is the start vertex")
+    }
+    // every consecutive (node, next) pair must be a real edge (the edge
+    // set restated from the fixture — GraphQueries.edges is package-private)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_partkey") % 10 === col("l_suppkey") % 10)
+      .select(col("l_partkey").as("u"), (col("l_suppkey") + 1000000L).as("v"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = (li ++ li.map(_.swap)).toSet
+    byWalk.values.foreach { steps =>
+      val path = steps.sortBy(_.getAs[Long]("step")).map(_.getAs[Long]("node"))
+      path.zip(path.tail).foreach { case (a, b) =>
+        assert(edges.contains((a, b)), s"walk used non-edge $a -> $b")
+      }
+    }
+  }
+
   test("MAD outliers: every flagged row clears the 3.5 modified-z bar") {
     val rows = MiningQueries.outliersMad(spark, sf).collect()
     assert(rows.nonEmpty, "fixture should produce at least one robust outlier")
