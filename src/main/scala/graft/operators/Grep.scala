@@ -34,7 +34,10 @@ object Grep {
     * `\r` without `\n` is content in both).
     */
   def numberedLines(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("wholetext", "true").text(path)
+    numberedLines(spark, Seq(path))
+
+  def numberedLines(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.option("wholetext", "true").text(paths: _*)
       .select(input_file_name().as("file"), col("value"))
       .select(col("file"),
         posexplode(split(col("value"), "\\r?\\n", 0)).as(Seq("pos", "line")))
@@ -46,7 +49,10 @@ object Grep {
     lines.filter(col("line").contains(term))
 
   def overTextFiles(spark: SparkSession, path: String, term: String): DataFrame =
-    matches(numberedLines(spark, path), term).orderBy(col("file"), col("lineno"))
+    overTextFiles(spark, Seq(path), term)
+
+  def overTextFiles(spark: SparkSession, paths: Seq[String], term: String): DataFrame =
+    matches(numberedLines(spark, paths), term).orderBy(col("file"), col("lineno"))
 
   /** Reference-golden report (grep.rs:80-102). Driver-side; tiny fixtures. */
   def report(matched: DataFrame): String = {

@@ -31,9 +31,12 @@ object VertexDegree {
   /** Parse `src<ws>dst` text lines into edges; strict like the reference —
     * a malformed line fails the job rather than silently dropping.
     */
-  def parseEdges(spark: SparkSession, path: String): DataFrame = {
+  def parseEdges(spark: SparkSession, path: String): DataFrame =
+    parseEdges(spark, Seq(path))
+
+  def parseEdges(spark: SparkSession, paths: Seq[String]): DataFrame = {
     val toks = split(trim(col("value")), "\\s+")
-    spark.read.text(path)
+    spark.read.text(paths: _*)
       .filter(length(trim(col("value"))) > 0)
       .select(
         toks.getItem(0).cast("long").as("src"),
@@ -50,7 +53,10 @@ object VertexDegree {
     when(assert_true(c.isNotNull, lit("malformed edge line")).isNull, c)
 
   def overTextFiles(spark: SparkSession, path: String): DataFrame =
-    degrees(parseEdges(spark, path))
+    overTextFiles(spark, Seq(path))
+
+  def overTextFiles(spark: SparkSession, paths: Seq[String]): DataFrame =
+    degrees(parseEdges(spark, paths))
 
   /** Reference-golden report: "{vertex}\t{degree}\n" (vertex_degree.rs:82-89). */
   def report(deg: DataFrame): String =

@@ -40,9 +40,15 @@ object WordCount {
 
   /** Word count over plain text files (one row per line — line boundaries
     * don't matter for wc since newlines are token delimiters anyway).
+    * Multiple paths mirror the reference client's arbitrary input-file
+    * list (client.rs:80-99: one map task per file; here one scan over
+    * the union of paths).
     */
+  def overTextFiles(spark: SparkSession, paths: Seq[String]): DataFrame =
+    counts(spark.read.text(paths: _*), "value")
+
   def overTextFiles(spark: SparkSession, path: String): DataFrame =
-    counts(spark.read.text(path), "value")
+    overTextFiles(spark, Seq(path))
 
   /** Reference-golden report: "{count}\t{word}\n" per row (wc.rs:68-73).
     * Driver-side materialization — only for parity tests on tiny fixtures.

@@ -408,17 +408,16 @@ object CatalogQueries {
     // DROPMALFORMED only drops rows the parser actually PARSES: with CSV
     // column pruning on, a count(*) references zero columns and malformed
     // rows sail through. Disable pruning around an eager count so every
-    // field is parsed and all three bad lines are detected.
-    val pruneKey = "spark.sql.csv.parser.columnPruning.enabled"
-    val saved = s.conf.getOption(pruneKey)
-    s.conf.set(pruneKey, "false")
-    val nDrop =
-      try s.read.schema(nation.schema).option("mode", "DROPMALFORMED")
-        .csv(s"$root/good", s"$root/bad").count()
-      finally saved match {
-        case Some(v) => s.conf.set(pruneKey, v)
-        case None    => s.conf.unset(pruneKey)
-      }
+    // field is parsed and all three bad lines are detected. The flip runs
+    // in a throwaway newSession() — same SparkContext, PRIVATE SQL conf —
+    // so the shared session's conf is never mutated and the builder stays
+    // race-free under concurrent query construction (the PERMISSIVE half
+    // above executes later, under the caller's session, with pruning at
+    // its default).
+    val iso = s.newSession()
+    iso.conf.set("spark.sql.csv.parser.columnPruning.enabled", "false")
+    val nDrop = iso.read.schema(nation.schema).option("mode", "DROPMALFORMED")
+      .csv(s"$root/good", s"$root/bad").count()
     permissive
       .agg(count(lit(1)).as("n_total"),
         sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_good"),

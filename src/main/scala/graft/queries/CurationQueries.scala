@@ -50,11 +50,27 @@ object CurationQueries {
     * collisions included.
     */
   def decontam(s: SparkSession, d: String, n: Int = 4, evalMax: Long = 20L): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     val grams = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(graft.plans.WordGramFnv.wordGramFnv(WordCount.tokens(col("text")), n)).as("h"))
     val evalHashes = grams.filter(col("doc_id") < evalMax).select("h").distinct()
+    // Bloom prefilter BEFORE the (doc_id, gram) distinct — the residual
+    // cost of this query is that shuffle, and almost none of the corpus's
+    // grams can match the tiny eval set. One ~50 KB sketch over the eval
+    // hashes (the q_bloom_prejoin literal-sketch form — persistable and
+    // reusable across decontam runs of the same eval suite) sheds
+    // non-matching grams at the scan, so the distinct shuffles only
+    // plausible matches. False positives are erased by the real broadcast
+    // join below; the oracle is unchanged.
+    val bfBytes = evalHashes
+      .agg(column(new BloomFilterAggregate(expression(col("h")),
+        Literal(50000L), Literal(400000L)).toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]](0)
     grams.filter(col("doc_id") >= evalMax)
+      .filter(column(BloomFilterMightContain(expression(lit(bfBytes)), expression(col("h")))))
       .select("doc_id", "h").distinct()
       .join(broadcast(evalHashes), "h")
       .groupBy("doc_id")
@@ -122,7 +138,11 @@ object CurationQueries {
     * pipeline's shared quality proxy; ties to the smaller doc_id on both
     * ends), with the score margin carried for margin-weighted losses.
     * Two windows over one source-partitioned shuffle — the same plan per
-    * prompt-group at any corpus size.
+    * prompt-group at any corpus size. A source with a single document
+    * (or one where best == worst) yields chosen_doc == rejected_doc —
+    * not a usable preference pair — so those degenerate rows are
+    * FILTERED, not shipped: a DPO loader downstream would train on a
+    * zero-margin self-pair otherwise.
     */
   def dpoPairs(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -142,6 +162,7 @@ object CurationQueries {
       .select(col("source"), col("doc_id").as("rejected_doc"),
         col("score").as("rejected_score"))
     chosen.join(broadcast(rejected), "source")
+      .filter(col("chosen_doc") =!= col("rejected_doc"))
       .withColumn("margin", round(col("chosen_score") - col("rejected_score"), 6))
       .orderBy("source")
   }
@@ -174,7 +195,9 @@ object CurationQueries {
         |SELECT source, chosen_doc, chosen_score, rejected_doc,
         |       rejected_score,
         |       round(chosen_score - rejected_score, 6) AS margin
-        |FROM c JOIN r USING (source) ORDER BY source""".stripMargin,
+        |FROM c JOIN r USING (source)
+        |WHERE chosen_doc <> rejected_doc
+        |ORDER BY source""".stripMargin,
     // gram fingerprints re-derived as the FNV-1a HUGEINT fold (codepoint ==
     // byte on this ASCII corpus, as in q_fnv_buckets); signed/unsigned is a
     // bijection so join matches and distinct counts are identical

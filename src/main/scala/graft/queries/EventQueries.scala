@@ -113,9 +113,14 @@ object EventQueries {
     * until the next one, so the mean weights every value by its exact µs
     * holding duration (the IoT/market-data staple a row-count average
     * silently gets wrong on irregular sampling). Σ(v·Δt) and Σ(Δt)
-    * accumulate as exact BIGINT µs·cents; one lead() pass on the (µs,
-    * event_id) total order per type, one aggregate. At much larger
-    * per-key volumes, rescale Δt to ms to keep Σ(v·Δt) within int64.
+    * accumulate as exact µs·cents; one lead() pass on the (µs,
+    * event_id) total order per type, one aggregate. Overflow is LOUD,
+    * not silent: Σ(v·Δt) accumulates internally in DECIMAL(38,0) (never
+    * an output column — wide decimals are int128-backed, the r5
+    * driver-hash frontier) and the final BIGINT cast raise_errors if the
+    * total left int64 range, mirroring DuckDB's checked int64 multiply
+    * on the oracle side. A fixture large enough to trip it rescales Δt
+    * to ms on both sides rather than shipping a wrapped TWAP.
     */
   def timeWeightedAvg(s: SparkSession, d: String): DataFrame = {
     val byType = org.apache.spark.sql.expressions.Window
@@ -128,8 +133,15 @@ object EventQueries {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_segments"),
         sum(col("dt_us")).as("sum_dt_us"),
-        sum(col("v_c") * col("dt_us")).as("sum_vdt"))
+        sum(col("v_c").cast("decimal(38,0)") * col("dt_us")).as("sum_vdt_dec"))
+      .withColumn("sum_vdt",
+        when(col("sum_vdt_dec").between(Long.MinValue, Long.MaxValue),
+          col("sum_vdt_dec"))
+          .otherwise(raise_error(
+            lit("q_twap: sum_vdt overflows BIGINT — rescale dt to ms")))
+          .cast("long"))
       .withColumn("twap", round(col("sum_vdt") / col("sum_dt_us") / lit(100.0), 6))
+      .select("event_type", "n_segments", "sum_dt_us", "sum_vdt", "twap")
       .orderBy("event_type")
   }
 

@@ -347,10 +347,16 @@ object MixQueries {
     */
   def interleaveSources(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    // n_src rides INSIDE the plan (a count window over the tiny distinct
+    // source set — same single-partition window that already assigns the
+    // dense index) instead of an eager count() at build time: the query
+    // builder stays a pure plan constructor with no hidden job, the
+    // pipeline_curriculum discipline.
     val srcIdx = docs.select(col("source")).distinct()
       .withColumn("src_idx",
         (dense_rank().over(Window.orderBy("source")) - 1).cast("long"))
-    val nSrc = srcIdx.count()
+      .withColumn("n_src",
+        count(lit(1)).over(Window.partitionBy(lit(1))).cast("long"))
     val w = Window.partitionBy("source").orderBy(col("ord"), col("doc_id"))
     docs
       .select(col("doc_id"), col("source"),
@@ -358,7 +364,7 @@ object MixQueries {
           .as("ord"))
       .withColumn("src_rank", (row_number().over(w) - 1).cast("long"))
       .join(broadcast(srcIdx), "source")
-      .withColumn("global_pos", col("src_rank") * lit(nSrc) + col("src_idx"))
+      .withColumn("global_pos", col("src_rank") * col("n_src") + col("src_idx"))
       .select("doc_id", "source", "src_rank", "src_idx", "global_pos")
       .orderBy("global_pos")
   }
@@ -445,7 +451,11 @@ object MixQueries {
     * itself is gated: tp/support/pred_total reduce from the cells, the
     * three ratios divide exact integers, F1 assembles from the raw
     * ratios before rounding. Classes never predicted get precision NULL
-    * (0/0), the honest answer.
+    * (0/0), the honest answer; classes PREDICTED but never occurring as
+    * a true label (possible on unbalanced data — a centroid can exist
+    * for a label no eval row carries) get support 0 and recall NULL via
+    * the FULL outer join, instead of silently vanishing from the report
+    * the way a true-side left join would drop them.
     */
   def evalPrf(s: SparkSession, d: String): DataFrame = {
     val cells = confusionCells(s, d)
@@ -457,11 +467,17 @@ object MixQueries {
       .agg(sum(col("n")).as("pred_total"))
     val p = col("tp") / col("pred_total")
     val r = col("tp") / col("support")
-    byTrue.join(broadcast(byPred), Seq("class"), "left")
+    // full outer: neither side may drop classes (no broadcast — Spark has
+    // no broadcast strategy for equi full outer; both sides are
+    // class-count-sized, whitelisted in PlanAuditSpec)
+    byTrue.join(byPred, Seq("class"), "full")
       .withColumn("pred_total", coalesce(col("pred_total"), lit(0L)))
+      .withColumn("support", coalesce(col("support"), lit(0L)))
+      .withColumn("tp", coalesce(col("tp"), lit(0L)))
       .withColumn("precision", when(col("pred_total") > 0, round(p, 6)))
-      .withColumn("recall", round(r, 6))
-      .withColumn("f1", when(col("pred_total") > 0 && (p + r) > 0,
+      .withColumn("recall", when(col("support") > 0, round(r, 6)))
+      .withColumn("f1", when(col("pred_total") > 0 && col("support") > 0
+          && (p + r) > 0,
         round(lit(2.0) * p * r / (p + r), 6)))
       .select("class", "support", "pred_total", "tp", "precision", "recall", "f1")
       .orderBy("class")
@@ -535,17 +551,21 @@ object MixQueries {
          |byp AS (
          |  SELECT pred_label AS class, CAST(sum(n) AS BIGINT) AS pred_total
          |  FROM cells GROUP BY 1)
-         |SELECT class, support,
-         |       CAST(coalesce(pred_total, 0) AS BIGINT) AS pred_total, tp,
+         |SELECT class,
+         |       CAST(coalesce(support, 0) AS BIGINT) AS support,
+         |       CAST(coalesce(pred_total, 0) AS BIGINT) AS pred_total,
+         |       CAST(coalesce(tp, 0) AS BIGINT) AS tp,
          |       CASE WHEN coalesce(pred_total, 0) > 0
-         |            THEN round(tp / pred_total, 6) END AS precision,
-         |       round(tp / support, 6) AS recall,
+         |            THEN round(coalesce(tp, 0) / pred_total, 6) END AS precision,
+         |       CASE WHEN coalesce(support, 0) > 0
+         |            THEN round(coalesce(tp, 0) / support, 6) END AS recall,
          |       CASE WHEN coalesce(pred_total, 0) > 0
+         |             AND coalesce(support, 0) > 0
          |             AND tp / pred_total + tp / support > 0
          |            THEN round(2.0 * (tp / pred_total) * (tp / support)
          |                       / (tp / pred_total + tp / support), 6)
          |       END AS f1
-         |FROM byt LEFT JOIN byp USING (class)
+         |FROM byt FULL JOIN byp USING (class)
          |ORDER BY class""".stripMargin,
     "pipeline_shard_manifest" ->
       s"""WITH docs AS (

@@ -134,7 +134,12 @@ object RelationalQueries {
     * ml_linreg_ols's power sums). Every output column's precision/scale
     * is pinned explicitly because the two engines widen sums differently
     * (Spark +10 digits, DuckDB to 38) and the driver's hash is
-    * type-sensitive.
+    * type-sensitive. All OUTPUT columns stay within DECIMAL(18,x): the
+    * r5 driver gate proved that DECIMAL(>18) — int128-backed storage,
+    * the wide-decimal cousin of the r4 HUGEINT class — hashes
+    * differently in the driver's canonicalization even when values and
+    * logical types are identical. Sums at any test SF fit 18 digits
+    * with room to spare (sf1 lineitem sums ≈ 14 digits).
     */
   def decimalMoney(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select(
@@ -146,9 +151,9 @@ object RelationalQueries {
       .withColumn("revenue", (col("price") * col("disc_factor")).cast("decimal(18,4)"))
     li.groupBy("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"),
-        sum(col("qty")).cast("decimal(28,2)").as("sum_qty"),
-        sum(col("price")).cast("decimal(28,2)").as("sum_price"),
-        sum(col("revenue")).cast("decimal(28,4)").as("sum_revenue"),
+        sum(col("qty")).cast("decimal(18,2)").as("sum_qty"),
+        sum(col("price")).cast("decimal(18,2)").as("sum_price"),
+        sum(col("revenue")).cast("decimal(18,4)").as("sum_revenue"),
         min(col("revenue")).cast("decimal(18,4)").as("min_revenue"),
         max(col("revenue")).cast("decimal(18,4)").as("max_revenue"))
       .orderBy("l_returnflag", "l_linestatus")
@@ -184,9 +189,9 @@ object RelationalQueries {
         |  FROM lineitem)
         |SELECT l_returnflag, l_linestatus,
         |       CAST(count(*) AS BIGINT) AS n,
-        |       CAST(sum(qty) AS DECIMAL(28,2)) AS sum_qty,
-        |       CAST(sum(price) AS DECIMAL(28,2)) AS sum_price,
-        |       CAST(sum(revenue) AS DECIMAL(28,4)) AS sum_revenue,
+        |       CAST(sum(qty) AS DECIMAL(18,2)) AS sum_qty,
+        |       CAST(sum(price) AS DECIMAL(18,2)) AS sum_price,
+        |       CAST(sum(revenue) AS DECIMAL(18,4)) AS sum_revenue,
         |       CAST(min(revenue) AS DECIMAL(18,4)) AS min_revenue,
         |       CAST(max(revenue) AS DECIMAL(18,4)) AS max_revenue
         |FROM li GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

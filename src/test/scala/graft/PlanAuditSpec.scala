@@ -78,6 +78,8 @@ class PlanAuditSpec extends SparkSpec {
                       // broadcastable side by semantics (model join IS hinted)
     "q_shuffle_hash_join", // the SHUFFLE_HASH hint demonstration itself —
                            // the forced ShuffledHashJoin IS the operator
+    "ml_eval_prf",    // byTrue FULL JOIN byPred: no broadcast strategy for
+                      // equi full outer; both sides class-count-sized
     "sim_sparse_knn",  // query-candidate dot table ⋈ corpus-sized norm
                        // table, co-keyed on doc_id — no broadcastable
                        // side by semantics (norms grow with the corpus)

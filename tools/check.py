@@ -9,10 +9,65 @@ and <outDir>/oracle_sql.json, runs each oracle in DuckDB against views named
 after the parquet tables in <sfDir>, and compares (column-name-sorted,
 row-sorted) results.
 """
-import json, math, sys
+import json, math, re, sys
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+# --- Type-frontier guard -----------------------------------------------------
+# The driver's hash canonicalization has twice diverged from this local gate on
+# value-equal outputs whose STORAGE CLASS had never appeared in a driver-green
+# round: r4 = HUGEINT (un-cast DuckDB integer sum), r5 = DECIMAL(28,x)
+# (int128-backed wide decimal). Guard: any output column type — on EITHER the
+# Spark-parquet side or the oracle side, nested types included — outside the
+# allowlist below (the storage classes proven green by CORRECTNESS_r01..r05)
+# is an automatic FAIL, even if values match. Widen the allowlist only after a
+# driver round proves the new class green.
+_PROVEN_ROOTS = {
+    "BOOLEAN", "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "FLOAT", "DOUBLE", "VARCHAR", "BLOB", "DATE", "TIMESTAMP",
+    "TIMESTAMP WITH TIME ZONE",
+}
+_MAX_PROVEN_DECIMAL_PRECISION = 18
+
+
+def frontier_violations(ty):
+    """Return a list of sub-type strings of `ty` outside the driver-proven set."""
+    ty = ty.strip()
+    # Nested types: recurse into every parenthesized/bracketed component.
+    m = re.match(r"^(STRUCT|MAP|UNION)\((.*)\)$", ty)
+    if m:
+        # Split top-level commas of the payload; fields look like `name TYPE`.
+        parts, depth, cur = [], 0, ""
+        for ch in m.group(2):
+            if ch in "(<[":
+                depth += 1
+            elif ch in ")>]":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append(cur)
+                cur = ""
+            else:
+                cur += ch
+        parts.append(cur)
+        out = []
+        for p in parts:
+            p = p.strip()
+            # MAP payload is `KEYTYPE, VALUETYPE` (no field name); STRUCT
+            # fields are `name TYPE` — take the longest suffix that parses.
+            sub = p.split(" ", 1)[1] if (m.group(1) == "STRUCT" and " " in p) else p
+            out.extend(frontier_violations(sub))
+        return out
+    if ty.endswith("[]"):
+        return frontier_violations(ty[:-2])
+    m = re.match(r"^DECIMAL\((\d+),\s*(\d+)\)$", ty)
+    if m:
+        if int(m.group(1)) > _MAX_PROVEN_DECIMAL_PRECISION:
+            return [ty + " (int128-backed wide decimal — r5 fail class)"]
+        return []
+    if ty in _PROVEN_ROOTS:
+        return []
+    return [ty + " (storage class never driver-proven)"]
 
 
 def canon(rows, cols):
@@ -80,6 +135,17 @@ def main():
                    if got_types[c] != exp_types[c]}
         if type_mm:
             print(f"FAIL {name}: type mismatch (spark, duck): {type_mm}")
+            n_fail += 1
+            continue
+        # Type-frontier guard (see header): fail any never-driver-proven
+        # storage class on either side, even at equal values.
+        frontier = {}
+        for c in got_types:
+            vio = frontier_violations(got_types[c]) + frontier_violations(exp_types[c])
+            if vio:
+                frontier[c] = sorted(set(vio))
+        if frontier:
+            print(f"FAIL {name}: type-frontier violation: {frontier}")
             n_fail += 1
             continue
         g = canon(got, got_cols)
