@@ -50,7 +50,8 @@ object SparkEntry {
       (Q.MlQueries2.queries, Q.MlQueries2.oracles),
       (Q.CatalogQueries.queries, Q.CatalogQueries.oracles),
       (Q.MiningQueries.queries, Q.MiningQueries.oracles),
-      (Q.InsightQueries.queries, Q.InsightQueries.oracles)
+      (Q.InsightQueries.queries, Q.InsightQueries.oracles),
+      (Q.BreadthQueries.queries, Q.BreadthQueries.oracles)
     )
 
   /** Per-module registry sizes — lets ContractSpec prove no cross-module

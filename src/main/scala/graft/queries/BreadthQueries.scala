@@ -1,0 +1,517 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 breadth batch: the remaining relational/window surfaces a
+  * reference user would reach for next (navigation window functions,
+  * collation-aware grouping, the NEAREST member of the as-of family) plus
+  * two LLM-pipeline additions (1-bit binary-signature Hamming retrieval,
+  * corpus novelty scoring) and closed-form 2-feature ridge regression on
+  * the exact-integer-sum discipline. (Unpivot and LIMIT/OFFSET were
+  * drafted here too, then dropped: MiscQueries already gates both —
+  * `q_unpivot`, `q_limit_offset`.)
+  *
+  * Scale notes per query are on each builder; every shape is one linear
+  * scan plus keyed shuffles — the only window over an unbounded partition
+  * (q_window_nth) is partitioned by user_id, never global.
+  */
+object BreadthQueries {
+
+  /** Navigation window functions over the FULL partition frame:
+    * first_value / nth_value(2) / last_value per user's event history —
+    * the "compare each event to the account's first/second/latest"
+    * analytics staple (q_window_rank/lag cover ranking and offsets; this
+    * is the remaining navigation trio). Values are selected, not
+    * computed, so doubles pass through bit-identical. One user-keyed
+    * shuffle.
+    */
+  def windowNth(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("first_v", first(col("value")).over(w))
+      .withColumn("second_v", nth_value(col("value"), 2).over(w))
+      .withColumn("last_v", last(col("value")).over(w))
+      .orderBy("event_id")
+  }
+
+  /** Collation-aware grouping (Spark 4 collations): event types with
+    * per-row randomized casing grouped under UTF8_LCASE so 'CLICK' and
+    * 'click' land in one group. The collated key itself is never output
+    * (its representative value is partition-order-dependent); the
+    * deterministic min/max raw variants and exact aggregates are. Oracle
+    * side groups by lower() — equivalent to UTF8_LCASE equality on this
+    * ASCII domain.
+    */
+  def collateGroup(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        when(col("event_id") % 2 === 0, upper(col("event_type")))
+          .otherwise(col("event_type")).as("et"),
+        round(col("value") * 100).cast("long").as("v_c"))
+      .groupBy(expr("collate(et, 'UTF8_LCASE')").as("k"))
+      .agg(min(col("et")).as("variant_min"), max(col("et")).as("variant_max"),
+        count(lit(1)).as("n"), sum(col("v_c")).as("sum_c"))
+      .select("variant_min", "variant_max", "n", "sum_c")
+      .orderBy("variant_min")
+
+  /** NEAREST-direction as-of join (pandas merge_asof direction='nearest'):
+    * each purchase paired with whichever same-user click — most recent
+    * prior or next following — is closer in time, ties to the prior one.
+    * Composes the backward and forward window passes (q_asof_join /
+    * q_asof_forward) in ONE user-keyed shuffle; exact µs gap arithmetic.
+    */
+  def asofNearest(s: SparkSession, d: String): DataFrame = {
+    val wPrev = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val clickUs = when(col("event_type") === "click", col("us"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("prev_click", last(clickUs, ignoreNulls = true).over(wPrev))
+      .withColumn("next_click", first(clickUs, ignoreNulls = true).over(wNext))
+      .filter(col("event_type") === "purchase")
+      .withColumn("nearest_click_us",
+        when(col("prev_click").isNull, col("next_click"))
+          .when(col("next_click").isNull, col("prev_click"))
+          .when(col("us") - col("prev_click") <= col("next_click") - col("us"),
+            col("prev_click"))
+          .otherwise(col("next_click")))
+      .withColumn("gap_us", abs(col("us") - col("nearest_click_us")))
+      .withColumn("direction",
+        when(col("nearest_click_us").isNull, "none")
+          .when(col("prev_click").isNotNull
+            && col("nearest_click_us") === col("prev_click"), "backward")
+          .otherwise("forward"))
+      .select(col("event_id"), col("user_id"), col("us").as("purchase_us"),
+        col("nearest_click_us"), col("gap_us"), col("direction"))
+      .orderBy("event_id")
+  }
+
+  /** 1-bit binary embedding quantization + Hamming top-k retrieval — the
+    * memory-extreme member of the quantization family (int8 and PQ are
+    * `emb_quantize_int8` / `emb_pq_codes`): sign bits packed into two
+    * 32-bit words per 64-dim vector (64× memory cut), query set
+    * broadcast, candidates ranked by exact popcount Hamming distance
+    * with the true cosine carried for quality auditing. Two 32-bit words
+    * rather than one 64-bit word keeps the bit-sum in non-negative int64
+    * on BOTH engines (DuckDB's 1<<63 sign wrap would diverge). Scale:
+    * signatures are 16 bytes/vector; the scan streams, the only shuffle
+    * is the per-query top-k window over candidate rows.
+    */
+  def binaryHammingTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    def word(lo: Int): Column = expr(
+      s"""aggregate(transform(sequence(0, 31),
+         |  i -> IF(element_at(v, i + ${lo + 1}) > CAST(0 AS DOUBLE),
+         |          shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+         |  CAST(0 AS BIGINT), (a, b) -> a + b)""".stripMargin)
+    val sig = e.select(col("vec_id"), col("v"),
+      word(0).as("w0"), word(32).as("w1"))
+    val q = sig.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("w0").as("qw0"), col("w1").as("qw1"))
+    val wnd = Window.partitionBy("qid").orderBy(col("hamming"), col("vec_id"))
+    sig.filter(col("vec_id") >= 10)
+      .crossJoin(broadcast(q))
+      .withColumn("hamming",
+        expr("CAST(bit_count(w0 ^ qw0) + bit_count(w1 ^ qw1) AS INT)"))
+      .withColumn("rank", row_number().over(wnd))
+      .filter(col("rank") <= k)
+      .withColumn("cos",
+        graft.plans.CosineSimilarity.cosine_sim(col("v"), col("qv")))
+      .select(col("qid"), col("vec_id"), col("hamming"), col("cos"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Corpus NOVELTY score per document: the fraction of a doc's distinct
+    * bigrams whose global FIRST occurrence (min doc_id) is this doc —
+    * high novelty = new content entering the corpus, low = recombination
+    * of what ingestion already saw; the memorization/duplication signal
+    * ranked right after dedup in curation stacks. One shingle-keyed
+    * shuffle for the global min, one doc-keyed aggregate; exact
+    * BIGINT÷BIGINT ratio.
+    */
+  def textNovelty(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.{bigramShingles, spaceTokens}
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(bigramShingles(spaceTokens(col("text")))).as("sh"))
+    val firstSeen = sh.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firstSeen, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_first"))
+      .withColumn("novelty",
+        col("n_first").cast("long") / col("n_bigrams").cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** Closed-form 2-feature ridge regression (no intercept, λ = 10^6 on
+    * the cent² scale): β = (XᵀX + λI)⁻¹ Xᵀy via the explicit 2×2
+    * inverse, from five exact BIGINT power sums over cent-scaled
+    * lineitem columns — the multivariate extension of `ml_linreg_ols`
+    * on the same fixed-point determinism discipline (the sums are exact
+    * integers; the final double formula is evaluated with an identical
+    * expression tree in both engines). One map-side-combinable aggregate
+    * over one scan.
+    */
+  def ridge2f(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(
+      round(col("l_quantity") * 100).cast("long").as("x1"),
+      round(col("l_discount") * 100).cast("long").as("x2"),
+      round(col("l_extendedprice") * 100).cast("long").as("y"))
+    val sums = li.agg(
+      count(lit(1)).as("n"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("x1") * col("y")).as("s1y"),
+      sum(col("x2") * col("y")).as("s2y"))
+    val lam = lit(1000000.0)
+    val a = col("s11").cast("double") + lam
+    val c = col("s22").cast("double") + lam
+    val b = col("s12").cast("double")
+    val det = a * c - b * b
+    sums
+      .withColumn("beta1",
+        (c * col("s1y").cast("double") - b * col("s2y").cast("double")) / det)
+      .withColumn("beta2",
+        (a * col("s2y").cast("double") - b * col("s1y").cast("double")) / det)
+      .select("n", "s11", "s12", "s22", "s1y", "s2y", "beta1", "beta2")
+  }
+
+  /** Per-source unigram KL divergence from the corpus distribution — the
+    * domain-shift diagnostic behind mixture planning (pipeline_mixture
+    * decides rates; this measures how far each source's token
+    * distribution sits from the blend). One (source, word) aggregate,
+    * corpus totals via windows over that bounded grid (never a second
+    * scan); each p·ln(p/q) term is micro-rounded to BIGINT before the
+    * per-source sum, so the result is order-independent — a raw double
+    * sum over an unordered vocabulary would drift bits between
+    * partitionings.
+    */
+  def klSource(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.spaceTokens
+    val sw = Tables.documents(s, d)
+      .select(col("source"), explode(spaceTokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+    val byW = Window.partitionBy("w")
+    val byS = Window.partitionBy("source")
+    val all = Window.partitionBy(lit(1))
+    val p = col("c_sw").cast("double") / col("n_s").cast("double")
+    val q = col("c_w").cast("double") / col("n").cast("double")
+    sw.withColumn("c_w", sum(col("c_sw")).over(byW))
+      .withColumn("n_s", sum(col("c_sw")).over(byS))
+      .withColumn("n", sum(col("c_sw")).over(all))
+      .withColumn("term_micro", round(p * log(p / q) * 1e12).cast("long"))
+      .groupBy("source")
+      .agg(max(col("n_s")).as("n_tokens"), count(lit(1)).as("n_terms"),
+        sum(col("term_micro")).as("kl_micro"))
+      .withColumn("kl", col("kl_micro") / 1e12)
+      .orderBy("source")
+  }
+
+  /** Per-document character-level Shannon entropy — the gibberish /
+    * low-information detector (a run of one repeated character scores ~0
+    * bits, natural text sits near the alphabet's ceiling): exact char
+    * counts, each −p·ln(p) term micro-rounded to BIGINT before the
+    * per-doc sum (order-independent, as klSource). Characters enumerate
+    * via an explicit index transform so both engines see the identical
+    * decomposition. Linear: one char-explode scan, two keyed aggregates.
+    */
+  def charEntropy(s: SparkSession, d: String): DataFrame = {
+    val chars = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
+          .as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("k"))
+    val byDoc = Window.partitionBy("doc_id")
+    val p = col("k").cast("double") / col("n").cast("double")
+    chars.withColumn("n", sum(col("k")).over(byDoc))
+      .withColumn("term_micro", round(-(p * log(p)) * 1e12).cast("long"))
+      .groupBy("doc_id")
+      .agg(max(col("n")).as("n_chars"), count(lit(1)).as("n_distinct_chars"),
+        sum(col("term_micro")).as("ent_micro"))
+      .withColumn("entropy_nats", col("ent_micro") / 1e12)
+      .orderBy("doc_id")
+  }
+
+  /** T5-style span corruption plan (deterministic): tokens partition into
+    * 3-token spans, a salted-FNV draw masks ~1/10 of spans, and the doc
+    * reassembles WITHOUT the masked spans (the corrupted input a
+    * denoising objective trains on), with exact mask accounting. Hash
+    * determinism makes the corruption layout- and engine-independent —
+    * the property that lets a rerun reproduce the same training set
+    * byte-for-byte. One explode + one doc-keyed aggregate.
+    */
+  def spanCorruption(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.spaceTokens
+    import graft.plans.Fnv1a64
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(spaceTokens(col("text"))).as(Seq("idx", "tok")))
+      .withColumn("span_id", (col("idx").cast("long") / lit(3)).cast("long"))
+    val masked = Fnv1a64.ihash31(concat(lit("span|"),
+      col("doc_id").cast("string"), lit("|"), col("span_id").cast("string")))
+      .%(10) === 0
+    toks.withColumn("masked", masked)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"),
+        countDistinct(when(col("masked"), col("span_id"))).as("n_masked_spans"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(!col("masked"),
+            struct(col("idx"), col("tok"))))),
+          x => x.getField("tok"))).as("corrupted"))
+      .orderBy("doc_id")
+  }
+
+  /** Explicit NULL-ordering semantics (NULLS FIRST / NULLS LAST): open
+    * orders' prices made NULL, then ranked per priority under BOTH
+    * placements — the contract a cross-engine sort must pin, since
+    * engines default differently (Spark ASC = nulls first, DuckDB ASC =
+    * nulls last). Ranks computed per priority group (bounded partitions,
+    * never a global single-partition window).
+    */
+  def sortNulls(s: SparkSession, d: String): DataFrame = {
+    val v = when(col("o_orderstatus") =!= "O",
+      round(col("o_totalprice") * 100).cast("long"))
+    val wNf = Window.partitionBy("o_orderpriority")
+      .orderBy(col("val").asc_nulls_first, col("o_orderkey"))
+    val wNl = Window.partitionBy("o_orderpriority")
+      .orderBy(col("val").desc_nulls_last, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), v.as("val"))
+      .withColumn("rn_nulls_first", row_number().over(wNf))
+      .withColumn("rn_nulls_last", row_number().over(wNl))
+      .orderBy("o_orderkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_kl_source" -> (klSource(_, _)),
+    "text_char_entropy" -> (charEntropy(_, _)),
+    "pipeline_span_corruption" -> (spanCorruption(_, _)),
+    "q_sort_nulls" -> (sortNulls(_, _)),
+    "q_window_nth" -> (windowNth(_, _)),
+    "q_collate" -> (collateGroup(_, _)),
+    "q_asof_nearest" -> (asofNearest(_, _)),
+    "sim_binary_hamming" -> (binaryHammingTopK(_, _)),
+    "text_novelty" -> (textNovelty(_, _)),
+    "ml_ridge_2f" -> (ridge2f(_, _))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_kl_source" ->
+      """WITH sw AS (
+        |  SELECT source, u.w, count(*) AS c_sw
+        |  FROM (SELECT source, string_split(text, ' ') AS l FROM documents),
+        |       unnest(l) AS u(w)
+        |  GROUP BY source, u.w),
+        |g AS (
+        |  SELECT source, w, c_sw,
+        |         sum(c_sw) OVER (PARTITION BY w) AS c_w,
+        |         sum(c_sw) OVER (PARTITION BY source) AS n_s,
+        |         sum(c_sw) OVER () AS n
+        |  FROM sw),
+        |t AS (
+        |  SELECT source, n_s,
+        |         CAST(round((CAST(c_sw AS DOUBLE) / CAST(n_s AS DOUBLE))
+        |           * ln((CAST(c_sw AS DOUBLE) / CAST(n_s AS DOUBLE))
+        |                / (CAST(c_w AS DOUBLE) / CAST(n AS DOUBLE))) * 1e12)
+        |           AS BIGINT) AS term_micro
+        |  FROM g)
+        |SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_terms,
+        |       CAST(sum(term_micro) AS BIGINT) AS kl_micro,
+        |       CAST(sum(term_micro) AS BIGINT) / 1e12 AS kl
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    "text_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, u.ch, count(*) AS k
+        |  FROM (SELECT doc_id,
+        |               list_transform(range(1, length(text) + 1),
+        |                              i -> text[i:i]) AS l
+        |        FROM documents),
+        |       unnest(l) AS u(ch)
+        |  GROUP BY doc_id, u.ch),
+        |g AS (SELECT doc_id, k, sum(k) OVER (PARTITION BY doc_id) AS n
+        |      FROM ch),
+        |t AS (
+        |  SELECT doc_id, n,
+        |         CAST(round(-((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        |           * ln(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))) * 1e12)
+        |           AS BIGINT) AS term_micro
+        |  FROM g)
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
+        |       CAST(count(*) AS BIGINT) AS n_distinct_chars,
+        |       CAST(sum(term_micro) AS BIGINT) AS ent_micro,
+        |       CAST(sum(term_micro) AS BIGINT) / 1e12 AS entropy_nats
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "pipeline_span_corruption" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, l[r.i] AS tok, CAST(r.i - 1 AS BIGINT) AS idx,
+         |         CAST((r.i - 1) // 3 AS BIGINT) AS span_id
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |       unnest(range(1, len(l) + 1)) AS r(i)),
+         |m AS (
+         |  SELECT doc_id, tok, idx, span_id,
+         |         (CAST(${OracleSql.fnvIhash31(
+              "('span|' || CAST(doc_id AS VARCHAR) || '|' || CAST(span_id AS VARCHAR))")}
+         |               AS BIGINT) % 10 = 0) AS masked
+         |  FROM toks)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_masked,
+         |       CAST(count(DISTINCT CASE WHEN masked THEN span_id END)
+         |            AS BIGINT) AS n_masked_spans,
+         |       coalesce(string_agg(CASE WHEN NOT masked THEN tok END, ' '
+         |                           ORDER BY idx), '') AS corrupted
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_sort_nulls" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |         CASE WHEN o_orderstatus <> 'O'
+        |              THEN CAST(round(o_totalprice * 100) AS BIGINT) END AS val
+        |  FROM orders)
+        |SELECT o_orderkey, o_orderpriority, val,
+        |       CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |            ORDER BY val ASC NULLS FIRST, o_orderkey) AS INT)
+        |         AS rn_nulls_first,
+        |       CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |            ORDER BY val DESC NULLS LAST, o_orderkey) AS INT)
+        |         AS rn_nulls_last
+        |FROM o ORDER BY o_orderkey""".stripMargin,
+    "q_window_nth" ->
+      """SELECT event_id, user_id,
+        |       epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value,
+        |       first_value(value) OVER w AS first_v,
+        |       nth_value(value, 2) OVER w AS second_v,
+        |       last_value(value) OVER w AS last_v
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin,
+    "q_collate" ->
+      """WITH ev AS (
+        |  SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+        |              ELSE event_type END AS et,
+        |         CAST(round(value * 100) AS BIGINT) AS v_c
+        |  FROM events)
+        |SELECT min(et) AS variant_min, max(et) AS variant_max,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(v_c) AS BIGINT) AS sum_c
+        |FROM ev GROUP BY lower(et) ORDER BY variant_min""".stripMargin,
+    "q_asof_nearest" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type,
+        |         last_value(CASE WHEN event_type = 'click'
+        |                         THEN epoch_us(CAST(ts AS TIMESTAMP)) END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id
+        |                 ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_click,
+        |         first_value(CASE WHEN event_type = 'click'
+        |                          THEN epoch_us(CAST(ts AS TIMESTAMP)) END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id
+        |                 ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+        |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_click
+        |  FROM events),
+        |p AS (
+        |  SELECT event_id, user_id, us AS purchase_us, prev_click, next_click,
+        |         CASE WHEN prev_click IS NULL THEN next_click
+        |              WHEN next_click IS NULL THEN prev_click
+        |              WHEN us - prev_click <= next_click - us THEN prev_click
+        |              ELSE next_click END AS nearest_click_us
+        |  FROM e WHERE event_type = 'purchase')
+        |SELECT event_id, user_id, purchase_us, nearest_click_us,
+        |       abs(purchase_us - nearest_click_us) AS gap_us,
+        |       CASE WHEN nearest_click_us IS NULL THEN 'none'
+        |            WHEN prev_click IS NOT NULL
+        |                 AND nearest_click_us = prev_click THEN 'backward'
+        |            ELSE 'forward' END AS direction
+        |FROM p ORDER BY event_id""".stripMargin,
+    "sim_binary_hamming" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |sig AS (
+        |  SELECT vec_id, v,
+        |         CAST(list_sum(list_transform(range(0, 32),
+        |           i -> CASE WHEN v[i + 1] > CAST(0 AS DOUBLE)
+        |                     THEN (CAST(1 AS BIGINT) << i)
+        |                     ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w0,
+        |         CAST(list_sum(list_transform(range(0, 32),
+        |           i -> CASE WHEN v[i + 33] > CAST(0 AS DOUBLE)
+        |                     THEN (CAST(1 AS BIGINT) << i)
+        |                     ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w1
+        |  FROM e),
+        |q AS (SELECT vec_id AS qid, v AS qv, w0 AS qw0, w1 AS qw1
+        |      FROM sig WHERE vec_id < 10),
+        |pairs AS (
+        |  SELECT qid, vec_id,
+        |         CAST(bit_count(xor(w0, qw0)) + bit_count(xor(w1, qw1)) AS INT)
+        |           AS hamming,
+        |         list_cosine_similarity(v, qv) AS cos,
+        |         CAST(row_number() OVER (PARTITION BY qid
+        |              ORDER BY bit_count(xor(w0, qw0)) + bit_count(xor(w1, qw1)),
+        |                       vec_id) AS INT) AS rank
+        |  FROM sig CROSS JOIN q
+        |  WHERE vec_id >= 10)
+        |SELECT qid, vec_id, hamming, cos, rank FROM pairs
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "text_novelty" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(
+        |    list_distinct(list_transform(list_zip(l[1:len(l)-1], l[2:len(l)]),
+        |                                 x -> x[1] || ' ' || x[2]))) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+        |fs AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh)
+        |SELECT s.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(CASE WHEN fs.first_doc = s.doc_id THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_first,
+        |       CAST(sum(CASE WHEN fs.first_doc = s.doc_id THEN 1 ELSE 0 END)
+        |            AS BIGINT) / CAST(count(*) AS BIGINT) AS novelty
+        |FROM sh s JOIN fs USING (sh)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "ml_ridge_2f" ->
+      """WITH li AS (
+        |  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS x1,
+        |         CAST(round(l_discount * 100) AS BIGINT) AS x2,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x1 * x1) AS BIGINT) AS s11,
+        |         CAST(sum(x1 * x2) AS BIGINT) AS s12,
+        |         CAST(sum(x2 * x2) AS BIGINT) AS s22,
+        |         CAST(sum(x1 * y) AS BIGINT) AS s1y,
+        |         CAST(sum(x2 * y) AS BIGINT) AS s2y
+        |  FROM li)
+        |SELECT n, s11, s12, s22, s1y, s2y,
+        |       ((CAST(s22 AS DOUBLE) + 1000000.0) * CAST(s1y AS DOUBLE)
+        |          - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE))
+        |       / ((CAST(s11 AS DOUBLE) + 1000000.0)
+        |            * (CAST(s22 AS DOUBLE) + 1000000.0)
+        |          - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE)) AS beta1,
+        |       ((CAST(s11 AS DOUBLE) + 1000000.0) * CAST(s2y AS DOUBLE)
+        |          - CAST(s12 AS DOUBLE) * CAST(s1y AS DOUBLE))
+        |       / ((CAST(s11 AS DOUBLE) + 1000000.0)
+        |            * (CAST(s22 AS DOUBLE) + 1000000.0)
+        |          - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE)) AS beta2
+        |FROM s""".stripMargin
+  )
+}

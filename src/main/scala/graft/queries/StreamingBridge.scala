@@ -83,6 +83,41 @@ object StreamingBridge {
         col("cnt"), round(col("sum_value"), 2).as("sum_value"))
     }.orderBy("win_start", "event_type")
 
+  /** Streaming UNION of two sources (the multi-topic ingestion shape:
+    * one query consuming several feeds): the events table split into two
+    * bounded streams by event-id parity, unioned INSIDE the streaming
+    * query, then windowed — watermark and state machinery span both
+    * sources (the watermark is the min across inputs, so neither source
+    * can advance state eviction past the other). Settled result must
+    * equal the single-source tumbling query on the whole table.
+    */
+  def unionViaStream(s: SparkSession, d: String): DataFrame = {
+    val a = eventsStream(s, d).filter(col("event_id") % 2 === 0)
+    val b = eventsStream(s, d).filter(col("event_id") % 2 =!= 0)
+    runSettled(s, "union", StreamingOps.tumblingCounts(a.unionByName(b)),
+      OutputMode.Complete()) {
+      _.select(col("win_start").cast("long").as("win_start"), col("event_type"),
+        col("cnt"), round(col("sum_value"), 2).as("sum_value"))
+    }.orderBy("win_start", "event_type")
+  }
+
+  /** CHAINED window aggregations (two stateful aggs in ONE streaming
+    * query — StreamingOps.chainedWindowAgg) under the gate: Append mode,
+    * so only watermark-closed windows reach the sink; the trailing batch
+    * (singleBatch = false) lets the zero-delay watermark flush every
+    * window that ends at-or-before max(ts). Oracle = batch double
+    * aggregate with the same end ≤ ms-truncated-watermark keep filter
+    * (Spark truncates event-time watermarks to ms — the stream_late_drop
+    * discipline).
+    */
+  def chainedAggViaStream(s: SparkSession, d: String): DataFrame =
+    runSettled(s, "chained",
+      StreamingOps.chainedWindowAgg(eventsStream(s, d)),
+      OutputMode.Append(), singleBatch = false) {
+      _.select(col("win_start").cast("long").as("win_start"),
+        col("n_types"), col("n_events"))
+    }.orderBy("win_start")
+
   /** Sliding 10/5-minute windows via the streaming engine; equals
     * `q_events_sliding` (each event lands in exactly two panes; the window
     * state store holds horizon/slide panes per key — the bounded-state
@@ -518,6 +553,8 @@ object StreamingBridge {
     "stream_session_starts" -> (sessionStartsViaStream(_, _)),
     "stream_user_totals" -> (userTotalsViaStream(_, _)),
     "stream_transform_state" -> (transformStateViaStream(_, _)),
+    "stream_chained_agg" -> (chainedAggViaStream(_, _)),
+    "stream_union" -> (unionViaStream(_, _)),
     "stream_events_tumbling" -> (tumblingViaStream(_, _)),
     "stream_events_sliding" -> (slidingViaStream(_, _)),
     "stream_events_session" -> (sessionViaStream(_, _))
@@ -644,7 +681,27 @@ object StreamingBridge {
         |       round(sum(value), 2) AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // identical oracle to q_events_tumbling — THAT is the equivalence claim
+    // windows strictly closed by the final zero-delay watermark (Spark
+    // truncates the watermark to ms; window ends are whole seconds)
+    "stream_chained_agg" ->
+      """WITH wm AS (
+        |  SELECT (epoch_us(max(CAST(ts AS TIMESTAMP))) // 1000) * 1000 AS w_us
+        |  FROM events),
+        |l1 AS (
+        |  SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_start,
+        |         event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |l2 AS (
+        |  SELECT win_start, CAST(count(*) AS BIGINT) AS n_types,
+        |         CAST(sum(cnt) AS BIGINT) AS n_events
+        |  FROM l1 GROUP BY 1)
+        |SELECT win_start, n_types, n_events
+        |FROM l2, wm
+        |WHERE (win_start + 600) * 1000000 <= wm.w_us
+        |ORDER BY win_start""".stripMargin,
     "stream_events_tumbling" -> EventQueries.oracles("q_events_tumbling"),
+    // parity-split union must reassemble the whole table exactly
+    "stream_union" -> EventQueries.oracles("q_events_tumbling"),
     "stream_events_sliding" -> EventQueries.oracles("q_events_sliding"),
     // the batch sessionization oracle, projected to the streaming shape
     "stream_events_session" ->

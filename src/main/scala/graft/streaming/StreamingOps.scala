@@ -28,6 +28,29 @@ object StreamingOps {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  /** CHAINED stateful aggregations in one streaming query (Spark 4
+    * multiple-stateful-operator support, 3.4+): tumbling 10-minute counts
+    * per (window, event_type), re-aggregated per window downstream — the
+    * "aggregate of an aggregate" every rollup dashboard needs, expressed
+    * as ONE query instead of two jobs with an intermediate topic. Append
+    * mode: the first aggregate emits a (window, type) row only when the
+    * watermark closes the window; the second aggregate receives those
+    * finalized rows (the window struct carries event-time through) and
+    * closes its own per-window groups on the same watermark. Zero-delay
+    * watermark: every window strictly before max(ts) flushes; the
+    * still-open trailing window correctly stays in state — the oracle
+    * mirrors that with an explicit end ≤ watermark filter.
+    */
+  def chainedWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("window"))
+      .agg(count(lit(1)).as("n_types"), sum(col("cnt")).as("n_events"))
+      .select(col("window.start").as("win_start"), col("n_types"),
+        col("n_events"))
+
   /** Sliding 10/5-minute windowed sums. */
   def slidingSums(events: DataFrame): DataFrame =
     events

@@ -65,8 +65,10 @@ class PlanAuditSpec extends SparkSpec {
     "sim_sparse_knn",         // broadcast 1-row n_docs scalar × term stats
     "graph_modularity",       // broadcast 1-row 2m-edge-count scalar × communities
     "text_cooc_pmi",          // broadcast 1-row n_docs scalar × pair table
-    "ml_eval_prf"             // broadcast 10-row centroid model × corpus stream
+    "ml_eval_prf",            // broadcast 10-row centroid model × corpus stream
                               // (the ml_eval_confusion shape, shared cells)
+    "sim_binary_hamming"      // broadcast 10-query signature set × corpus
+                              // stream (the sim_cosine_topk shape)
   )
   private val allowShuffleJoin = Set(
     "q_join_full",    // full outer: no broadcastable side by semantics
