@@ -300,7 +300,32 @@ object BreadthQueries {
       .orderBy("o_orderkey")
   }
 
+  /** ANN retrieval quality audit: per-query recall@5 of the LSH retrieval
+    * (`sim_ann_topk`) against the exact cosine top-5 (`sim_cosine_topk`)
+    * — the evaluation every approximate index ships with, HERE as a gated
+    * query rather than a test-only number, so a band-geometry or hash
+    * change that silently degrades recall fails the driver gate. Reuses
+    * both registry builders verbatim (one definition each side, the
+    * lshTableSigs discipline); exact integer hit counts, k-denominator
+    * ratio.
+    */
+  def annRecallAtK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val brute = SimilarityQueries.cosineTopK(s, d, k)
+      .select(col("qid"), col("vec_id"))
+    val ann = SimilarityQueries.annTopK(s, d, k)
+      .select(col("qid").as("aqid"), col("vec_id").as("avid"))
+    brute.join(broadcast(ann),
+        col("qid") === col("aqid") && col("vec_id") === col("avid"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("avid").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .withColumn("recall_at_k",
+        col("n_hit").cast("long") / col("k").cast("long"))
+      .orderBy("qid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ann_recall" -> (annRecallAtK(_, _)),
     "text_kl_source" -> (klSource(_, _)),
     "text_char_entropy" -> (charEntropy(_, _)),
     "pipeline_span_corruption" -> (spanCorruption(_, _)),
@@ -314,6 +339,22 @@ object BreadthQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // composes the two similarity oracles verbatim as CTEs — recall is
+    // judged against the SAME ground truths the driver already gates
+    "sim_ann_recall" ->
+      s"""WITH brute AS (
+         |${SimilarityQueries.oracles("sim_cosine_topk")}
+         |),
+         |ann AS (
+         |${SimilarityQueries.oracles("sim_ann_topk")}
+         |)
+         |SELECT b.qid, CAST(count(*) AS BIGINT) AS k,
+         |       CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_hit,
+         |       CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) / CAST(count(*) AS BIGINT) AS recall_at_k
+         |FROM brute b LEFT JOIN ann a ON b.qid = a.qid AND b.vec_id = a.vec_id
+         |GROUP BY b.qid ORDER BY b.qid""".stripMargin,
     "text_kl_source" ->
       """WITH sw AS (
         |  SELECT source, u.w, count(*) AS c_sw

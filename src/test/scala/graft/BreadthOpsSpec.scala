@@ -92,6 +92,18 @@ class BreadthOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("beta2") === (a * s2y.toDouble - b * s1y.toDouble) / det)
   }
 
+  test("ann recall audit: every query covered, recall in [0,1], mean >= 0.9") {
+    val rows = BreadthQueries.annRecallAtK(spark, sf).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("k") === 5L)
+      val rec = r.getAs[Double]("recall_at_k")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    val mean = rows.map(_.getAs[Double]("recall_at_k")).sum / rows.length
+    assert(mean >= 0.9, s"LSH recall@5 degraded to $mean — band geometry regression")
+  }
+
   test("kl divergence: non-negative (up to micro-rounding), tokens reconcile") {
     val rows = BreadthQueries.klSource(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -67,8 +67,10 @@ class PlanAuditSpec extends SparkSpec {
     "text_cooc_pmi",          // broadcast 1-row n_docs scalar × pair table
     "ml_eval_prf",            // broadcast 10-row centroid model × corpus stream
                               // (the ml_eval_confusion shape, shared cells)
-    "sim_binary_hamming"      // broadcast 10-query signature set × corpus
+    "sim_binary_hamming",     // broadcast 10-query signature set × corpus
                               // stream (the sim_cosine_topk shape)
+    "sim_ann_recall"          // inherits sim_cosine_topk's broadcast
+                              // query-set × corpus shape verbatim
   )
   private val allowShuffleJoin = Set(
     "q_join_full",    // full outer: no broadcastable side by semantics
