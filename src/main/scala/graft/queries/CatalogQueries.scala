@@ -425,7 +425,83 @@ object CatalogQueries {
       .withColumn("n_dropmode", lit(nDrop))
   }
 
+  /** Hidden file-metadata columns (`_metadata.file_name` / `file_size`):
+    * the ingestion-lineage surface — every production loader records
+    * which file each row came from. Grouping by the metadata column
+    * proves it rides the scan (not a literal); the fixture is a single
+    * file so the name and row count are deterministic. At 100 TB this is
+    * how per-file audit counts and quarantine-by-file work without a
+    * filename column materialized in the data.
+    */
+  def metadataCols(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/lineitem.parquet")
+      .select(expr("_metadata.file_name").as("file_name"), col("l_orderkey"))
+      .groupBy("file_name")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy("file_name")
+
+  /** Column DEFAULT values (Spark 3.4+ DDL surface): a table declared
+    * with defaults, rows inserted WITHOUT those columns, and the filled
+    * values read back — the schema-evolution affordance that lets old
+    * writers keep inserting after a column lands. Same DDL runs in both
+    * engines; the oracle restates the expected rows as VALUES.
+    */
+  def defaultCols(s: SparkSession, d: String): DataFrame = {
+    val t = s"graft_defaults_${sfTag(d)}"
+    // EXTERNAL table at a tmpRoot location with INSERT OVERWRITE first
+    // (the q_sql_dml discipline): a MANAGED table's leftover warehouse
+    // directory makes CREATE fail in any later JVM whose catalog never
+    // saw the table — exactly how the first full re-run of this query
+    // failed (LOCATION_ALREADY_EXISTS).
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(
+      s"""CREATE TABLE $t (
+         |  id BIGINT,
+         |  status STRING DEFAULT 'new',
+         |  score BIGINT DEFAULT 42)
+         |  USING parquet LOCATION '$tmpRoot/defaults_${sfTag(d)}'""".stripMargin)
+    s.sql(s"INSERT OVERWRITE $t (id) VALUES (1), (2)")
+    s.sql(s"INSERT INTO $t (id, status) VALUES (3, 'done')")
+    s.sql(s"INSERT INTO $t VALUES (4, 'full', 7)")
+    s.sql(s"SELECT id, status, score FROM $t ORDER BY id")
+  }
+
+  /** CSV QUOTING round-trip: values containing the delimiter, double
+    * quotes, AND embedded newlines — the three things naive CSV handling
+    * corrupts — written through Spark's CSV codec and read back with
+    * multiLine=true. The payload is constructed deterministically from
+    * fixture columns, and the oracle re-derives the same expression
+    * directly, so the gate proves the codec's escaping is lossless (a
+    * quoting bug shows up as a hash mismatch or a row-count explosion
+    * from split records). Complements q_csv_roundtrip (clean values) and
+    * q_csv_malformed (broken rows).
+    */
+  def csvQuoted(s: SparkSession, d: String): DataFrame = {
+    val tricky = concat(col("source"), lit(",\""), col("lang"),
+      lit("\"\n"), substring(col("text"), 1, 20))
+    val src = Tables.documents(s, d)
+      .select(col("doc_id"), tricky.as("payload"))
+    val path = s"$tmpRoot/csv_quoted_${sfTag(d)}"
+    // Spark's CSV codec TRIMS leading/trailing whitespace by default on
+    // both write and read — lossy for free-text payloads (this fixture's
+    // substrings end in spaces). Disabling the trim on both sides is part
+    // of the lossless-roundtrip contract this query pins.
+    src.write.mode("overwrite").option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(path)
+    s.read.option("header", "true").option("multiLine", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .schema(src.schema).csv(path)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_csv_quoted" -> (csvQuoted(_, _)),
+    "q_metadata_cols" -> (metadataCols(_, _)),
+    "q_default_cols" -> (defaultCols(_, _)),
     "q_cached_scan" -> (cachedScan(_, _)),
     "q_csv_malformed" -> (csvMalformed(_, _)),
     "q_binaryfile_roundtrip" -> (binaryfileRoundtrip(_, _)),
@@ -442,6 +518,24 @@ object CatalogQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_csv_quoted" ->
+      """SELECT doc_id,
+        |       source || ',"' || lang || '"' || chr(10)
+        |         || substr(text, 1, 20) AS payload
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_metadata_cols" ->
+      """SELECT 'lineitem.parquet' AS file_name,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_default_cols" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'new',  CAST(42 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), 'new',  CAST(42 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), 'done', CAST(42 AS BIGINT)),
+        |  (CAST(4 AS BIGINT), 'full', CAST(7 AS BIGINT)))
+        |  AS t(id, status, score)
+        |ORDER BY id""".stripMargin,
     "q_cached_scan" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
         |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)

@@ -83,6 +83,38 @@ object StreamingBridge {
         col("cnt"), round(col("sum_value"), 2).as("sum_value"))
     }.orderBy("win_start", "event_type")
 
+  /** Trigger.AvailableNow MULTI-BATCH run (the Trigger.Once successor and
+    * the production backfill trigger): the events table split into 4
+    * parquet files, streamed with maxFilesPerTrigger=1 so the bounded
+    * input processes as ≥4 micro-batches with aggregate STATE carried
+    * across batch boundaries — the cross-batch commit/restore path the
+    * single-batch bridges never touch. A runtime probe REQUIRES multiple
+    * micro-batches (rate-limit regression would silently degrade this to
+    * the Once shape); the settled Complete-mode totals must equal the
+    * batch aggregate regardless of how rows fell into files.
+    */
+  def availableNowViaStream(s: SparkSession, d: String): DataFrame = {
+    val root = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      "/graft_stream/events_split_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    Tables.events(s, d).repartition(4).write.mode("overwrite").parquet(root)
+    val raw = s.read.parquet(root).schema
+    val src = Tables.normalizeTs(
+      s.readStream.schema(raw).option("maxFilesPerTrigger", "1").parquet(root),
+      raw("ts").dataType)
+    val counts = src.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("v_c"))
+    val name = s"graft_stream_avnow_${counter.incrementAndGet()}"
+    val q = StreamingOps.toMemorySinkAvailableNow(counts, name,
+      OutputMode.Complete())
+    val nBatches = try { q.awaitTermination(); q.recentProgress.length }
+      finally q.stop()
+    require(nBatches >= 2,
+      s"AvailableNow ran $nBatches micro-batch(es) — maxFilesPerTrigger not honored")
+    settle(s, name, s.table(name))
+      .orderBy("user_id", "event_type")
+  }
+
   /** Streaming UNION of two sources (the multi-topic ingestion shape:
     * one query consuming several feeds): the events table split into two
     * bounded streams by event-id parity, unioned INSIDE the streaming
@@ -555,6 +587,7 @@ object StreamingBridge {
     "stream_transform_state" -> (transformStateViaStream(_, _)),
     "stream_chained_agg" -> (chainedAggViaStream(_, _)),
     "stream_union" -> (unionViaStream(_, _)),
+    "stream_available_now" -> (availableNowViaStream(_, _)),
     "stream_events_tumbling" -> (tumblingViaStream(_, _)),
     "stream_events_sliding" -> (slidingViaStream(_, _)),
     "stream_events_session" -> (sessionViaStream(_, _))
@@ -702,6 +735,12 @@ object StreamingBridge {
     "stream_events_tumbling" -> EventQueries.oracles("q_events_tumbling"),
     // parity-split union must reassemble the whole table exactly
     "stream_union" -> EventQueries.oracles("q_events_tumbling"),
+    // file-split multi-batch totals must equal the one-shot aggregate
+    "stream_available_now" ->
+      """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_c
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
     "stream_events_sliding" -> EventQueries.oracles("q_events_sliding"),
     // the batch sessionization oracle, projected to the streaming shape
     "stream_events_session" ->

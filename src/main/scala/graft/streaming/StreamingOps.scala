@@ -409,4 +409,15 @@ object StreamingOps {
       w.trigger(org.apache.spark.sql.streaming.Trigger.Once()): @annotation.nowarn("cat=deprecation")
     else w).start()
   }
+
+  /** Trigger.AvailableNow sink: run-to-completion like Once, but honoring
+    * source read limits (maxFilesPerTrigger etc.) so bounded input
+    * processes in MULTIPLE micro-batches with state carried between them
+    * — the trigger a production backfill uses, and the only bounded one
+    * that exercises cross-batch state commit/restore.
+    */
+  def toMemorySinkAvailableNow(df: DataFrame, name: String, mode: OutputMode)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.format("memory").queryName(name).outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
 }

@@ -162,6 +162,44 @@ class BreadthOpsSpec extends SparkSpec {
     assert(got.nonEmpty && got === exp)
   }
 
+  test("available-now: multi-batch totals equal the one-shot aggregate") {
+    // the builder itself REQUIRES >= 2 micro-batches (rate-limit pin)
+    val got = queries.StreamingBridge.availableNowViaStream(spark, sf)
+      .collect().map(_.toString).sorted
+    val exp = Tables.events(spark, sf)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("v_c"))
+      .collect().map(_.toString).sorted
+    assert(got.nonEmpty && got === exp)
+  }
+
+  test("metadata columns ride the scan; defaults fill unlisted columns") {
+    val m = queries.CatalogQueries.metadataCols(spark, sf).collect()
+    assert(m.length === 1 && m.head.getAs[String]("file_name") == "lineitem.parquet")
+    assert(m.head.getAs[Long]("n_rows") === Tables.lineitem(spark, sf).count())
+    // build TWICE: a leftover table location must not break a rebuild
+    queries.CatalogQueries.defaultCols(spark, sf).collect()
+    val dft = queries.CatalogQueries.defaultCols(spark, sf).collect()
+    assert(dft.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ===
+      Seq((1L, "new", 42L), (2L, "new", 42L), (3L, "done", 42L), (4L, "full", 7L)))
+  }
+
+  test("csv quoting: delimiter/quote/newline payloads round-trip losslessly") {
+    val got = queries.CatalogQueries.csvQuoted(spark, sf).collect()
+    val exp = Tables.documents(spark, sf)
+      .select(col("doc_id"), concat(col("source"), lit(",\""), col("lang"),
+        lit("\"\n"), substring(col("text"), 1, 20)).as("payload"))
+      .collect()
+    assert(got.length === exp.length)
+    val gm = got.map(r => r.getLong(0) -> r.getString(1)).toMap
+    exp.foreach { r =>
+      val p = gm(r.getLong(0))
+      assert(p == r.getString(1))
+      assert(p.contains("\n") && p.contains("\"") && p.contains(","))
+    }
+  }
+
   test("chained streaming agg equals the batch rollup of closed windows") {
     val got = queries.StreamingBridge.chainedAggViaStream(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
