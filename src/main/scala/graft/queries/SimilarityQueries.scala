@@ -223,26 +223,32 @@ object SimilarityQueries {
     val docs = Tables.documents(s, d)
     // term space = word BIGRAMS: on this small-vocabulary corpus every
     // unigram is stopword-grade (df ≈ n) and a df cap would empty the
-    // index; bigrams give a realistically long-tailed term distribution
+    // index; bigrams give a realistically long-tailed term distribution.
+    // Grams never exist as STRINGS: the native WordGramFnv expression
+    // (the pipeline_decontam fusion) emits the FNV-1a hash of each gram
+    // in one codegen'd loop, so the inverted-index shuffles and the
+    // posting-list joins carry (long, long) rows instead of ~16-char
+    // gram strings — the hash is internal, never an output column, and
+    // the oracle re-derives the identical fold, so parity is exact by
+    // construction, collisions included.
     val words = spaceTokens(col("text"))
-    val bigrams = transform(sequence(lit(1), size(words) - 1),
-      i => concat_ws(" ", element_at(words, i), element_at(words, i + 1)))
     val terms = docs
       .filter(size(words) >= 2)
-      .select(col("doc_id"), explode(bigrams).as("word"))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"),
+        explode(graft.plans.WordGramFnv.wordGramFnv(words, 2)).as("h"))
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("tf"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val voc = terms.groupBy("word").agg(count(lit(1)).as("df"))
+    val voc = terms.groupBy("h").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .filter(col("df") * 4 <= col("n_docs"))
       .withColumn("idf", log(col("n_docs").cast("double") / col("df")))
-      .select("word", "idf")
-    val w = terms.join(voc, "word").withColumn("wt", col("tf") * col("idf"))
+      .select("h", "idf")
+    val w = terms.join(voc, "h").withColumn("wt", col("tf") * col("idf"))
     val norms = w.groupBy("doc_id")
       .agg(sum(round(col("wt") * col("wt") * 1e6).cast("long")).as("nrm_micro"))
     val qw = w.filter(col("doc_id") < 10)
-      .select(col("doc_id").as("qid"), col("word"), col("wt").as("qwt"))
-    val dots = w.join(broadcast(qw), "word")
+      .select(col("doc_id").as("qid"), col("h"), col("wt").as("qwt"))
+    val dots = w.join(broadcast(qw), "h")
       .filter(col("doc_id") =!= col("qid"))
       .groupBy("qid", "doc_id")
       .agg(sum(round(col("wt") * col("qwt") * 1e6).cast("long")).as("dot_micro"))
@@ -301,32 +307,40 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "sim_sparse_knn" ->
       """WITH terms AS (
-        |  SELECT doc_id, t AS word, CAST(count(*) AS BIGINT) AS tf
+        |  SELECT doc_id, h, CAST(count(*) AS BIGINT) AS tf
         |  FROM (SELECT doc_id,
-        |               unnest(list_transform(
-        |                 list_zip(l[1:len(l)-1], l[2:len(l)]),
-        |                 x -> x[1] || ' ' || x[2])) AS t
-        |        FROM (SELECT doc_id, string_split(text, ' ') AS l
-        |              FROM documents WHERE len(string_split(text, ' ')) >= 2))
+        |               list_reduce(
+        |                 list_prepend(14695981039346656037::HUGEINT,
+        |                   list_transform(string_split_regex(g, ''),
+        |                                  c -> unicode(c)::HUGEINT)),
+        |                 (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+        |                           % 18446744073709551616::HUGEINT) AS h
+        |        FROM (SELECT doc_id,
+        |                     unnest(list_transform(
+        |                       list_zip(l[1:len(l)-1], l[2:len(l)]),
+        |                       x -> x[1] || ' ' || x[2])) AS g
+        |              FROM (SELECT doc_id, string_split(text, ' ') AS l
+        |                    FROM documents
+        |                    WHERE len(string_split(text, ' ')) >= 2)))
         |  GROUP BY 1, 2),
         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
         |voc AS (
-        |  SELECT word, ln(CAST(n_docs AS DOUBLE) / df) AS idf
-        |  FROM (SELECT word, CAST(count(*) AS BIGINT) AS df
-        |        FROM terms GROUP BY word), n
+        |  SELECT h, ln(CAST(n_docs AS DOUBLE) / df) AS idf
+        |  FROM (SELECT h, CAST(count(*) AS BIGINT) AS df
+        |        FROM terms GROUP BY h), n
         |  WHERE df * 4 <= n_docs),
-        |w AS (SELECT doc_id, terms.word, tf * idf AS wt
-        |      FROM terms JOIN voc USING (word)),
+        |w AS (SELECT doc_id, terms.h, tf * idf AS wt
+        |      FROM terms JOIN voc USING (h)),
         |norms AS (SELECT doc_id,
         |                 CAST(sum(CAST(round(wt * wt * 1e6) AS BIGINT))
         |                      AS BIGINT) AS nrm_micro
         |          FROM w GROUP BY doc_id),
-        |qw AS (SELECT doc_id AS qid, word, wt AS qwt FROM w WHERE doc_id < 10),
+        |qw AS (SELECT doc_id AS qid, h, wt AS qwt FROM w WHERE doc_id < 10),
         |dots AS (
         |  SELECT qid, w.doc_id,
         |         CAST(sum(CAST(round(wt * qwt * 1e6) AS BIGINT)) AS BIGINT)
         |           AS dot_micro
-        |  FROM w JOIN qw USING (word) WHERE w.doc_id <> qid GROUP BY 1, 2),
+        |  FROM w JOIN qw USING (h) WHERE w.doc_id <> qid GROUP BY 1, 2),
         |scored AS (
         |  SELECT qid, d.doc_id,
         |         dot_micro / 1000000.0
