@@ -35,6 +35,17 @@ class SparseOpsSpec extends SparkSpec {
     }
   }
 
+  test("sparse knn: index terms are fused gram hashes, never gram strings") {
+    // the r6 scale fix — the inverted-index shuffles must carry the native
+    // word_gram_fnv longs; a regression back to concat'd bigram strings
+    // (41.4 s at sf1 vs 8.6 fused) would reappear here before any bench
+    val plan = SimilarityQueries.sparseKnn(spark, sf)
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("word_gram_fnv"), "fused gram-hash expression missing")
+    assert(!plan.contains("concat_ws"), "gram strings materialized in the plan")
+  }
+
   test("rolling slope: one row per event, degenerate windows are NULL") {
     val df = ExperimentQueries.rollingSlope(spark, sf)
     val n = spark.read.parquet(s"$sf/events.parquet").count()
