@@ -46,6 +46,7 @@ class CliSpec extends SparkSpec {
     assert(Cli.parse(List("wc", "p", "--num-reduce", "0")).isLeft)
     assert(Cli.parse(List("wc", "p", "--num-reduce")).isLeft)
     assert(Cli.parse(List("nosuch", "p")).isLeft)
+    assert(Cli.parse(List("wc", "p", "--trem", "x")).isLeft) // typo'd flag
     val vdeg = Cli.parse(List("vdeg", "p"))
     assert(vdeg.toOption.get.app == "vertex-degree") // alias normalizes
   }
