@@ -53,9 +53,10 @@ object Cli {
               args = tail
             case ("--num-reduce" | "-n") :: Nil =>
               return Left("--num-reduce requires a value")
-            case p :: _ if p.startsWith("--") =>
-              // a typo'd flag must not silently become an input path and
-              // surface later as an unrelated read error
+            case p :: _ if p.startsWith("-") && p != "-" =>
+              // a typo'd flag — single- or double-dash — must not silently
+              // become an input path and surface later as an unrelated
+              // read error ("-" alone stays a path by convention)
               return Left(s"unknown flag: $p\n$usage")
             case p :: tail                => paths :+= p; args = tail
             case Nil                      => ()

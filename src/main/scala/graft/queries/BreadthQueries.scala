@@ -209,12 +209,15 @@ object BreadthQueries {
       .groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
     val byW = Window.partitionBy("w")
     val byS = Window.partitionBy("source")
-    val all = Window.partitionBy(lit(1))
+    // the grand total is a 1-row broadcast scalar (the sparseKnn n_docs
+    // pattern) — a partitionBy(lit(1)) window would funnel the whole
+    // (source × word) grid through one partition for a single number
+    val nTotal = sw.agg(sum(col("c_sw")).as("n"))
     val p = col("c_sw").cast("double") / col("n_s").cast("double")
     val q = col("c_w").cast("double") / col("n").cast("double")
     sw.withColumn("c_w", sum(col("c_sw")).over(byW))
       .withColumn("n_s", sum(col("c_sw")).over(byS))
-      .withColumn("n", sum(col("c_sw")).over(all))
+      .crossJoin(broadcast(nTotal))
       .withColumn("term_micro", round(p * log(p / q) * 1e12).cast("long"))
       .groupBy("source")
       .agg(max(col("n_s")).as("n_tokens"), count(lit(1)).as("n_terms"),
@@ -232,10 +235,18 @@ object BreadthQueries {
     * decomposition. Linear: one char-explode scan, two keyed aggregates.
     */
   def charEntropy(s: SparkSession, d: String): DataFrame = {
+    // the empty-text guard matters: sequence(1, 0) in Spark is the
+    // DESCENDING [1, 0] (step −1 when start > stop), which would fabricate
+    // two empty-substring rows for a zero-length text while the oracle's
+    // range(1, 1) is empty — an explicit empty-array branch keeps both
+    // engines dropping empty docs identically
     val chars = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(expr(
-          "transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
+          """CASE WHEN length(text) > 0
+            |     THEN transform(sequence(1, length(text)),
+            |                    i -> substring(text, i, 1))
+            |     ELSE array() END""".stripMargin))
           .as("ch"))
       .groupBy("doc_id", "ch").agg(count(lit(1)).as("k"))
     val byDoc = Window.partitionBy("doc_id")

@@ -38,7 +38,15 @@ object PipelineQueries {
     * Populated only by the local union-find path; the distributed
     * fallback (pair sets beyond `localCap`) stays unmemoized because its
     * result is not driver-sized.
+    *
+    * Contract: fixture directories are IMMUTABLE within a JVM (true for
+    * /root/testdata and every driver run) — a caller that rewrites data
+    * under a memoized path must call `reset()` or it will read stale
+    * labels. The memo is size-bounded so pathological key churn (many
+    * sessions/dirs in one JVM) cannot retain unbounded label arrays or
+    * stopped-session keys forever.
     */
+  private val ClusterMemoMaxEntries = 64
   private val clusterLabelsMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Int, Double, Int), Array[(Long, Long)]]
 
@@ -107,6 +115,8 @@ object PipelineQueries {
         val vertices = collected.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
         import s.implicits._
         val labels = vertices.map(v => (v, find(v)))
+        if (clusterLabelsMemo.size >= ClusterMemoMaxEntries)
+          clusterLabelsMemo.clear()
         clusterLabelsMemo.put((s, d, maxIter, threshold, localCap), labels)
         labels.toSeq.toDF("doc_id", "cluster_id")
           .withColumn("is_keeper", col("doc_id") === col("cluster_id"))

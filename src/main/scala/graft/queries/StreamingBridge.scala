@@ -109,10 +109,12 @@ object StreamingBridge {
       OutputMode.Complete())
     val nBatches = try { q.awaitTermination(); q.recentProgress.length }
       finally q.stop()
+    // settle (which DROPS the temp view) before the probe assert — a probe
+    // failure must not leak the memory-sink table for the JVM lifetime
+    val settled = settle(s, name, s.table(name))
     require(nBatches >= 2,
       s"AvailableNow ran $nBatches micro-batch(es) — maxFilesPerTrigger not honored")
-    settle(s, name, s.table(name))
-      .orderBy("user_id", "event_type")
+    settled.orderBy("user_id", "event_type")
   }
 
   /** Streaming UNION of two sources (the multi-topic ingestion shape:

@@ -48,6 +48,10 @@ object Upscale {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.length != 3 || args(2).toIntOption.forall(_ < 1)) {
+      System.err.println("usage: Upscale <inDir> <outDir> <copies >= 1>")
+      sys.exit(2)
+    }
     val Array(inDir, outDir, copiesStr) = args
     val copies = copiesStr.toInt
     require(!outDir.startsWith("/root/testdata"), "refusing to write into the read-only fixtures")

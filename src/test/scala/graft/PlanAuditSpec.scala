@@ -69,8 +69,10 @@ class PlanAuditSpec extends SparkSpec {
                               // (the ml_eval_confusion shape, shared cells)
     "sim_binary_hamming",     // broadcast 10-query signature set × corpus
                               // stream (the sim_cosine_topk shape)
-    "sim_ann_recall"          // inherits sim_cosine_topk's broadcast
+    "sim_ann_recall",         // inherits sim_cosine_topk's broadcast
                               // query-set × corpus shape verbatim
+    "text_kl_source"          // broadcast 1-row corpus-total scalar ×
+                              // (source × word) grid (the text_bm25 shape)
   )
   private val allowShuffleJoin = Set(
     "q_join_full",    // full outer: no broadcastable side by semantics
