@@ -498,7 +498,35 @@ object CatalogQueries {
       .orderBy("doc_id")
   }
 
+  /** DYNAMIC partition overwrite (`partitionOverwriteMode=dynamic`, set
+    * per-WRITE via the DataFrameWriter option — no session conf
+    * mutation): an overwrite write replaces ONLY the partitions present
+    * in the incoming data. The base layout holds every event_type
+    * partition; a patched write carrying only 'click' rows (values
+    * doubled) must leave all other partitions intact — under the default
+    * STATIC mode they would be wiped, the classic production data-loss
+    * foot-gun this mode exists to prevent, and here that failure reads
+    * as a row-count mismatch at the gate. This is the partition-level
+    * upsert every incremental 100 TB pipeline runs daily.
+    */
+  def dynamicOverwrite(s: SparkSession, d: String): DataFrame = {
+    val path = s"$tmpRoot/events_dyn_${sfTag(d)}"
+    val ev = Tables.events(s, d).select(col("event_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("v_c"))
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(path)
+    ev.filter(col("event_type") === "click")
+      .withColumn("v_c", col("v_c") * 2)
+      .write.partitionBy("event_type").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(path)
+    s.read.parquet(path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("v_c")).as("sum_c"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dynamic_overwrite" -> (dynamicOverwrite(_, _)),
     "q_csv_quoted" -> (csvQuoted(_, _)),
     "q_metadata_cols" -> (metadataCols(_, _)),
     "q_default_cols" -> (defaultCols(_, _)),
@@ -518,6 +546,12 @@ object CatalogQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dynamic_overwrite" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(CASE WHEN event_type = 'click' THEN 2 ELSE 1 END
+        |                     AS BIGINT)
+        |                * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_csv_quoted" ->
       """SELECT doc_id,
         |       source || ',"' || lang || '"' || chr(10)

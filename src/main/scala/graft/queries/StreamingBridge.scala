@@ -285,6 +285,30 @@ object StreamingBridge {
     }
   }
 
+  /** Stream-stream FULL OUTER interval join under the gate: unmatched
+    * rows from BOTH sides emit on watermark eviction (the left form only
+    * evicts signups). user_id coalesces across sides because either can
+    * be the null one. Needs the trailing watermark batches and the max
+    * watermark policy, like the left form.
+    */
+  def intervalFullViaStream(s: SparkSession, d: String): DataFrame = {
+    val key = "spark.sql.streaming.multipleWatermarkPolicy"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "max")
+    try runSettled(s, "ivfull",
+      StreamingOps.purchasesAfterSignupFull(eventsStream(s, d)),
+      OutputMode.Append(), singleBatch = false) {
+      _.select(coalesce(col("s_user"), col("p_user")).as("user_id"),
+        col("signup_id"), col("purchase_id"),
+        col("s_ts").cast("long").as("signup_s"),
+        col("p_ts").cast("long").as("purchase_s"), col("value"))
+    }.orderBy("user_id", "signup_id", "purchase_id")
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Stream-static enrichment under the gate: events joined per
     * micro-batch to the static customer dimension (broadcast, no
     * streaming state), settled to per-(segment, event_type) totals.
@@ -582,6 +606,7 @@ object StreamingBridge {
     "stream_recovery" -> (recoveryViaStream(_, _)),
     "stream_late_drop" -> (lateDropViaStream(_, _)),
     "stream_interval_left" -> (intervalLeftViaStream(_, _)),
+    "stream_interval_full" -> (intervalFullViaStream(_, _)),
     "stream_enrich_join" -> (enrichJoinViaStream(_, _)),
     "stream_interval_join" -> (intervalJoinViaStream(_, _)),
     "stream_session_starts" -> (sessionStartsViaStream(_, _)),
@@ -694,6 +719,46 @@ object StreamingBridge {
         |  ON s.user_id = p.user_id
         |  AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
         |ORDER BY signup_id, purchase_id NULLS FIRST""".stripMargin,
+    // both unmatched directions, FILTERED by the eviction rule a correct
+    // streaming engine enforces — a bounded stream's tail structurally
+    // never closes, so the oracle excludes it rather than pretend a
+    // stream could emit it. The rule is ASYMMETRIC, derived from the
+    // join condition exactly as Spark derives its state watermarks: an
+    // unmatched SIGNUP emits once the final watermark (ms-truncated max
+    // input event time − 30 min delay, the stream_late_drop discipline)
+    // passes its window END (s_ts + 1 h — a future purchase up to that
+    // point could still match); an unmatched PURCHASE emits once the
+    // watermark passes p_ts itself (signups at-or-before p_ts are the
+    // only possible matches, so nothing later can claim it). Verified
+    // empirically at all three SFs: the +1h-both-sides guess failed with
+    // only-spark rows in (wm−1h, wm). Matched rows emit eagerly and
+    // carry no bound.
+    "stream_interval_full" ->
+      """WITH s AS (SELECT * FROM events
+        |           WHERE event_type = 'signup' AND user_id % 3 = 0
+        |             AND ts < TIMESTAMP '2024-01-28 00:00:00'),
+        |p AS (SELECT * FROM events
+        |      WHERE event_type = 'purchase' AND user_id % 3 = 0
+        |        AND ts < TIMESTAMP '2024-01-28 00:00:00'),
+        |wm AS (SELECT (epoch_us(max(ts)) // 1000 - 1800000) * 1000 AS w_us
+        |       FROM (SELECT ts FROM s UNION ALL SELECT ts FROM p)),
+        |j AS (
+        |  SELECT coalesce(s.user_id, p.user_id) AS user_id,
+        |         s.event_id AS signup_id, p.event_id AS purchase_id,
+        |         CAST(floor(epoch(s.ts)) AS BIGINT) AS signup_s,
+        |         CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_s,
+        |         p.value,
+        |         epoch_us(CAST(s.ts AS TIMESTAMP)) AS s_us,
+        |         epoch_us(CAST(p.ts AS TIMESTAMP)) AS p_us
+        |  FROM s FULL JOIN p
+        |    ON s.user_id = p.user_id
+        |    AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR)
+        |SELECT user_id, signup_id, purchase_id, signup_s, purchase_s, value
+        |FROM j, wm
+        |WHERE (signup_id IS NOT NULL AND purchase_id IS NOT NULL)
+        |   OR (purchase_id IS NULL AND s_us + 3600000000 < wm.w_us)
+        |   OR (signup_id IS NULL AND p_us < wm.w_us)
+        |ORDER BY user_id, signup_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin,
     "stream_session_starts" ->
       """WITH flagged AS (
         |  SELECT user_id, ts,

@@ -326,6 +326,41 @@ object StreamingOps {
       "left_outer")
   }
 
+  /** FULL OUTER stream-stream interval join — completes the interval-join
+    * family (inner emits eagerly, left adds signup-side eviction; full
+    * adds PURCHASE-side eviction too): unmatched signups AND unmatched
+    * purchases each emit when the watermark closes their window. The
+    * join condition bounds both sides' state symmetrically (p_ts within
+    * [s_ts, s_ts+1h] ⟺ s_ts within [p_ts−1h, p_ts]), which is what makes
+    * both eviction directions well-defined. Same max-watermark-policy
+    * requirement as the left-outer form — and BOTH sides are
+    * cutoff-bounded: an outer side only emits its unmatched rows when the
+    * watermark closes their window, so a side extending to the end of the
+    * bounded stream would strand its tail (final horizon+delay) in state
+    * un-emitted, exactly the boundary-row loss the left form's
+    * signup-side cutoff already prevents (observed: the first full-outer
+    * run dropped precisely the tail purchases vs the batch oracle).
+    */
+  def purchasesAfterSignupFull(events: DataFrame,
+      cutoff: String = "2024-01-28"): DataFrame = {
+    val third = events.filter(col("user_id") % 3 === 0)
+    val signups = third.filter(col("event_type") === "signup" &&
+        col("ts") < lit(cutoff).cast("timestamp"))
+      .select(col("user_id").as("s_user"), col("event_id").as("signup_id"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", "30 minutes")
+    val purchases = third.filter(col("event_type") === "purchase" &&
+        col("ts") < lit(cutoff).cast("timestamp"))
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "30 minutes")
+    signups.join(purchases,
+      col("s_user") === col("p_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"),
+      "full_outer")
+  }
+
   /** Stream-static enrichment join: each streaming event picks up its
     * dimension attributes from a BATCH table. The static side is planned
     * per micro-batch as an ordinary broadcast hash join — no streaming

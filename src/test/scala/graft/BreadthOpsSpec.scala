@@ -200,6 +200,33 @@ class BreadthOpsSpec extends SparkSpec {
     }
   }
 
+  test("full-outer interval join emits matched plus BOTH unmatched directions") {
+    val rows = queries.StreamingBridge.intervalFullViaStream(spark, sf).collect()
+    val matched = rows.count(r => !r.isNullAt(1) && !r.isNullAt(2))
+    val sOnly = rows.count(r => !r.isNullAt(1) && r.isNullAt(2))
+    val pOnly = rows.count(r => r.isNullAt(1) && !r.isNullAt(2))
+    assert(matched > 0, "no matched pair — join vacuous")
+    assert(sOnly > 0, "no unmatched signup — left eviction untested")
+    assert(pOnly > 0, "no unmatched purchase — RIGHT eviction untested " +
+      "(the direction the left-outer bridge never exercises)")
+  }
+
+  test("dynamic overwrite replaces only the written partition") {
+    val rows = queries.CatalogQueries.dynamicOverwrite(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val base = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("c"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet === base.keySet, "a partition vanished — static-mode wipe")
+    base.foreach { case (t, (n, c)) =>
+      val (gn, gc) = rows(t)
+      assert(gn === n)
+      assert(gc === (if (t == "click") 2 * c else c))
+    }
+  }
+
   test("chained streaming agg equals the batch rollup of closed windows") {
     val got = queries.StreamingBridge.chainedAggViaStream(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
