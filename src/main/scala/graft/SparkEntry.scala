@@ -51,7 +51,8 @@ object SparkEntry {
       (Q.CatalogQueries.queries, Q.CatalogQueries.oracles),
       (Q.MiningQueries.queries, Q.MiningQueries.oracles),
       (Q.InsightQueries.queries, Q.InsightQueries.oracles),
-      (Q.BreadthQueries.queries, Q.BreadthQueries.oracles)
+      (Q.BreadthQueries.queries, Q.BreadthQueries.oracles),
+      (Q.FrontierQueries.queries, Q.FrontierQueries.oracles)
     )
 
   /** Per-module registry sizes — lets ContractSpec prove no cross-module
