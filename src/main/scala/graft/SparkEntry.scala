@@ -52,7 +52,8 @@ object SparkEntry {
       (Q.MiningQueries.queries, Q.MiningQueries.oracles),
       (Q.InsightQueries.queries, Q.InsightQueries.oracles),
       (Q.BreadthQueries.queries, Q.BreadthQueries.oracles),
-      (Q.FrontierQueries.queries, Q.FrontierQueries.oracles)
+      (Q.FrontierQueries.queries, Q.FrontierQueries.oracles),
+      (Q.SignalQueries.queries, Q.SignalQueries.oracles)
     )
 
   /** Per-module registry sizes — lets ContractSpec prove no cross-module

@@ -1,0 +1,238 @@
+package graft.queries
+
+import graft.Tables
+import graft.plans.Fnv1a64
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 signal batch — four more concept-grepped-new surfaces:
+  *
+  *  - `priv_rr_estimate`   — local differential privacy via randomized
+  *                           response with exact debiasing (the mechanism
+  *                           family `q_k_anonymity` does not touch).
+  *  - `seq_regex_paths`    — MATCH_RECOGNIZE-style path analysis: each
+  *                           user's ordered event history rendered as a
+  *                           symbol string, patterns counted by regex.
+  *  - `q_holt_trend`       — Holt double-exponential smoothing (level +
+  *                           trend), a genuinely RECURSIVE time-series
+  *                           state that no window sum expresses; runs on
+  *                           the ordered sequential-fold device proven
+  *                           bit-exact by q_kaplan_meier.
+  *  - `q_weighted_median`  — exact weighted median selection by RANGE
+  *                           cumulative weight (all-integer comparisons).
+  *
+  * Determinism: randomized response uses the FNV coin (salted per-row
+  * hash), so the "noise" is reproducible across engines and cluster
+  * layouts; Holt's fold multiplies doubles in day order on both engines;
+  * the weighted median never leaves integer arithmetic.
+  */
+object SignalQueries {
+
+  /** Local-DP randomized response over "is this event a purchase?": each
+    * row reports its true bit with probability 3/4 and the flipped bit
+    * with probability 1/4 (privacy eps = ln 3), the coin being the
+    * deterministic FNV hash of the event id — reproducible noise, the
+    * same property the salted split/sample family relies on. The
+    * per-cohort estimate debiases exactly: E[reported] = n/4 + p*n/2, so
+    * est = 2*reported - n/2 (exact double arithmetic on exact counts).
+    * `true_yes`/`abs_err` are audit columns for the fixture — a real
+    * release would emit only the estimate. Scale: one linear scan into a
+    * 10-row aggregate; the mechanism is embarrassingly parallel. */
+  def privRrEstimate(s: SparkSession, d: String): DataFrame = {
+    val flip = Fnv1a64.ihash31(concat(col("event_id").cast("string"),
+      lit("|rr"))) % 4 === 0
+    val truth = col("event_type") === "purchase"
+    Tables.events(s, d)
+      .select((col("user_id") % 10).as("cohort"),
+        truth.cast("long").as("t"),
+        when(flip, when(truth, 0L).otherwise(1L))
+          .otherwise(when(truth, 1L).otherwise(0L)).as("rep"))
+      .groupBy("cohort")
+      .agg(count(lit(1)).as("n"), sum(col("rep")).as("reported_yes"),
+        sum(col("t")).as("true_yes"))
+      .withColumn("est_yes",
+        lit(2.0) * col("reported_yes").cast("double") -
+          col("n").cast("double") / lit(2.0))
+      .withColumn("abs_err",
+        abs(col("est_yes") - col("true_yes").cast("double")))
+      .select("cohort", "n", "reported_yes", "est_yes", "true_yes", "abs_err")
+      .orderBy("cohort")
+  }
+
+  /** Sequence-pattern analysis without MATCH_RECOGNIZE (which Spark
+    * lacks): each user's event history becomes an ordered initial-letter
+    * string ('c'lick/'e'rror/'p'urchase/'s'ignup/'v'iew) and regexes do
+    * the path work — conversions as non-overlapping 'vc*p' matches, plus
+    * the longest uninterrupted view run. Both engines count
+    * non-overlapping left-to-right greedy matches, and the pattern stays
+    * in the POSIX-common subset so Java and RE2 semantics agree. Scale:
+    * the collected path is bounded by a user's OWN history (~tens of
+    * events), never the corpus; one user-keyed shuffle. */
+  def seqRegexPaths(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), substring(col("event_type"), 1, 1).as("ini"))
+      .groupBy("user_id")
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("us"), col("event_id"),
+          col("ini")))), e => e("ini")), "").as("path"))
+      .select(col("user_id"),
+        length(col("path")).cast("long").as("path_len"),
+        regexp_count(col("path"), lit("vc*p")).cast("long").as("n_conv"),
+        coalesce(array_max(transform(
+          regexp_extract_all(col("path"), lit("v+"), lit(0)),
+          m => length(m))), lit(0)).cast("long").as("max_view_run"))
+      .orderBy("user_id")
+
+  /** Holt double-exponential smoothing (alpha=0.3, beta=0.2) over each
+    * event type's daily-count series — level-plus-trend state that is
+    * genuinely recursive (each step feeds the next), which no
+    * window-sum rewrite expresses. The series is collected in day order
+    * (bounded by the calendar, not the corpus) and folded sequentially
+    * with an [level, trend, n] accumulator; the identical formula text
+    * and fold order run on both engines, so every multiply/add is the
+    * same ordered IEEE op — bit-identical without transcendentals.
+    * Init follows the standard convention: level = first observation,
+    * trend = 0. Scale: per-series state is three doubles; series
+    * count = |event types|. */
+  def holtTrend(s: SparkSession, d: String): DataFrame = {
+    val a1 = (acc: Column) => element_at(acc, 1)
+    val a2 = (acc: Column) => element_at(acc, 2)
+    val a3 = (acc: Column) => element_at(acc, 3)
+    Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        transform(sort_array(collect_list(struct(col("day"), col("cnt")))),
+          e => e("cnt").cast("double")).as("xs"))
+      .withColumn("st",
+        aggregate(col("xs"), array(lit(0.0), lit(0.0), lit(0.0)),
+          (acc, x) => when(a3(acc) === 0.0,
+            array(x, lit(0.0), lit(1.0)))
+            .otherwise(array(
+              lit(0.3) * x + lit(0.7) * (a1(acc) + a2(acc)),
+              lit(0.2) * ((lit(0.3) * x + lit(0.7) * (a1(acc) + a2(acc)))
+                - a1(acc)) + lit(0.8) * a2(acc),
+              a3(acc) + lit(1.0)))))
+      .select(col("event_type"), col("n_days"),
+        element_at(col("st"), 1).as("level"),
+        element_at(col("st"), 2).as("trend"),
+        (element_at(col("st"), 1) + element_at(col("st"), 2)).as("forecast"))
+      .orderBy("event_type")
+  }
+
+  /** Exact weighted median: smallest price (in cents) whose RANGE
+    * cumulative quantity reaches half the group's total quantity. The
+    * RANGE frame (not ROWS) makes ties well-defined — equal values carry
+    * equal cumulative weight regardless of physical row order — and the
+    * whole selection is integer comparisons, no interpolation. Distinct
+    * from `q_percentiles`/`q_median_2pass`, which are unweighted. Scale:
+    * one group-keyed sort-window pass, then a tiny aggregate. */
+  def weightedMedian(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag").orderBy("cents")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("l_returnflag")
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        round(col("l_quantity")).cast("long").as("q"))
+      .withColumn("cumw", sum(col("q")).over(w))
+      .withColumn("totw", sum(col("q")).over(wAll))
+      .filter(col("cumw") * 2 >= col("totw"))
+      .groupBy("l_returnflag")
+      .agg(max(col("totw")).as("tot_w"), min(col("cents")).as("wmedian_cents"))
+      .orderBy("l_returnflag")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "priv_rr_estimate" -> (privRrEstimate(_, _)),
+    "seq_regex_paths" -> (seqRegexPaths(_, _)),
+    "q_holt_trend" -> (holtTrend(_, _)),
+    "q_weighted_median" -> (weightedMedian(_, _))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "priv_rr_estimate" -> {
+      val h = OracleSql.fnvIhash31("CAST(event_id AS VARCHAR) || '|rr'")
+      s"""WITH b AS (
+         |  SELECT user_id % 10 AS cohort,
+         |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS t,
+         |         CASE WHEN $h % 4 = 0
+         |              THEN CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END
+         |              ELSE CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+         |         END AS rep
+         |  FROM events),
+         |g AS (
+         |  SELECT cohort, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(rep) AS BIGINT) AS reported_yes,
+         |         CAST(sum(t) AS BIGINT) AS true_yes
+         |  FROM b GROUP BY cohort)
+         |SELECT cohort, n, reported_yes,
+         |       2.0 * CAST(reported_yes AS DOUBLE)
+         |         - CAST(n AS DOUBLE) / 2.0 AS est_yes,
+         |       true_yes,
+         |       abs((2.0 * CAST(reported_yes AS DOUBLE)
+         |            - CAST(n AS DOUBLE) / 2.0)
+         |           - CAST(true_yes AS DOUBLE)) AS abs_err
+         |FROM g ORDER BY cohort""".stripMargin
+    },
+    "seq_regex_paths" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |         string_agg(substr(event_type, 1, 1), ''
+        |           ORDER BY ts, event_id) AS path
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |       CAST(length(path) AS BIGINT) AS path_len,
+        |       CAST(len(regexp_extract_all(path, 'vc*p')) AS BIGINT)
+        |         AS n_conv,
+        |       CAST(coalesce(list_max(list_transform(
+        |              regexp_extract_all(path, 'v+'), m -> length(m))), 0)
+        |            AS BIGINT) AS max_view_run
+        |FROM p ORDER BY user_id""".stripMargin,
+    "q_holt_trend" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS DOUBLE) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |         list_transform(list(cnt ORDER BY day), v -> [v]) AS xs
+        |  FROM g GROUP BY event_type),
+        |f AS (
+        |  SELECT event_type, n_days,
+        |         list_reduce(
+        |           list_prepend(CAST([0.0, 0.0, 0.0] AS DOUBLE[]), xs),
+        |           (acc, x) -> CASE WHEN acc[3] = 0.0
+        |             THEN [x[1], 0.0, 1.0]
+        |             ELSE [0.3 * x[1] + 0.7 * (acc[1] + acc[2]),
+        |                   0.2 * ((0.3 * x[1] + 0.7 * (acc[1] + acc[2]))
+        |                          - acc[1]) + 0.8 * acc[2],
+        |                   acc[3] + 1.0]
+        |           END) AS st
+        |  FROM l)
+        |SELECT event_type, n_days, st[1] AS level, st[2] AS trend,
+        |       st[1] + st[2] AS forecast
+        |FROM f ORDER BY event_type""".stripMargin,
+    "q_weighted_median" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |         CAST(round(l_quantity) AS BIGINT) AS q
+        |  FROM lineitem),
+        |w AS (
+        |  SELECT l_returnflag, cents,
+        |         CAST(sum(q) OVER (PARTITION BY l_returnflag ORDER BY cents
+        |           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cumw,
+        |         CAST(sum(q) OVER (PARTITION BY l_returnflag) AS BIGINT)
+        |           AS totw
+        |  FROM b)
+        |SELECT l_returnflag, max(totw) AS tot_w,
+        |       min(cents) AS wmedian_cents
+        |FROM w WHERE cumw * 2 >= totw
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}
