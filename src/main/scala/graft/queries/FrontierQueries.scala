@@ -92,10 +92,11 @@ object FrontierQueries {
         DECLARE i INT DEFAULT 0;
         DECLARE size_label STRING DEFAULT 'small';
         WHILE i < 5 DO
-          SET total = total + (
-            SELECT count(*) FROM orders_script_v WHERE o_orderkey % 5 = i);
-          SET cents = cents + (
-            SELECT coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
+          -- multi-variable SET: one job per iteration, not one per variable
+          SET (total, cents) = (
+            SELECT total + count(*),
+                   cents + coalesce(
+                     sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
             FROM orders_script_v WHERE o_orderkey % 5 = i);
           SET i = i + 1;
         END WHILE;
