@@ -86,13 +86,67 @@ object SurfaceQueries {
       .limit(20)
   }
 
+  /** Spark 4's `DataFrame.transpose()` — rows become columns keyed by the
+    * first column's values (here the five market segments), the long-to-
+    * wide flip analysts otherwise hand-write as a pivot. Transposition is
+    * only sane on ALREADY-AGGREGATED, decision-sized frames (the column
+    * count is data-dependent), which is exactly how it is used here: the
+    * transposed input is a 5-row aggregate of one linear scan. */
+  def transposeQ(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy("c_mktsegment").count().orderBy("c_mktsegment")
+      .transpose()
+
+  /** SQL-level dynamic execution: a query TEMPLATE held in a session
+    * variable, specialized with `replace` and run via Spark 4's
+    * EXECUTE IMMEDIATE with a named USING parameter — the surface DBAs
+    * reach for when the query text itself is data/config. (q_sql_params
+    * covers the API-side parameterized sql(); this is the SQL-side
+    * counterpart.) The dynamic statement is an ordinary aggregate, so it
+    * plans/pushes down exactly like static text. */
+  def executeImmediate(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_ei_v")
+    s.sql("DECLARE OR REPLACE ei_tmpl STRING")
+    s.sql("""SET VAR ei_tmpl =
+      'SELECT o_orderpriority,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                AS sum_cents
+       FROM {tbl} WHERE o_orderkey % 7 = :bucket
+       GROUP BY o_orderpriority ORDER BY o_orderpriority'""")
+    s.sql("EXECUTE IMMEDIATE replace(ei_tmpl, '{tbl}', 'orders_ei_v') " +
+      "USING 3 AS bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hof_funcs" -> (hofFuncs(_, _)),
     "q_bitmap_distinct" -> (bitmapDistinct(_, _)),
-    "text_bm25" -> (bm25(_, _))
+    "text_bm25" -> (bm25(_, _)),
+    "q_transpose" -> (transposeQ(_, _)),
+    "q_execute_immediate" -> (executeImmediate(_, _))
   )
 
   val oracles: Map[String, String] = Map(
+    "q_transpose" ->
+      """SELECT 'count' AS key,
+        |  CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS "AUTOMOBILE",
+        |  CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS "BUILDING",
+        |  CAST(sum(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS "FURNITURE",
+        |  CAST(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS "HOUSEHOLD",
+        |  CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS "MACHINERY"
+        |FROM customer""".stripMargin,
+    "q_execute_immediate" ->
+      """SELECT o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents
+        |FROM orders WHERE o_orderkey % 7 = 3
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_hof_funcs" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings)

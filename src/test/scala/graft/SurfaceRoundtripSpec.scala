@@ -49,4 +49,28 @@ class SurfaceRoundtripSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("n_rows") === 1L),
       "a signature surviving twice means the streaming dedup dropped state")
   }
+
+  test("transpose: one wide row whose cells equal the segment counts") {
+    val t = graft.queries.SurfaceQueries.transposeQ(spark, sf).collect()
+    assert(t.length === 1)
+    val row = t.head
+    val segs = spark.read.parquet(s"$sf/customer.parquet")
+      .groupBy("c_mktsegment").count().collect()
+      .map(r => r.getAs[String]("c_mktsegment") -> r.getAs[Long]("count")).toMap
+    assert(row.getAs[String]("key") === "count")
+    segs.foreach { case (seg, n) => assert(row.getAs[Long](seg) === n, seg) }
+    assert(row.schema.fieldNames.toSet === segs.keySet + "key")
+  }
+
+  test("execute immediate: dynamic text equals the static aggregate") {
+    val dyn = graft.queries.SurfaceQueries.executeImmediate(spark, sf).collect()
+    val want = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderkey") % 7 === 3)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+      .orderBy("o_orderpriority").collect()
+    assert(dyn.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      want.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
 }
