@@ -37,11 +37,9 @@ import org.apache.spark.sql.functions._
   */
 object CatalogQueries {
 
-  private def tmpRoot: String =
-    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_catalog"
+  private def tmpRoot: String = TmpPaths.root("graft_catalog")
 
-  private def sfTag(sfDir: String): String =
-    sfDir.replaceAll("[^A-Za-z0-9]", "_")
+  private def sfTag(sfDir: String): String = TmpPaths.sfTag(sfDir)
 
   /** Write `df` as a bucketed+sorted external catalog table and return the
     * catalog relation (whose scan carries the bucket spec). Overwrite mode

@@ -40,11 +40,9 @@ import org.apache.spark.sql.types._
   */
 object FrontierQueries {
 
-  private def tmpRoot: String =
-    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_frontier"
+  private def tmpRoot: String = TmpPaths.root("graft_frontier")
 
-  private def sfTag(sfDir: String): String =
-    sfDir.replaceAll("[^A-Za-z0-9]", "_")
+  private def sfTag(sfDir: String): String = TmpPaths.sfTag(sfDir)
 
   /** Native XML source/sink roundtrip (Spark 4 absorbed spark-xml:
     * `format("xml")` + rowTag). Customer rows are written as XML elements
@@ -83,9 +81,15 @@ object FrontierQueries {
     * aggregate job. Scale: each iteration scans with a pushed bucket
     * predicate; the script variable holds only the scalar accumulator. */
   def sqlScript(s: SparkSession, d: String): DataFrame = {
+    // scripting.enabled gates only the parser's compound-statement path,
+    // so it is restored immediately after sql() returns (the script's
+    // procedural statements have executed by then and the returned
+    // last-SELECT plan is already analyzed) — no conf leakage into
+    // whatever query the registry runs next.
+    val prev = s.conf.getOption("spark.sql.scripting.enabled")
     s.conf.set("spark.sql.scripting.enabled", "true")
     Tables.orders(s, d).createOrReplaceTempView("orders_script_v")
-    s.sql("""
+    try s.sql("""
       BEGIN
         DECLARE total BIGINT DEFAULT 0;
         DECLARE cents BIGINT DEFAULT 0;
@@ -106,6 +110,10 @@ object FrontierQueries {
         SELECT total AS n_orders, cents AS sum_cents,
                i AS n_chunks, size_label;
       END""")
+    finally prev match {
+      case Some(v) => s.conf.set("spark.sql.scripting.enabled", v)
+      case None => s.conf.unset("spark.sql.scripting.enabled")
+    }
   }
 
   /** Chi-square independence test: is event_type independent of the

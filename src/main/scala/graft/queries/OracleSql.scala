@@ -22,3 +22,16 @@ private[queries] object OracleSql {
        |              % 18446744073709551616::HUGEINT)
        |  % 2147483648)""".stripMargin
 }
+
+/** Shared scratch-path helpers for queries that materialize intermediate
+  * files (roundtrips, catalog tables): ONE definition of the tmp-root
+  * layout and the sfDir sanitization so a future change (say, a new
+  * character class in fixture paths) cannot leave one module writing to a
+  * different or unsanitized location. */
+private[queries] object TmpPaths {
+  def root(subdir: String): String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/" + subdir
+
+  def sfTag(sfDir: String): String =
+    sfDir.replaceAll("[^A-Za-z0-9]", "_")
+}

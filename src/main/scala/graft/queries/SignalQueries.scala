@@ -96,10 +96,26 @@ object SignalQueries {
     * Init follows the standard convention: level = first observation,
     * trend = 0. Scale: per-series state is three doubles; series
     * count = |event types|. */
-  def holtTrend(s: SparkSession, d: String): DataFrame = {
+  /** The Holt fold over an ordered array<double> series, returning the
+    * [level, trend, n] accumulator — shared with SignalOpsSpec's toy-
+    * recurrence test so the TESTED lambda is the SHIPPED lambda (a
+    * coefficient typo here fails the spec, not just the external
+    * oracle). */
+  private[graft] def holtFoldState(xs: Column): Column = {
     val a1 = (acc: Column) => element_at(acc, 1)
     val a2 = (acc: Column) => element_at(acc, 2)
     val a3 = (acc: Column) => element_at(acc, 3)
+    aggregate(xs, array(lit(0.0), lit(0.0), lit(0.0)),
+      (acc, x) => when(a3(acc) === 0.0,
+        array(x, lit(0.0), lit(1.0)))
+        .otherwise(array(
+          lit(0.3) * x + lit(0.7) * (a1(acc) + a2(acc)),
+          lit(0.2) * ((lit(0.3) * x + lit(0.7) * (a1(acc) + a2(acc)))
+            - a1(acc)) + lit(0.8) * a2(acc),
+          a3(acc) + lit(1.0))))
+  }
+
+  def holtTrend(s: SparkSession, d: String): DataFrame = {
     Tables.events(s, d)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("cnt"))
@@ -107,15 +123,7 @@ object SignalQueries {
       .agg(count(lit(1)).as("n_days"),
         transform(sort_array(collect_list(struct(col("day"), col("cnt")))),
           e => e("cnt").cast("double")).as("xs"))
-      .withColumn("st",
-        aggregate(col("xs"), array(lit(0.0), lit(0.0), lit(0.0)),
-          (acc, x) => when(a3(acc) === 0.0,
-            array(x, lit(0.0), lit(1.0)))
-            .otherwise(array(
-              lit(0.3) * x + lit(0.7) * (a1(acc) + a2(acc)),
-              lit(0.2) * ((lit(0.3) * x + lit(0.7) * (a1(acc) + a2(acc)))
-                - a1(acc)) + lit(0.8) * a2(acc),
-              a3(acc) + lit(1.0)))))
+      .withColumn("st", holtFoldState(col("xs")))
       .select(col("event_type"), col("n_days"),
         element_at(col("st"), 1).as("level"),
         element_at(col("st"), 2).as("trend"),
@@ -151,17 +159,19 @@ object SignalQueries {
       .agg(sum(col("q")).as("wq"))
       .collect().map(r => (r.getAs[String]("rf"), r.getAs[Long]("b")) ->
         r.getAs[Long]("wq")).toMap
+    import s.implicits._
+    if (hist.isEmpty)
+      return Seq.empty[(String, Long, Long)]
+        .toDF("l_returnflag", "tot_w", "wmedian_cents")
     // driver-side prefix sums over the parameter-sized histogram: locate
     // each group's crossing bucket and the weight accumulated before it
     val picks: Map[String, (Long, Long, Long)] =
       hist.keys.map(_._1).toSeq.distinct.map { rf =>
         val byB = hist.collect { case ((`rf`, b), w) => b -> w }.toSeq.sortBy(_._1)
         val tot = byB.map(_._2).sum
-        var cum = 0L
-        val (bStar, wBefore) = byB.collectFirst {
-          case (b, w) if { cum += w; 2 * cum >= tot } => (b, cum - w)
-        }.get
-        rf -> ((bStar, wBefore, tot))
+        val cums = byB.map(_._2).scanLeft(0L)(_ + _).tail
+        val i = cums.indexWhere(2 * _ >= tot)
+        rf -> ((byB(i)._1, cums(i) - byB(i)._2, tot))
       }.toMap
     val sliceCond = picks.map { case (rf, (b, _, _)) =>
       col("rf") === rf && expr(s"cents div $bucketW") === b
@@ -174,13 +184,10 @@ object SignalQueries {
       val byCents = slices(rf)
         .map(r => (r.getAs[Long]("cents"), r.getAs[Long]("wq")))
         .sortBy(_._1)
-      var cum = wBefore
-      val med = byCents.collectFirst {
-        case (c, w) if { cum += w; 2 * cum >= tot } => c
-      }.get
+      val cums = byCents.map(_._2).scanLeft(wBefore)(_ + _).tail
+      val med = byCents(cums.indexWhere(2 * _ >= tot))._1
       (rf, tot, med)
     }.sortBy(_._1)
-    import s.implicits._
     rows.toDF("l_returnflag", "tot_w", "wmedian_cents")
   }
 

@@ -55,19 +55,13 @@ class SignalOpsSpec extends SparkSpec {
 
   test("holt fold: matches the hand-computed toy recurrence") {
     // Fold [1,4,9] with alpha=.3/beta=.2: level=4.156, trend=0.5952
-    // (same toy the DuckDB-side lambda was probed with).
+    // (same toy the DuckDB-side lambda was probed with). The fold under
+    // test is the SHIPPED holtFoldState, not a copy — a coefficient typo
+    // in the production lambda fails here.
     import spark.implicits._
     val df = Seq(Seq(1.0, 4.0, 9.0)).toDF("xs")
-    val st = df.select(aggregate(col("xs"),
-      array(lit(0.0), lit(0.0), lit(0.0)),
-      (acc, x) => when(element_at(acc, 3) === 0.0,
-        array(x, lit(0.0), lit(1.0)))
-        .otherwise(array(
-          lit(0.3) * x + lit(0.7) * (element_at(acc, 1) + element_at(acc, 2)),
-          lit(0.2) * ((lit(0.3) * x + lit(0.7) *
-            (element_at(acc, 1) + element_at(acc, 2))) - element_at(acc, 1))
-            + lit(0.8) * element_at(acc, 2),
-          element_at(acc, 3) + lit(1.0))))).head.getSeq[Double](0)
+    val st = df.select(SignalQueries.holtFoldState(col("xs")))
+      .head.getSeq[Double](0)
     assert(math.abs(st(0) - 4.156) < 1e-12)
     assert(math.abs(st(1) - 0.5952) < 1e-12)
 
