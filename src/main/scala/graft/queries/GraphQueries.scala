@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.plans.Fnv1a64
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -299,7 +300,135 @@ object GraphQueries {
       .orderBy("vtx")
   }
 
+  /** Borůvka minimum spanning forest — the classic distributed-MST
+    * algorithm (each component hooks its minimum incident edge, chosen
+    * edges contract, repeat; components at least halve per round, so
+    * O(log V) rounds regardless of graph size). Edge weights are the
+    * deterministic FNV hash of the canonical (min,max) endpoint pair,
+    * and ALL edge comparisons use the strict total order
+    * (w, u, v) — under a total order the greedy forest is UNIQUE and
+    * exactly Kruskal's result, so the output is engine- and
+    * partitioning-independent even through 31-bit hash ties.
+    *
+    * Per round: one join of the edge set against current labels selects
+    * cross-component edges (ends when none remain); a struct-min
+    * aggregate picks each component's cheapest edge; and the round's
+    * chosen "merge graph" — at most one edge per component, geometric
+    * shrink — is contracted by POINTER DOUBLING, not generic min-label
+    * propagation: with a strict total order each chosen component
+    * contains exactly one mutual-minimum 2-cycle, every pointer chain
+    * leads to it, so hooking 2-cycles to their min endpoint yields a
+    * forest that p := p∘p collapses in O(log depth) self-joins (the
+    * generic fixpoint pays one job per chain HOP — measured ~2× slower
+    * end-to-end). localCheckpoint truncates lineage per round exactly as
+    * in CC/pagerank. Not SQL-expressible (nested data-dependent loops),
+    * so this entry takes the contract's rows-only driver check;
+    * GraphMsfSpec proves the edge set equals a driver-side Kruskal under
+    * the identical total order at two SFs.
+    *
+    * At 100 TB: every step is a keyed shuffle or broadcast-free
+    * aggregate on (long, long, long) rows; per-round state is one label
+    * per vertex and one candidate edge per component. A cluster port
+    * swaps localCheckpoint for reliable checkpoints (pagerank note). */
+  /** Re-base `df` onto a fresh LogicalRDD with NO inherited statistics.
+    * localCheckpoint truncates the logical plan but PRESERVES the origin
+    * plan's size estimate, and Catalyst's join estimation MULTIPLIES
+    * child sizes — so an iterative join loop compounds the estimate
+    * round over round until the BigInt's digit count itself grows
+    * exponentially and the driver spends minutes inside
+    * BigInteger.multiply (observed: rounds 0-2 sub-second, round 4+
+    * 25 s/job, all in stats math, zero executor work). Dropping the
+    * stats at each round boundary caps every round's estimate at one
+    * round's worth of joins over unknown-size leaves. */
+  private def dropStats(s: SparkSession, df: DataFrame): DataFrame =
+    s.createDataFrame(df.rdd, df.schema)
+
+  def boruvkaMsf(s: SparkSession, d: String, maxRounds: Int = 20): DataFrame = {
+    val und = edges(s, d)
+    val us = least(col("u"), col("v"))
+    val vs = greatest(col("u"), col("v"))
+    val e = und.filter(col("u") < col("v"))
+      .select(col("u").as("eu"), col("v").as("ev"),
+        Fnv1a64.ihash31(concat(us.cast("string"), lit("|"),
+          vs.cast("string"))).as("w"))
+      .localCheckpoint(false)
+    var labels = und.select(col("u").as("vtx")).distinct()
+      .withColumn("comp", col("vtx")).localCheckpoint(false)
+    var forest: DataFrame = e.filter(lit(false))
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      val lu = labels.select(col("vtx").as("eu"), col("comp").as("cu"))
+      val lv = labels.select(col("vtx").as("ev"), col("comp").as("cv"))
+      val cross = e.join(lu, "eu").join(lv, "ev")
+        .filter(col("cu") =!= col("cv"))
+        .localCheckpoint(false)
+      if (cross.isEmpty) { done = true }
+      else {
+        // each side nominates the edge for its component; struct min is
+        // the lexicographic (w, eu, ev) total order
+        val pick = struct(col("w"), col("eu"), col("ev"), col("other"))
+        val minE = cross
+          .select(col("cu").as("c"), col("w"), col("eu"), col("ev"),
+            col("cv").as("other"))
+          .union(cross.select(col("cv").as("c"), col("w"), col("eu"),
+            col("ev"), col("cu").as("other")))
+          .groupBy("c").agg(min(pick).as("p"))
+          .select(col("c"), col("p.w").as("w"), col("p.eu").as("eu"),
+            col("p.ev").as("ev"), col("p.other").as("other"))
+          .localCheckpoint(false)
+        forest = forest.union(
+          minE.select(col("eu"), col("ev"), col("w")).distinct())
+        // contract by pointer doubling: hook each component to its chosen
+        // neighbor, canonicalize the unique mutual-min 2-cycle per chosen
+        // component to its min endpoint (the root), then square the
+        // pointer map until stable — O(log chain-depth) self-joins
+        val ptr0 = minE.select(col("c"), col("other"))
+        val mutual = ptr0.as("a")
+          .join(ptr0.as("b"),
+            col("a.other") === col("b.c") && col("b.other") === col("a.c"),
+            "left_semi")
+          .select(col("c"), least(col("c"), col("other")).as("p"))
+        var p = ptr0.join(mutual.select(col("c"), col("p")), Seq("c"), "left")
+          .select(col("c"), coalesce(col("p"), col("other")).as("p"))
+          .localCheckpoint(false)
+        // squaring is idempotent exactly when every pointer is a root, so
+        // the per-row "did p move" flag is summed in the SAME job that
+        // materializes the checkpoint (pointer values are not monotone
+        // under doubling — a sum-of-labels invariant would be unsound)
+        var stable = false
+        while (!stable) {
+          val next = p.as("x")
+            .join(p.select(col("c").as("pc"), col("p").as("pp")),
+              col("x.p") === col("pc"), "left")
+            .select(col("x.c").as("c"),
+              coalesce(col("pp"), col("x.p")).as("p"),
+              (col("pp").isNotNull && col("pp") =!= col("x.p"))
+                .cast("long").as("chg"))
+            .localCheckpoint(false)
+          val changed = next.agg(coalesce(
+            org.apache.spark.sql.functions.sum("chg"), lit(0L)))
+            .collect()(0).getLong(0)
+          p = next.select(col("c"), col("p"))
+          stable = changed == 0L
+        }
+        labels = dropStats(s, labels
+          .join(p.select(col("c").as("comp"), col("p").as("newc")),
+            Seq("comp"), "left")
+          .select(col("vtx"), coalesce(col("newc"), col("comp")).as("comp"))
+          .localCheckpoint(false))
+      }
+      rounds += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"Boruvka did not finish within $maxRounds rounds")
+    forest.select(col("eu").as("u"), col("ev").as("v"), col("w"))
+      .orderBy("u", "v")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_msf" -> (boruvkaMsf(_, _, 20)),
     "graph_kcore" -> (kcore(_, _)),
     "graph_bfs" -> (bfs(_, _, 30)),
     "graph_components" -> (connectedComponents(_, _, 25)),
