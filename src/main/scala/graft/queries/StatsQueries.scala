@@ -158,7 +158,47 @@ object StatsQueries {
         min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
       .orderBy("decile")
 
+  /** Two-sample Kolmogorov-Smirnov test: are click values and view
+    * values drawn from the same distribution? D = max |F_a - F_b| over
+    * the shared value grid, compared to the 95% critical value
+    * 1.358*sqrt((na+nb)/(na*nb)). One linear scan folds both samples
+    * into per-distinct-value counts; the ordered cumulative window runs
+    * over the VALUE SPINE, which is bounded by the 2-decimal value grid
+    * (<= 49k rows regardless of corpus size) — the bounded-domain
+    * exception to the no-global-window rule, stated explicitly. Every
+    * quantity is exact-integer-derived (counts, cent values); the only
+    * doubles are exact divisions, one IEEE sqrt (correctly rounded by
+    * spec), and comparisons of identically-computed values — so D, the
+    * critical value, and the reject flag are bit-identical across
+    * engines. */
+  def ksTest(s: SparkSession, d: String): DataFrame = {
+    val wCum = Window.orderBy("v_c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val cum = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "view"))
+      .select(round(col("value") * 100).cast("long").as("v_c"),
+        (col("event_type") === "click").cast("long").as("is_a"))
+      .groupBy("v_c")
+      .agg(sum(col("is_a")).as("ai"), (count(lit(1)) - sum(col("is_a"))).as("bi"))
+      .withColumn("na", sum(col("ai")).over(wAll))
+      .withColumn("nb", sum(col("bi")).over(wAll))
+      .withColumn("diff",
+        abs(sum(col("ai")).over(wCum).cast("double") / col("na").cast("double") -
+          sum(col("bi")).over(wCum).cast("double") / col("nb").cast("double")))
+    cum.withColumn("d_stat", max(col("diff")).over(wAll))
+      .groupBy("na", "nb", "d_stat")
+      .agg(min(when(col("diff") === col("d_stat"), col("v_c")))
+        .as("d_at_cents"))
+      .withColumn("ks_crit",
+        lit(1.358) * sqrt((col("na") + col("nb")).cast("double") /
+          (col("na") * col("nb")).cast("double")))
+      .withColumn("reject", col("d_stat") > col("ks_crit"))
+      .select("na", "nb", "d_stat", "d_at_cents", "ks_crit", "reject")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ks_test" -> (ksTest(_, _)),
     "q_histogram_equidepth" -> (histogramEquidepth(_, _)),
     "q_ewma" -> (ewma(_, _)),
     "q_outliers" -> (outliers(_, _)),
@@ -171,6 +211,35 @@ object StatsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ks_test" ->
+      """WITH g AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v_c,
+        |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS ai,
+        |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS bi
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1),
+        |c AS (
+        |  SELECT v_c,
+        |         CAST(sum(ai) OVER () AS BIGINT) AS na,
+        |         CAST(sum(bi) OVER () AS BIGINT) AS nb,
+        |         abs(CAST(sum(ai) OVER (ORDER BY v_c
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |               AS DOUBLE) / CAST(sum(ai) OVER () AS DOUBLE)
+        |             - CAST(sum(bi) OVER (ORDER BY v_c
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |               AS DOUBLE) / CAST(sum(bi) OVER () AS DOUBLE)) AS diff
+        |  FROM g),
+        |m AS (
+        |  SELECT v_c, na, nb, diff, max(diff) OVER () AS d_stat FROM c)
+        |SELECT na, nb, d_stat,
+        |       min(CASE WHEN diff = d_stat THEN v_c END) AS d_at_cents,
+        |       1.358 * sqrt(CAST(na + nb AS DOUBLE)
+        |                    / CAST(na * nb AS DOUBLE)) AS ks_crit,
+        |       max(diff) > 1.358 * sqrt(CAST(na + nb AS DOUBLE)
+        |                    / CAST(na * nb AS DOUBLE)) AS reject
+        |FROM m GROUP BY na, nb, d_stat""".stripMargin,
     "q_histogram_equidepth" ->
       """SELECT decile, count(*) AS n_orders,
         |       min(o_totalprice) AS lo, max(o_totalprice) AS hi

@@ -74,6 +74,27 @@ class SignalOpsSpec extends SparkSpec {
     }
   }
 
+  test("ks test: statistic equals the driver-side CDF recompute") {
+    val r = graft.queries.StatsQueries.ksTest(spark, sf).head()
+    val vals = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view"))
+      .select(round(col("value") * 100).cast("long").as("v"),
+        col("event_type")).collect()
+    val a = vals.filter(_.getString(1) == "click").map(_.getLong(0)).sorted
+    val b = vals.filter(_.getString(1) == "view").map(_.getLong(0)).sorted
+    assert(r.getAs[Long]("na") === a.length.toLong)
+    assert(r.getAs[Long]("nb") === b.length.toLong)
+    val grid = (a ++ b).distinct.sorted
+    val d = grid.map { v =>
+      math.abs(a.count(_ <= v).toDouble / a.length -
+        b.count(_ <= v).toDouble / b.length)
+    }.max
+    assert(r.getAs[Double]("d_stat") === d)
+    assert(d >= 0.0 && d <= 1.0)
+    assert(r.getAs[Boolean]("reject") ===
+      (r.getAs[Double]("d_stat") > r.getAs[Double]("ks_crit")))
+  }
+
   test("weighted median: defining inequalities hold per group") {
     val rows = SignalQueries.weightedMedian(spark, sf).collect()
     val base = spark.read.parquet(s"$sf/lineitem.parquet")
