@@ -120,6 +120,51 @@ object InsightQueries {
       .orderBy("bin")
   }
 
+  /** Isotonic regression by pool-adjacent-violators over the calibration
+    * bins — the standard probability-calibration step downstream of
+    * `ml_calibration_bins` (same score, same binning). PAV runs DRIVER-
+    * side on the decision-sized bin table (<=11 rows — the aggregate is
+    * the distributed part; pooling a dozen blocks is not), emitting each
+    * bin's pooled monotone rate as the exact BIGINT-sum division of its
+    * block. The ORACLE is a different algorithm entirely: the minimax
+    * closed form iso(i) = max_{j<=i} min_{k>=i} rate(j..k) expressed as
+    * three self-joins over the bin spans — two independent derivations
+    * agreeing bit-exactly (double rounding of rationals is monotone, so
+    * the minimax double equals the pooled-block double). */
+  def isotonicPav(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(
+      col("l_discount").as("x1"), col("l_tax").as("x2"),
+      when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+    val z = lit(-1.0) + lit(20.0) * col("x1") - lit(15.0) * col("x2")
+    val p = lit(1.0) / (lit(1.0) + exp(-z))
+    val bins = li
+      .withColumn("bin",
+        floor(round(p * 1e6).cast("long") / lit(100000)).cast("long"))
+      .groupBy("bin").agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      .collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n"), r.getAs[Long]("pos")))
+      .sortBy(_._1)
+    final case class Block(bins: List[(Long, Long, Long)], n: Long, pos: Long) {
+      def rate: Double = pos.toDouble / n.toDouble
+    }
+    val pooled = bins.foldLeft(List.empty[Block]) { (acc, b) =>
+      var st = Block(List(b), b._2, b._3) :: acc
+      while (st.lengthCompare(2) >= 0 && st.head.rate < st.tail.head.rate) {
+        val merged = Block(st.tail.head.bins ::: st.head.bins,
+          st.head.n + st.tail.head.n, st.head.pos + st.tail.head.pos)
+        st = merged :: st.tail.tail
+      }
+      st
+    }.reverse
+    val rows = pooled.flatMap { blk =>
+      blk.bins.map { case (bin, n, pos) =>
+        (bin, n, pos, pos.toDouble / n.toDouble, blk.rate)
+      }
+    }
+    import s.implicits._
+    rows.toDF("bin", "n", "pos", "raw_rate", "iso_rate").orderBy("bin")
+  }
+
   // ------------------------------------------------------------- matryoshka
 
   /** Matryoshka truncation check: for each query vector, does the top-1
@@ -183,6 +228,7 @@ object InsightQueries {
     "pipeline_dataset_card" -> (datasetCard(_, _)),
     "pipeline_curriculum" -> (curriculum(_, _)),
     "ml_calibration_bins" -> (calibrationBins(_, _)),
+    "ml_isotonic_pav" -> (isotonicPav(_, _)),
     "sim_matryoshka" -> (matryoshkaAgree(_, _)),
     "graph_jaccard_links" -> (jaccardLinks(_, _))
   )
@@ -236,6 +282,33 @@ object InsightQueries {
         |       CAST(phase AS BIGINT) AS phase, phase_docs, phase_tokens
         |FROM assigned JOIN stats USING (phase)
         |ORDER BY doc_id""".stripMargin,
+    "ml_isotonic_pav" ->
+      """WITH li AS (
+        |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+        |         CAST(round((1.0 / (1.0 + exp(-(-1.0 + 20.0 * l_discount
+        |           - 15.0 * l_tax)))) * 1e6) AS BIGINT) AS p_micro
+        |  FROM lineitem),
+        |bins AS (
+        |  SELECT CAST(floor(p_micro / 100000) AS BIGINT) AS bin,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(y) AS BIGINT) AS pos
+        |  FROM li GROUP BY 1),
+        |spans AS (
+        |  SELECT a.bin AS j, b.bin AS k,
+        |         CAST(sum(c.pos) AS DOUBLE) / CAST(sum(c.n) AS DOUBLE)
+        |           AS rate
+        |  FROM bins a JOIN bins b ON a.bin <= b.bin
+        |  JOIN bins c ON c.bin BETWEEN a.bin AND b.bin
+        |  GROUP BY a.bin, b.bin),
+        |minr AS (
+        |  SELECT s.j, i.bin AS i, min(s.rate) AS mr
+        |  FROM spans s JOIN bins i ON s.j <= i.bin AND s.k >= i.bin
+        |  GROUP BY s.j, i.bin),
+        |iso AS (SELECT i, max(mr) AS iso_rate FROM minr GROUP BY i)
+        |SELECT b.bin, b.n, b.pos,
+        |       CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE) AS raw_rate,
+        |       iso.iso_rate
+        |FROM bins b JOIN iso ON iso.i = b.bin ORDER BY b.bin""".stripMargin,
     "ml_calibration_bins" ->
       """WITH li AS (
         |  SELECT l_discount AS x1, l_tax AS x2,

@@ -74,4 +74,24 @@ class InsightOpsSpec extends SparkSpec {
       assert(j > 0.0 && j <= 1.0)
     }
   }
+  test("isotonic pav: monotone, block-mean-preserving, order-respecting") {
+    val rows = InsightQueries.isotonicPav(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // monotone non-decreasing in bin order
+    val iso = rows.map(_.getAs[Double]("iso_rate"))
+    assert(iso.zip(iso.tail).forall { case (a, b) => a <= b })
+    // each maximal equal-iso run's weighted mean equals its iso value
+    rows.groupBy(_.getAs[Double]("iso_rate")).foreach { case (v, rs) =>
+      val n = rs.map(_.getAs[Long]("n")).sum
+      val pos = rs.map(_.getAs[Long]("pos")).sum
+      assert(v === pos.toDouble / n.toDouble)
+      // runs are contiguous in bin order (PAV pools only adjacent bins)
+      val bins = rs.map(_.getAs[Long]("bin")).sorted
+      assert(bins.last - bins.head === bins.length - 1L)
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Double]("raw_rate") ===
+        r.getAs[Long]("pos").toDouble / r.getAs[Long]("n").toDouble)
+    }
+  }
 }
