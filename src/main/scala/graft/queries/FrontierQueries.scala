@@ -49,9 +49,11 @@ object FrontierQueries {
     * and read back with an EXPLICIT schema — never inference, which would
     * cost a second full pass over the files at scale — then aggregated by
     * market segment. Money crosses the text format as exact cents
-    * (BIGINT), not a printed double. Scale: XML is a row-splittable text
-    * format (one element per line as written here), so reads parallelize
-    * like any text source; the aggregate is one 5-group shuffle. */
+    * (BIGINT), not a printed double. Scale: the writer emits one
+    * pretty-printed row element per record inside a ROWS root, and the
+    * reader's XmlInputFormat splits files on rowTag boundaries, so reads
+    * parallelize across and within files; the aggregate is one 5-group
+    * shuffle. */
   def xmlRoundtrip(s: SparkSession, d: String): DataFrame = {
     val path = s"$tmpRoot/customer_xml_${sfTag(d)}"
     Tables.customer(s, d)

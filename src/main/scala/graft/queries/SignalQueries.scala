@@ -142,7 +142,9 @@ object SignalQueries {
     * PARAMETER (groups x price-range/width, ~2k rows), the driver
     * prefix-sums it to the bucket where cumulative weight crosses half,
     * and pass 2 re-scans ONLY those (group, bucket) slices — ~1/600 of
-    * the data, pushable predicate — aggregating per exact cent value
+    * the data; the group equality pushes to the scan, the bucket
+    * predicate is a computed column evaluated right above it —
+    * aggregating per exact cent value
     * (<= 16384 distinct per group, again parameter-bounded) to select
     * the crossing value. Ties are well-defined because weight
     * accumulates per VALUE, and everything is integer arithmetic.
