@@ -427,7 +427,65 @@ object GraphQueries {
       .orderBy("u", "v")
   }
 
+  /** Weighted multi-source shortest paths by Bellman-Ford relaxation —
+    * the weighted sibling of `graph_bfs` (whose unit-hop BFS cannot see
+    * that a longer-hop lighter path wins). Edge weights are the
+    * deterministic FNV hash of the canonical endpoint pair in [1,1000];
+    * sources are the same vtx<10 seed set bfs uses. The semantics are
+    * DEFINED as exactly `rounds` relaxations on BOTH engines (the oracle
+    * unrolls the identical rounds as chained CTEs, the pagerank device),
+    * so the gate never depends on a convergence argument — and the spec
+    * separately proves round rounds+1 changes nothing at two SFs, i.e.
+    * the fixture answer IS the true fixpoint. Fixed rounds mean ONE job:
+    * per-round lazy checkpoints truncate lineage and `dropStats` blocks
+    * the compounding-statistics trap (see boruvkaMsf). Scale: each round
+    * is one keyed shuffle join + min-aggregate over (long, long) rows;
+    * state is one distance per reached vertex. */
+  def ssspBellmanFord(s: SparkSession, d: String, rounds: Int = 20): DataFrame = {
+    val und = edges(s, d)
+    val w = Fnv1a64.ihash31(concat(least(col("u"), col("v")).cast("string"),
+      lit("|"), greatest(col("u"), col("v")).cast("string"))) % 1000L + 1L
+    val e = und.select(col("u"), col("v"), w.as("w")).localCheckpoint(false)
+    var dist = und.select(col("u").as("vtx")).distinct()
+      .filter(col("vtx") < 10).withColumn("dist", lit(0L))
+      .localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      val relax = e.join(dist, e("u") === dist("vtx"))
+        .select(col("v").as("vtx"), (col("dist") + col("w")).as("dist"))
+      dist = dropStats(s, dist.union(relax)
+        .groupBy("vtx").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(false))
+    }
+    dist.orderBy("vtx")
+  }
+
+  /** Fixed-round unrolled relaxation. Each round reads d_{i-1} TWICE
+    * (carry + relax), so the CTEs must be MATERIALIZED — default
+    * inlining expands the plan 2^rounds-fold (the kcoreSql hang, at a
+    * different fan-out). */
+  private def ssspSql(rounds: Int): String = {
+    val wExpr = OracleSql.fnvIhash31(
+      "CAST(least(u, v) AS VARCHAR) || '|' || CAST(greatest(u, v) AS VARCHAR)")
+    val iterCtes = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT vtx, CAST(min(dist) AS BIGINT) AS dist FROM (
+         |    SELECT vtx, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.v AS vtx, r.dist + e.w AS dist
+         |    FROM und e JOIN d${i - 1} r ON e.u = r.vtx)
+         |  GROUP BY vtx)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH und AS MATERIALIZED (
+       |  SELECT u, v, CAST($wExpr % 1000 AS BIGINT) + 1 AS w
+       |  FROM ($undirectedSql)),
+       |d0 AS (SELECT DISTINCT u AS vtx, CAST(0 AS BIGINT) AS dist
+       |       FROM und WHERE u < 10),
+       |$iterCtes
+       |SELECT vtx, dist FROM d$rounds ORDER BY vtx""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_sssp" -> (ssspBellmanFord(_, _, 20)),
     "graph_msf" -> (boruvkaMsf(_, _, 20)),
     "graph_kcore" -> (kcore(_, _)),
     "graph_bfs" -> (bfs(_, _, 30)),
@@ -509,6 +567,7 @@ object GraphQueries {
         |       (SELECT count(*) FROM e e1
         |        JOIN e e2 ON e1.v = e2.u
         |        JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v) AS n_triangles""".stripMargin,
+    "graph_sssp" -> ssspSql(20),
     "graph_pagerank" -> pagerankSql(10),
     "graph_kcore" -> kcoreSql(5, 8),
     "graph_components" ->

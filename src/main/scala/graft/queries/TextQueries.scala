@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
+import graft.plans.Fnv1a64
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -194,7 +195,38 @@ object TextQueries {
       .orderBy("lang", "lang_pred")
   }
 
+  /** LLM-watermark detection scoring (the Kirchenbauer-style green-list
+    * z-test, re-expressed as a pure scan): token `cur` is "green" w.r.t.
+    * its predecessor iff the FNV hash of the `prev|cur` pair is even
+    * (γ = 1/2 green-list keyed on the previous token — the hash plays the
+    * seeded-RNG vocabulary partition of the published scheme). Per doc the
+    * detector reports the green count over the T = n_tokens−1 bigram
+    * trials and the one-proportion z-score (g − γT)/√(Tγ(1−γ)); an
+    * unwatermarked corpus should flag ≈2.3% of docs at z ≥ 2 — the spec
+    * pins that base rate. All arithmetic is integer until the final
+    * z (BIGINT-derived doubles, bit-stable cross-engine). Scale: one
+    * embarrassingly-parallel scan, no shuffle at all before the sort —
+    * the per-pair hash work is the whole cost, linear in corpus bytes. */
+  def watermarkDetect(s: SparkSession, d: String): DataFrame = {
+    val toks = spaceTokens(col("text"))
+    val pairs = zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat(a, lit("|"), b))
+    val green = size(filter(pairs, p => Fnv1a64.ihash31(p) % 2L === 0L))
+    Tables.documents(s, d)
+      .filter(size(toks) >= 2)
+      .select(col("doc_id"),
+        (size(toks) - 1).cast("long").as("n_pairs"),
+        green.cast("long").as("n_green"))
+      .withColumn("z_raw", (col("n_green") - lit(0.5) * col("n_pairs")) /
+        (lit(0.5) * sqrt(col("n_pairs").cast("double"))))
+      .select(col("doc_id"), col("n_pairs"), col("n_green"),
+        round(col("z_raw"), 6).as("z_score"),
+        when(col("z_raw") >= 2.0, 1).otherwise(0).as("watermarked"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_watermark" -> (watermarkDetect(_, _)),
     "text_langid_confusion" -> (langIdConfusion(_, _)),
     "text_bpe_tokens" -> (bpeTokens(_, _)),
     "text_bpe_train_step" -> (bpeTrainStep(_, _)),
@@ -208,6 +240,27 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_watermark" -> {
+      val fnv = OracleSql.fnvIhash31("pair")
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2),
+         |pairs AS (
+         |  SELECT doc_id, l[CAST(i AS INT)] || '|' || l[CAST(i AS INT) + 1] AS pair
+         |  FROM toks,
+         |       LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i)),
+         |g AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+         |         CAST(sum(CASE WHEN $fnv % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_green
+         |  FROM pairs GROUP BY doc_id),
+         |z AS (
+         |  SELECT doc_id, n_pairs, n_green,
+         |         (n_green - 0.5 * n_pairs) / (0.5 * sqrt(CAST(n_pairs AS DOUBLE))) AS z_raw
+         |  FROM g)
+         |SELECT doc_id, n_pairs, n_green, round(z_raw, 6) AS z_score,
+         |       CASE WHEN z_raw >= 2.0 THEN 1 ELSE 0 END AS watermarked
+         |FROM z ORDER BY doc_id""".stripMargin
+    },
     "text_bpe_apply" ->
       """WITH vocab AS (
         |  SELECT t AS w, CAST(count(*) AS BIGINT) AS wcount
