@@ -67,5 +67,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         CharGrams(exprs.head, lit(exprs(1)), lit(exprs(2)))
       }))
+    e.injectFunction((
+      new FunctionIdentifier("topk"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "topk"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 3,
+          s"topk takes (key, payload, k), got ${exprs.length} args")
+        require(exprs(2).foldable, s"topk k must be a literal, got ${exprs(2)}")
+        // the analyzer wraps a bare AggregateFunction in AggregateExpression
+        TopKAgg(exprs.head, exprs(1), exprs(2).eval().asInstanceOf[Number].intValue())
+      }))
   }
 }

@@ -107,8 +107,32 @@ object WindowQueries {
     "q_window_frame" -> (windowFrame(_, _)),
     "q_window_timerange" -> (windowTimeRange(_, _)),
     "q_topk_global" -> (topkGlobal(_, _)),
-    "q_topk_pergroup" -> (topkPerGroup(_, _))
+    "q_topk_pergroup" -> (topkPerGroup(_, _)),
+    "q_topk_native" -> (topkNative(_, _))
   )
+
+  /** Per-group top-k through the native bounded-heap aggregate
+    * (`plans/TopKAgg`, a TypedImperativeAggregate) instead of the rank
+    * window `topkPerGroup` uses: the window must shuffle EVERY lineitem
+    * row into its group before discarding rank > 5, while the aggregate's
+    * map-side partial keeps a 5-element heap per group per task, so the
+    * exchange carries ≤ 5 pairs × groups × partitions — the combiner
+    * shape that survives 100 TB. The payload long doubles as the
+    * deterministic tie-break ((price DESC, ref ASC) total order, refs
+    * unique by construction), so both engines emit one exact answer.
+    * posexplode flattens the array<struct> to scalar rows for the gate.
+    */
+  def topkNative(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+        (col("l_orderkey") * 8L + col("l_linenumber")).as("ref"))
+      .groupBy("flag")
+      .agg(graft.plans.TopKAgg.topk(col("price_c"), col("ref"), 5).as("top"))
+      .select(col("flag"), posexplode(col("top")))
+      .select(col("flag"), (col("pos") + 1).cast("int").as("rnk"),
+        col("col.k").as("price_c"), col("col.p").as("ref"))
+      .orderBy("flag", "rnk")
 
   val oracles: Map[String, String] = Map(
     "q_window_timerange" ->
@@ -121,6 +145,16 @@ object WindowQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY us
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, us, event_id""".stripMargin,
+    "q_topk_native" ->
+      """SELECT flag, CAST(rn AS INT) AS rnk, price_c, ref FROM (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+        |         l_orderkey * 8 + l_linenumber AS ref,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |           ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT) DESC,
+        |                    l_orderkey * 8 + l_linenumber) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 5 ORDER BY flag, rnk""".stripMargin,
     "q_window_rank" ->
       """SELECT * FROM (
         |  SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS acctbal,
