@@ -358,7 +358,56 @@ object AdvancedQueries {
     Seq((n, med)).toDF("n", "median")
   }
 
+  /** Skyline (Pareto frontier): the parts no other part beats on BOTH
+    * price (lower better) and size (higher better) — the classic
+    * multi-criteria operator relational algebra can only express as an
+    * O(n²) dominance anti-join (the DuckDB oracle's NOT EXISTS form).
+    * Spark path is the published two-phase distributed skyline: each
+    * partition computes its LOCAL skyline with one sorted sweep
+    * (price asc, size desc; a point survives iff it beats every
+    * strictly-cheaper point's max size and heads its own price group),
+    * then the union of local skylines — expected O(log n) points per
+    * partition on independent dims, not O(n) — is re-swept once on a
+    * single post-shrink partition. Correct because a global skyline
+    * point is never dominated in ANY subset, so phase 1 cannot drop it;
+    * mapPartitions is the honest tool here (SURVEY §4 path (d)): the
+    * alternative is the quadratic self-join or a corpus-wide
+    * single-partition window. Duplicate (price, size) points are mutual
+    * non-dominators and all survive — both engines agree by the same
+    * tie rule.
+    */
+  def skyline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pts = Tables.part(s, d).select(
+        col("p_partkey").as("id"),
+        round(col("p_retailprice") * 100).cast("long").as("price_c"),
+        col("p_size").cast("long").as("size"))
+      .as[(Long, Long, Long)]
+    def sweep(it: Iterator[(Long, Long, Long)]): Iterator[(Long, Long, Long)] = {
+      // requires (price asc, size desc) sorted input
+      var maxCheaper = Long.MinValue   // max size over strictly cheaper points
+      var groupPrice = Long.MinValue   // current price group
+      var groupMax = Long.MinValue     // max size within the group (its head)
+      it.filter { case (_, price, size) =>
+        if (price != groupPrice) {
+          if (groupMax > maxCheaper) maxCheaper = groupMax
+          groupPrice = price; groupMax = size
+        }
+        size == groupMax && size > maxCheaper
+      }
+    }
+    val local = pts
+      .sortWithinPartitions(col("price_c"), col("size").desc, col("id"))
+      .mapPartitions(sweep)
+    val global = local
+      .repartition(1)
+      .sortWithinPartitions(col("_2"), col("_3").desc, col("_1"))
+      .mapPartitions(sweep)
+    global.toDF("id", "price_c", "size").orderBy("id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skyline" -> (skyline(_, _)),
     "q_median_2pass" -> (median2pass(_, _)),
     "q_asof_join" -> (asofJoin(_, _)),
     "q_asof_forward" -> (asofForward(_, _)),
@@ -381,6 +430,20 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact quadratic dominance anti-join — the relational form of the
+    // skyline the Spark side computes with the two-phase sweep
+    "q_skyline" ->
+      """WITH pts AS (
+        |  SELECT p_partkey AS id,
+        |         CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+        |         CAST(p_size AS BIGINT) AS size
+        |  FROM part)
+        |SELECT id, price_c, size FROM pts a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts b
+        |  WHERE b.price_c <= a.price_c AND b.size >= a.size
+        |    AND (b.price_c < a.price_c OR b.size > a.size))
+        |ORDER BY id""".stripMargin,
     // order-statistic median: both middle ranks averaged (odd n → the two
     // ranks coincide), identical (a+b)/2 float step on both engines
     "q_median_2pass" ->

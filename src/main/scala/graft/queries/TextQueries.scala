@@ -225,7 +225,51 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  private val WinK = 5 // gram length
+  private val WinW = 4 // winnowing window (guarantee threshold = W+K-1 = 8)
+
+  /** Winnowing fingerprint selection (the MOSS local-minimum scheme): hash
+    * every K-char gram, then in each window of W consecutive hashes keep
+    * the minimum, tie-broken to the RIGHTMOST occurrence — encoded
+    * arithmetically as key = hash·2^21 + (2^21−1−pos) so one integer min
+    * implements (hash asc, pos desc) and both engines agree bit-exactly.
+    * Selections are deduped by position (one window often re-selects its
+    * neighbor's minimum — that is the scheme's density guarantee at work).
+    * Emits one row per kept fingerprint: (doc_id, n_grams, pos, fp).
+    * Docs shorter than W+K−1 have no full window and are dropped by both
+    * engines. Scale: pure per-row HOF expressions — no shuffle, no join;
+    * the 2^21 position budget bounds docs at 2M chars (fixture max 577).
+    */
+  def winnowFingerprints(s: SparkSession, d: String): DataFrame = {
+    val n = length(col("text"))
+    val hashes = transform(sequence(lit(0), n - WinK),
+      i => Fnv1a64.ihash31(col("text").substr(i + 1, lit(WinK))))
+    val keys = transform(hashes, (h, i) => h * 2097152L + (lit(2097151) - i))
+    val sel = transform(sequence(lit(WinW - 1), size(keys) - 1),
+      e => array_min(slice(keys, e - WinW + 2, lit(WinW))))
+    Tables.documents(s, d)
+      .filter(n >= WinK + WinW - 1)
+      .select(col("doc_id"), (n - WinK + 1).cast("long").as("n_grams"),
+        explode(array_distinct(sel)).as("key"))
+      .select(col("doc_id"), col("n_grams"),
+        (lit(2097151L) - col("key") % 2097152L).as("pos"),
+        shiftright(col("key"), 21).as("fp"))
+  }
+
+  /** Per-doc winnowing summary — fingerprint count and an order-free
+    * checksum of the selected hash set, the compact form a 100 TB
+    * fingerprint store would persist per shard. */
+  def winnowing(s: SparkSession, d: String): DataFrame =
+    winnowFingerprints(s, d)
+      .groupBy("doc_id")
+      .agg(first(col("n_grams")).as("n_grams"),
+        count(lit(1)).as("n_fps"),
+        sum(col("fp")).as("fp_checksum"),
+        min(col("fp")).as("fp_min"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_winnowing" -> (winnowing(_, _)),
     "text_watermark" -> (watermarkDetect(_, _)),
     "text_langid_confusion" -> (langIdConfusion(_, _)),
     "text_bpe_tokens" -> (bpeTokens(_, _)),
@@ -240,6 +284,33 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_winnowing" -> {
+      val fnv = OracleSql.fnvIhash31("substr(text, CAST(i + 1 AS INT), 5)")
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS n FROM documents
+         |  WHERE length(text) >= 8),
+         |g AS (
+         |  SELECT doc_id, i,
+         |         CAST($fnv AS BIGINT) * 2097152 + (2097151 - i) AS key
+         |  FROM d, LATERAL (SELECT unnest(generate_series(0, n - 5)) AS i)),
+         |w AS (
+         |  SELECT doc_id, e
+         |  FROM d, LATERAL (SELECT unnest(generate_series(3, n - 5)) AS e)),
+         |sel AS (
+         |  SELECT w.doc_id, w.e, min(g.key) AS key
+         |  FROM w JOIN g ON g.doc_id = w.doc_id AND g.i BETWEEN w.e - 3 AND w.e
+         |  GROUP BY w.doc_id, w.e),
+         |fp AS (SELECT DISTINCT doc_id, key FROM sel),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+         |         CAST(sum(key >> 21) AS BIGINT) AS fp_checksum,
+         |         CAST(min(key >> 21) AS BIGINT) AS fp_min
+         |  FROM fp GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(d.n - 4 AS BIGINT) AS n_grams,
+         |       a.n_fps, a.fp_checksum, a.fp_min
+         |FROM d JOIN agg a ON a.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
     "text_watermark" -> {
       val fnv = OracleSql.fnvIhash31("pair")
       s"""WITH toks AS (
