@@ -11,15 +11,18 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
 /** Bounded per-group top-k as a native `TypedImperativeAggregate` — the
-  * map-side-combinable alternative to the rank-window idiom. A window
-  * `row_number() ≤ k` must shuffle EVERY row of every group before it can
-  * discard anything; this aggregate keeps a k-element min-heap per group
-  * in each map task, so the shuffle carries at most k (key, payload) longs
-  * per group per partition — at 100 TB the exchanged bytes drop from the
-  * corpus size to k × groups × partitions, and partial aggregation (the
-  * reference's combiner, `/root/reference/src/lib.rs:132-136` ReduceFn
-  * applied map-side) is what Spark's ObjectHashAggregate gives the
-  * imperative buffer for free.
+  * combiner-shaped alternative to the rank-window idiom. Spark 4 already
+  * bounds the `row_number() ≤ k` window's exchange with WindowGroupLimit
+  * (partial group-limits below the shuffle — pinned on `q_topk_pergroup`
+  * in PlanShapeSpec), but that plan still SORTS every map partition's
+  * rows to feed the limit; this aggregate replaces the O(n log n)
+  * map-side sort with an O(n log k) bounded heap, plans as one
+  * partial+final ObjectHashAggregate pair (no Sort, no Window machinery),
+  * and applies where the group-limit pattern can't (composite candidates,
+  * arbitrary rewrites of the key). Exchange volume is the same k ×
+  * groups × partitions — the reference's combiner
+  * (`/root/reference/src/lib.rs:132-136`, ReduceFn applied map-side) is
+  * what ObjectHashAggregate gives the imperative buffer for free.
   *
   * Ordering contract: candidates rank by (key DESC, payload ASC) — the
   * payload doubles as the deterministic tie-break, so with distinct
@@ -47,13 +50,18 @@ case class TopKAgg(
 
   override def checkInputDataTypes(): TypeCheckResult =
     (key.dataType, payload.dataType) match {
-      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (LongType | DoubleType, LongType) => TypeCheckResult.TypeCheckSuccess
       case (a, b) => TypeCheckResult.TypeCheckFailure(
-        s"topk requires (bigint, bigint), got (${a.catalogString}, ${b.catalogString})")
+        s"topk requires (bigint|double, bigint), got (${a.catalogString}, ${b.catalogString})")
     }
 
+  // double keys ride the heap as their order-preserving IEEE-bits longs
+  // (TopKAgg.toSortable — an exact involution, so eval reconstructs the
+  // identical double); the long path stores the value directly
+  private def keyIsDouble: Boolean = key.dataType == DoubleType
+
   override def dataType: DataType = ArrayType(
-    StructType(Seq(StructField("k", LongType, nullable = false),
+    StructType(Seq(StructField("k", key.dataType, nullable = false),
       StructField("p", LongType, nullable = false))),
     containsNull = false)
 
@@ -66,7 +74,9 @@ case class TopKAgg(
     val kv = key.eval(input)
     val pv = payload.eval(input)
     if (kv != null && pv != null) {
-      buf.insert(kv.asInstanceOf[Long], pv.asInstanceOf[Long])
+      val kl = if (keyIsDouble) TopKAgg.toSortable(kv.asInstanceOf[Double])
+        else kv.asInstanceOf[Long]
+      buf.insert(kl, pv.asInstanceOf[Long])
     }
     buf
   }
@@ -78,7 +88,8 @@ case class TopKAgg(
 
   override def eval(buf: TopKAgg.Buffer): Any =
     new GenericArrayData(buf.sortedBestFirst.map { case (kv, pv) =>
-      InternalRow(kv, pv)
+      if (keyIsDouble) InternalRow(TopKAgg.fromSortable(kv), pv)
+      else InternalRow(kv, pv)
     })
 
   override def serialize(buf: TopKAgg.Buffer): Array[Byte] = buf.toBytes
@@ -98,6 +109,18 @@ object TopKAgg {
   /** `a` outranks `b` under (key DESC, payload ASC). */
   private def better(ak: Long, ap: Long, bk: Long, bp: Long): Boolean =
     ak > bk || (ak == bk && ap < bp)
+
+  /** Order-preserving bijection double → signed long (IEEE total order:
+    * negatives map below positives, both increasing); `fromSortable`
+    * inverts it exactly, so a double key survives the heap bit-for-bit. */
+  def toSortable(d: Double): Long = {
+    val bits = java.lang.Double.doubleToLongBits(d)
+    if (bits >= 0) bits else -1L - (bits & Long.MaxValue)
+  }
+
+  def fromSortable(l: Long): Double =
+    java.lang.Double.longBitsToDouble(
+      if (l >= 0) l else (-1L - l) | Long.MinValue)
 
   /** Bounded buffer: a worst-on-top binary heap over (key, payload) pairs
     * packed in one flat long array — no boxing on the hot insert path, and

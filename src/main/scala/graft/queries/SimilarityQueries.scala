@@ -24,19 +24,28 @@ object SimilarityQueries {
 
   /** Brute-force cosine top-k: 10 query vectors (vec_id < 10) against the
     * full corpus, k=5 neighbors each, ranked (sim DESC, vec_id) for
-    * determinism. Norms computed once per side before the join.
+    * determinism. The ranking runs through the native bounded-heap
+    * aggregate (`plans/TopKAgg`, double keys ride their order-preserving
+    * IEEE bits — exactly invertible, so sims are bit-identical to the
+    * former rank-window form). The former window also bounded the
+    * exchange (WindowGroupLimit), but sorted each map partition's scored
+    * stream to do it; the heap aggregate drops both Sorts from the plan
+    * (pinned in PlanShapeSpec) and keeps 5 candidates per query per task
+    * in O(n log k) — the streamed-corpus × broadcast-queries shape that
+    * survives a corpus 1000× this size.
     */
   def cosineTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     val base = vecs(s, d)
     val q = base.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val joined = base.join(broadcast(q), col("vec_id") =!= col("qid"))
+    base.join(broadcast(q), col("vec_id") =!= col("qid"))
       .withColumn("sim",
         graft.plans.CosineSimilarity.cosine_sim(col("v"), col("qv")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
-    joined
-      .select(col("qid"), col("vec_id"), col("sim"), row_number().over(w).as("rank"))
-      .filter(col("rank") <= k)
+      .groupBy("qid")
+      .agg(graft.plans.TopKAgg.topk(col("sim"), col("vec_id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.p").as("vec_id"), col("col.k").as("sim"),
+        (col("pos") + 1).cast("int").as("rank"))
       .orderBy("qid", "rank")
   }
 

@@ -113,14 +113,15 @@ object WindowQueries {
 
   /** Per-group top-k through the native bounded-heap aggregate
     * (`plans/TopKAgg`, a TypedImperativeAggregate) instead of the rank
-    * window `topkPerGroup` uses: the window must shuffle EVERY lineitem
-    * row into its group before discarding rank > 5, while the aggregate's
-    * map-side partial keeps a 5-element heap per group per task, so the
-    * exchange carries ≤ 5 pairs × groups × partitions — the combiner
-    * shape that survives 100 TB. The payload long doubles as the
-    * deterministic tie-break ((price DESC, ref ASC) total order, refs
-    * unique by construction), so both engines emit one exact answer.
-    * posexplode flattens the array<struct> to scalar rows for the gate.
+    * window `topkPerGroup` uses. Both plans bound the exchange to ≤ k
+    * rows per group per task (Spark's WindowGroupLimit gives the window
+    * that much), but the window plan still sorts every map partition to
+    * feed the group-limit; the aggregate keeps a 5-element heap per
+    * group per task — no map-side sort at all, O(n log k) not
+    * O(n log n). The payload long doubles as the deterministic tie-break
+    * ((price DESC, ref ASC) total order, refs unique by construction),
+    * so both engines emit one exact answer. posexplode flattens the
+    * array<struct> to scalar rows for the gate.
     */
   def topkNative(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

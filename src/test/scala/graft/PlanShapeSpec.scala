@@ -57,13 +57,25 @@ class PlanShapeSpec extends SparkSpec {
       s"projection must prune unreferenced columns: $readSchema")
   }
 
-  test("sim_cosine_topk: rank<=k pushed below the shuffle (WindowGroupLimit)") {
-    // without this the window would shuffle |corpus|x|Q| scored rows; with
+  test("q_topk_pergroup: rank<=k pushed below the shuffle (WindowGroupLimit)") {
+    // without this the window would shuffle every row into its group; with
     // the partial WindowGroupLimit only top-k per map partition crosses
-    val plan = executedPlan("sim_cosine_topk")
-    // two instances: Partial (map-side, below the qid exchange) + Final
+    val plan = executedPlan("q_topk_pergroup")
+    // two instances: Partial (map-side, below the brand exchange) + Final
     val n = "WindowGroupLimit".r.findAllIn(plan).length
     assert(n >= 2, s"expected partial+final WindowGroupLimit, found $n:\n$plan")
+  }
+
+  test("sim_cosine_topk: heap aggregate — no sort or window machinery at all") {
+    // the native TopKAgg bounds the exchange like WindowGroupLimit does,
+    // but with a per-task heap instead of a map-side SORT of the scored
+    // stream; the plan must carry partial+final ObjectHashAggregate and
+    // no Sort below the qid exchange (the only sort is the final ORDER BY)
+    val plan = executedPlan("sim_cosine_topk")
+    val n = "ObjectHashAggregate".r.findAllIn(plan).length
+    assert(n >= 2, s"expected partial+final ObjectHashAggregate, found $n:\n$plan")
+    assert(!plan.contains("WindowGroupLimit") && !plan.contains("Window"),
+      s"scoring path must not fall back to window machinery:\n$plan")
   }
 
   test("sim_ann_topk: every join broadcast — corpus vectors never shuffled") {

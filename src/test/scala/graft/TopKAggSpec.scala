@@ -72,6 +72,24 @@ class TopKAggSpec extends SparkSpec {
       s"expected partial+final ObjectHashAggregate:\n$phys")
   }
 
+  test("double keys round-trip the sortable-bits encoding exactly") {
+    // spot the involution on tricky values, then the aggregate end-to-end
+    for (d <- Seq(0.0, -0.0, 1.5, -1.5, 1e-300, -1e-300, Double.MaxValue,
+        Double.MinPositiveValue, -Double.MaxValue, 0.1 + 0.2)) {
+      assert(TopKAgg.fromSortable(TopKAgg.toSortable(d)) === d)
+    }
+    assert(TopKAgg.toSortable(-1e-300) < TopKAgg.toSortable(0.0))
+    assert(TopKAgg.toSortable(0.0) < TopKAgg.toSortable(1e-300))
+    import spark.implicits._
+    val df = Seq((1L, 0.3, 1L), (1L, -0.7, 2L), (1L, 0.95, 3L), (1L, 0.3, 0L))
+      .toDF("g", "key", "p")
+    val got = df.groupBy("g")
+      .agg(TopKAgg.topk(col("key"), col("p"), 3).as("top"))
+      .select(posexplode(col("top")))
+      .collect().map(r => (r.getInt(0), r.getStruct(1).getDouble(0), r.getStruct(1).getLong(1)))
+    assert(got.toSeq === Seq((0, 0.95, 3L), (1, 0.3, 0L), (2, 0.3, 1L)))
+  }
+
   test("buffer serialize/deserialize preserves the heap; inserts stay bounded") {
     val buf = new TopKAgg.Buffer(3)
     Seq((5L, 50L), (9L, 90L), (1L, 10L), (9L, 80L), (7L, 70L), (2L, 20L))
