@@ -459,6 +459,95 @@ object GraphQueries {
     dist.orderBy("vtx")
   }
 
+  /** k-truss synchronous peel over the dense co-order part graph
+    * (distinct l_partkey pairs sharing an even-keyed order — the
+    * even-order slice keeps every co-order clique intact while bounding
+    * the wedge volume; u < v canonical): each
+    * round recounts every edge's triangle support — wedges are enumerated
+    * from the degree-ordered ORIENTATION (once per triangle, at its
+    * min-(deg,id) apex), closed against a broadcast of the shrinking edge
+    * set, and each triangle credits its three edges — then edges with
+    * support < k−2 drop. The semantics are DEFINED
+    * as exactly `rounds` synchronous rounds on both engines (the fixture
+    * needs ~25 rounds to converge at k=8/sf0.01, so the 8-round output
+    * is the peel-progress curve, not a fixpoint claim — the honest
+    * bounded contract, same device as graph_sssp). Output is the
+    * decision-sized curve (round, n_edges). Scale: the wedge join is the
+    * standard distributed triangle-support shape — shuffles on vertex
+    * then edge keys, support state one long per live edge; per-round
+    * lazy checkpoints + dropStats block the compounding-statistics trap
+    * (see boruvkaMsf). */
+  def ktruss(s: SparkSession, d: String, k: Int = 8, rounds: Int = 8): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 2 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    var cur = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+      .localCheckpoint(false)
+    val curve = (1 to rounds).map { r =>
+      // degree-ordered orientation: every triangle is enumerated exactly
+      // once, at its min-(deg, id) apex — 148M unoriented wedges collapse
+      // to 41M at sf0.1, and out-degrees are bounded by ~sqrt(2E) so no
+      // apex explodes a task (the published MapReduce k-truss shape)
+      val deg = cur.select(col("u").as("x")).union(cur.select(col("v").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("c"))
+      val o = cur
+        .join(broadcast(deg).as("du"), col("u") === col("du.x"))
+        .join(broadcast(deg).as("dv"), col("v") === col("dv.x"))
+        .select(
+          when(struct(col("du.c"), col("u")) < struct(col("dv.c"), col("v")),
+            col("u")).otherwise(col("v")).as("src"),
+          when(struct(col("du.c"), col("u")) < struct(col("dv.c"), col("v")),
+            col("v")).otherwise(col("u")).as("dst"))
+      val wedges = o.as("e1").join(o.as("e2"),
+          col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+        .select(col("e1.src").as("a"), col("e1.dst").as("p"), col("e2.dst").as("q"))
+      // closing-edge check rides a broadcast of the (small, shrinking)
+      // edge set so the wedge stream itself never shuffles; each found
+      // triangle credits its three edges, canonicalized back to u < v
+      val tri = wedges.join(broadcast(cur),
+        col("p") === col("u") && col("q") === col("v"))
+      val credits = tri.select(explode(array(
+          struct(least(col("a"), col("p")).as("u"), greatest(col("a"), col("p")).as("v")),
+          struct(least(col("a"), col("q")).as("u"), greatest(col("a"), col("q")).as("v")),
+          struct(col("p").as("u"), col("q").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+      val sup = credits.groupBy("u", "v").agg(count(lit(1)).as("s"))
+      cur = dropStats(s, sup.filter(col("s") >= k - 2).select("u", "v")
+        .localCheckpoint(false))
+      cur.agg(count(lit(1)).as("n_edges")).select(lit(r).as("round"), col("n_edges"))
+    }
+    curve.reduce(_ union _).orderBy("round")
+  }
+
+  private def ktrussSql(k: Int, rounds: Int): String = {
+    val peels = (1 to rounds).map { i =>
+      s"""u$i AS MATERIALIZED (
+         |  SELECT u AS a, v AS b FROM e${i - 1}
+         |  UNION ALL SELECT v, u FROM e${i - 1}),
+         |e$i AS MATERIALIZED (
+         |  SELECT s.u, s.v FROM (
+         |    SELECT e.u, e.v, count(*) AS s
+         |    FROM u$i w1 JOIN u$i w2 ON w1.a = w2.a AND w1.b < w2.b
+         |    JOIN e${i - 1} e ON e.u = w1.b AND e.v = w2.b
+         |    GROUP BY e.u, e.v) s
+         |  WHERE s.s >= ${k - 2})""".stripMargin
+    }.mkString(",\n")
+    val counts = (1 to rounds).map(i =>
+      s"SELECT $i AS round, CAST(count(*) AS BIGINT) AS n_edges FROM e$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  WHERE a.l_orderkey % 2 = 0),
+       |$peels
+       |SELECT round, n_edges FROM ($counts) ORDER BY round""".stripMargin
+  }
+
   /** Fixed-round unrolled relaxation. Each round reads d_{i-1} TWICE
     * (carry + relax), so the CTEs must be MATERIALIZED — default
     * inlining expands the plan 2^rounds-fold (the kcoreSql hang, at a
@@ -485,6 +574,7 @@ object GraphQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_ktruss" -> (ktruss(_, _, 8, 8)),
     "graph_sssp" -> (ssspBellmanFord(_, _, 20)),
     "graph_msf" -> (boruvkaMsf(_, _, 20)),
     "graph_kcore" -> (kcore(_, _)),
@@ -567,6 +657,7 @@ object GraphQueries {
         |       (SELECT count(*) FROM e e1
         |        JOIN e e2 ON e1.v = e2.u
         |        JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v) AS n_triangles""".stripMargin,
+    "graph_ktruss" -> ktrussSql(8, 8),
     "graph_sssp" -> ssspSql(20),
     "graph_pagerank" -> pagerankSql(10),
     "graph_kcore" -> kcoreSql(5, 8),
