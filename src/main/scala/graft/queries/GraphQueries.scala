@@ -172,6 +172,7 @@ object GraphQueries {
 
   /** Wedges (paths a→y, a→z with ord(y) < ord(z)) of a degree-oriented
     * edge set — the intermediate whose size degree orientation bounds.
+    * Keeps the apex `a` (the triangle family needs all three corners).
     * Exposed for the skew test; `triangles` closes these with a third
     * join.
     */
@@ -179,17 +180,26 @@ object GraphQueries {
     eo.select(col("a"), col("b").as("y"), col("bord").as("yord"))
       .join(eo.select(col("a").as("a2"), col("b").as("z"), col("bord").as("zord")),
         col("a") === col("a2") && col("yord") < col("zord"))
-      .select(col("y"), col("z"))
+      .select(col("a"), col("y"), col("z"))
 
   /** Close each wedge with the oriented edge y→z — one row per triangle
-    * (the wedge's apex is the triangle's (deg,id)-minimum vertex, so no
-    * triangle is generated twice). Shared by `triangles` and the
-    * orientation specs.
+    * (a, y, z), where the apex `a` is the triangle's (deg,id)-minimum
+    * vertex, so no triangle is generated twice. Shared by `triangles`,
+    * `ktruss`, `clusteringCoeff` and the orientation specs.
+    * `broadcastClose = true` ships the closing edge list to every task so
+    * the wedge stream never shuffles — right whenever the edge list fits
+    * the broadcast budget (the iterative peel's shrinking sets); at
+    * edge-list scale beyond that, leave it false and let the closing join
+    * shuffle on (y, z).
     */
-  private[graft] def closedTriangles(eo: DataFrame): DataFrame =
+  private[graft] def closedTriangles(eo: DataFrame,
+      broadcastClose: Boolean = false): DataFrame = {
+    val closing = eo.select(col("a").as("cy"), col("b").as("cz"))
     orientedWedges(eo).join(
-      eo.select(col("a").as("cy"), col("b").as("cz")),
-      col("y") === col("cy") && col("z") === col("cz"))
+        if (broadcastClose) broadcast(closing) else closing,
+        col("y") === col("cy") && col("z") === col("cz"))
+      .select(col("a"), col("y"), col("z"))
+  }
 
   /** Triangle counting over the part co-occurrence graph (parts appearing
     * together in ≥ 2 orders — the threshold keeps the projection sparse;
@@ -477,43 +487,43 @@ object GraphQueries {
     * then edge keys, support state one long per live edge; per-round
     * lazy checkpoints + dropStats block the compounding-statistics trap
     * (see boruvkaMsf). */
-  def ktruss(s: SparkSession, d: String, k: Int = 8, rounds: Int = 8): DataFrame = {
+  /** Dense co-purchase graph: distinct part pairs sharing an even-keyed
+    * order (u < v canonical; the even-order slice keeps every co-order
+    * clique intact while bounding triangle volume). Shared by the
+    * triangle-family queries (ktruss, clustering coefficient). */
+  private def coOrderEdges(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .filter(col("l_orderkey") % 2 === 0)
       .select(col("l_orderkey"), col("l_partkey"))
-    var cur = li.as("a").join(li.as("b"),
+    li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
       .distinct()
-      .localCheckpoint(false)
+  }
+
+  private val coOrderEdgesSql =
+    """SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  WHERE a.l_orderkey % 2 = 0""".stripMargin
+
+  def ktruss(s: SparkSession, d: String, k: Int = 8, rounds: Int = 8): DataFrame = {
+    var cur = coOrderEdges(s, d).localCheckpoint(false)
     val curve = (1 to rounds).map { r =>
-      // degree-ordered orientation: every triangle is enumerated exactly
-      // once, at its min-(deg, id) apex — 148M unoriented wedges collapse
-      // to 41M at sf0.1, and out-degrees are bounded by ~sqrt(2E) so no
-      // apex explodes a task (the published MapReduce k-truss shape)
-      val deg = cur.select(col("u").as("x")).union(cur.select(col("v").as("x")))
-        .groupBy("x").agg(count(lit(1)).as("c"))
-      val o = cur
-        .join(broadcast(deg).as("du"), col("u") === col("du.x"))
-        .join(broadcast(deg).as("dv"), col("v") === col("dv.x"))
-        .select(
-          when(struct(col("du.c"), col("u")) < struct(col("dv.c"), col("v")),
-            col("u")).otherwise(col("v")).as("src"),
-          when(struct(col("du.c"), col("u")) < struct(col("dv.c"), col("v")),
-            col("v")).otherwise(col("u")).as("dst"))
-      val wedges = o.as("e1").join(o.as("e2"),
-          col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
-        .select(col("e1.src").as("a"), col("e1.dst").as("p"), col("e2.dst").as("q"))
-      // closing-edge check rides a broadcast of the (small, shrinking)
-      // edge set so the wedge stream itself never shuffles; each found
-      // triangle credits its three edges, canonicalized back to u < v
-      val tri = wedges.join(broadcast(cur),
-        col("p") === col("u") && col("q") === col("v"))
-      val credits = tri.select(explode(array(
-          struct(least(col("a"), col("p")).as("u"), greatest(col("a"), col("p")).as("v")),
-          struct(least(col("a"), col("q")).as("u"), greatest(col("a"), col("q")).as("v")),
-          struct(col("p").as("u"), col("q").as("v")))).as("e"))
+      // shared degree-ordered enumeration (see orientByDegree /
+      // closedTriangles): 148M unoriented wedges collapse to 41M at
+      // sf0.1, and the broadcast close keeps the wedge stream unshuffled;
+      // eo is lazily checkpointed because it feeds both wedge sides plus
+      // the closing join (3 references — same reason triangles() pins it)
+      val eo = orientByDegree(cur).localCheckpoint(false)
+      // each triangle credits its three edges, canonicalized back to
+      // u < v (wedge endpoints are (deg,id)-ordered, not id-ordered)
+      val credits = closedTriangles(eo, broadcastClose = true)
+        .select(explode(array(
+          struct(least(col("a"), col("y")).as("u"), greatest(col("a"), col("y")).as("v")),
+          struct(least(col("a"), col("z")).as("u"), greatest(col("a"), col("z")).as("v")),
+          struct(least(col("y"), col("z")).as("u"), greatest(col("y"), col("z")).as("v")))).as("e"))
         .select(col("e.u").as("u"), col("e.v").as("v"))
       val sup = credits.groupBy("u", "v").agg(count(lit(1)).as("s"))
       cur = dropStats(s, sup.filter(col("s") >= k - 2).select("u", "v")
@@ -522,6 +532,52 @@ object GraphQueries {
     }
     curve.reduce(_ union _).orderBy("round")
   }
+
+  /** Local clustering coefficient per vertex of the co-purchase graph:
+    * coeff(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — how close v's
+    * neighborhood is to a clique. One oriented-triangle pass (each
+    * triangle credits its three corners), one degree aggregate, one
+    * broadcast-sized join; the division is exact-integer-derived, so the
+    * rounded double matches DuckDB bit-for-bit. Scale: same bounded-wedge
+    * shape as graph_ktruss, but a single pass — no rounds. */
+  def clusteringCoeff(s: SparkSession, d: String): DataFrame = {
+    val e = coOrderEdges(s, d).localCheckpoint(false)
+    val deg = e.select(col("u").as("vtx")).union(e.select(col("v").as("vtx")))
+      .groupBy("vtx").agg(count(lit(1)).as("deg"))
+    val tv = closedTriangles(orientByDegree(e).localCheckpoint(false),
+        broadcastClose = true)
+      .select(explode(array(col("a"), col("y"), col("z"))).as("vtx"))
+      .groupBy("vtx").agg(count(lit(1)).as("tri"))
+    deg.join(tv, Seq("vtx"), "left")
+      .select(col("vtx"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("coeff",
+        when(col("deg") >= 2,
+          round(col("tri") * 2.0 / (col("deg") * (col("deg") - 1)), 6))
+          .otherwise(lit(0.0)))
+      .orderBy("vtx")
+  }
+
+  private val clusteringSql =
+    s"""WITH e AS MATERIALIZED (
+       |  $coOrderEdgesSql),
+       |und AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+       |deg AS (SELECT a AS vtx, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY a),
+       |tri AS MATERIALIZED (
+       |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+       |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+       |  JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v),
+       |tv AS (SELECT vtx, CAST(count(*) AS BIGINT) AS tri FROM (
+       |         SELECT x AS vtx FROM tri
+       |         UNION ALL SELECT y FROM tri
+       |         UNION ALL SELECT z FROM tri)
+       |       GROUP BY vtx)
+       |SELECT d.vtx, d.deg, coalesce(t.tri, 0) AS tri,
+       |       CASE WHEN d.deg >= 2
+       |            THEN round(CAST(2 * coalesce(t.tri, 0) AS DOUBLE)
+       |                       / (d.deg * (d.deg - 1)), 6)
+       |            ELSE 0.0 END AS coeff
+       |FROM deg d LEFT JOIN tv t ON t.vtx = d.vtx
+       |ORDER BY d.vtx""".stripMargin
 
   private def ktrussSql(k: Int, rounds: Int): String = {
     val peels = (1 to rounds).map { i =>
@@ -540,10 +596,7 @@ object GraphQueries {
       s"SELECT $i AS round, CAST(count(*) AS BIGINT) AS n_edges FROM e$i")
       .mkString("\nUNION ALL ")
     s"""WITH e0 AS MATERIALIZED (
-       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-       |  FROM lineitem a JOIN lineitem b
-       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-       |  WHERE a.l_orderkey % 2 = 0),
+       |  $coOrderEdgesSql),
        |$peels
        |SELECT round, n_edges FROM ($counts) ORDER BY round""".stripMargin
   }
@@ -575,6 +628,7 @@ object GraphQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_ktruss" -> (ktruss(_, _, 8, 8)),
+    "graph_clustering" -> (clusteringCoeff(_, _)),
     "graph_sssp" -> (ssspBellmanFord(_, _, 20)),
     "graph_msf" -> (boruvkaMsf(_, _, 20)),
     "graph_kcore" -> (kcore(_, _)),
@@ -658,6 +712,7 @@ object GraphQueries {
         |        JOIN e e2 ON e1.v = e2.u
         |        JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v) AS n_triangles""".stripMargin,
     "graph_ktruss" -> ktrussSql(8, 8),
+    "graph_clustering" -> clusteringSql,
     "graph_sssp" -> ssspSql(20),
     "graph_pagerank" -> pagerankSql(10),
     "graph_kcore" -> kcoreSql(5, 8),

@@ -91,7 +91,24 @@ object MultimodalQueries {
       .orderBy("label")
   }
 
+  /** Perceptual-hash near-dup over the media column: the typed
+    * per-partition Walsh-Hadamard pHash stub (`Multimodal.phashStub` —
+    * integer-exact, so fully oracled), then each media row reports its
+    * hash and how many corpus rows share it (the exact-bucket face of
+    * perceptual dedup; Hamming-banded near-dup is `dedup_simhash`'s
+    * machinery, applied downstream of this hash at scale). The bucket
+    * join broadcasts the decision-sized (phash, count) aggregate.
+    */
+  def phash(s: SparkSession, d: String): DataFrame = {
+    val h = Multimodal.phashStub(Multimodal.fromDocuments(s, d)).toDF()
+    val buckets = h.groupBy("phash").agg(count(lit(1)).as("bucket_size"))
+    h.join(broadcast(buckets), "phash")
+      .select(col("id"), col("phash"), col("bucket_size"))
+      .orderBy("id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_phash" -> (phash(_, _)),
     "mm_pair_embed" -> (pairEmbed(_, _)),
     "mm_binary_meta" -> (binaryMeta(_, _)),
     "mm_media_sizes" -> (mediaSizes(_, _)),
@@ -100,6 +117,39 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the Walsh-Hadamard pHash re-derived relationally: 64 sampled byte
+    // "pixels" (ASCII text bytes, like every byte-level oracle here),
+    // ±1 weights from popcount parity, lower-median threshold, 16 bits
+    "mm_phash" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |px AS (
+        |  SELECT doc_id, i,
+        |         CASE WHEN n = 0 THEN 0
+        |              ELSE unicode(substr(text, CAST((i * n) // 64 AS INT) + 1, 1))
+        |         END AS p
+        |  FROM d, LATERAL (SELECT unnest(generate_series(0, 63)) AS i)),
+        |jt AS (SELECT rf.g * 8 + cf.g AS j, rf.g * 4 + cf.g AS b
+        |       FROM (SELECT unnest(generate_series(0, 3)) AS g) rf,
+        |            (SELECT unnest(generate_series(0, 3)) AS g) cf),
+        |coef AS (
+        |  SELECT px.doc_id, jt.b,
+        |         CAST(sum(CASE WHEN bit_count(jt.j & px.i) % 2 = 0
+        |                       THEN px.p ELSE -px.p END) AS BIGINT) AS c
+        |  FROM px CROSS JOIN jt GROUP BY 1, 2),
+        |med AS (
+        |  SELECT doc_id, c AS m FROM (
+        |    SELECT doc_id, c, row_number() OVER (PARTITION BY doc_id ORDER BY c) AS rk
+        |    FROM coef)
+        |  WHERE rk = 8),
+        |ph AS (
+        |  SELECT coef.doc_id AS id,
+        |         CAST(sum(CASE WHEN coef.c > med.m THEN 1::BIGINT << coef.b
+        |                       ELSE 0 END) AS BIGINT) AS phash
+        |  FROM coef JOIN med ON coef.doc_id = med.doc_id GROUP BY 1),
+        |bk AS (SELECT phash, CAST(count(*) AS BIGINT) AS bucket_size
+        |       FROM ph GROUP BY 1)
+        |SELECT ph.id, ph.phash, bk.bucket_size
+        |FROM ph JOIN bk USING (phash) ORDER BY ph.id""".stripMargin,
     "mm_pair_embed" ->
       """WITH m AS (SELECT doc_id AS id, strlen(text) AS n_bytes
         |           FROM documents),

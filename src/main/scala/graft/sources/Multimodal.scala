@@ -98,4 +98,46 @@ object Multimodal {
     */
   def withMeta(media: Dataset[MediaRecord]): DataFrame =
     media.toDF().select(col("id"), col("kind"), octet_length(col("media")).as("n_bytes"))
+
+  case class MediaHash(id: Long, phash: Long)
+
+  /** Perceptual hash over the decode stub — the image near-dup primitive
+    * (pHash family), with the transform made INTEGER-EXACT so the whole
+    * pipeline has a SQL oracle: (1) "thumbnail" the blob to 64 evenly
+    * sampled byte-pixels (the real decode+downscale goes here), (2) take
+    * the 2-D Walsh-Hadamard transform — ±1 weights, the integer cousin of
+    * pHash's DCT; coefficient j = Σᵢ (−1)^popcount(j∧i)·pxᵢ over the
+    * natural-order index pairing — (3) keep the 16 low-frequency
+    * coefficients (row,col < 4 of the 8×8 grid) and set bit b when the
+    * coefficient exceeds their lower median. Identical blobs hash
+    * identically; near-identical blobs differ in few bits (Hamming-
+    * bucketable, the dedup_simhash banding applies downstream). Runs in
+    * the same per-partition typed batch shape as decodeBatch.
+    */
+  def phashStub(media: Dataset[MediaRecord]): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val n = r.media.length
+        val px = Array.tabulate(64) { i =>
+          if (n == 0) 0L else (r.media(i * n / 64) & 0xffL)
+        }
+        val coeffs = for { rf <- 0 until 4; cf <- 0 until 4 } yield {
+          val j = rf * 8 + cf
+          var s = 0L
+          var i = 0
+          while (i < 64) {
+            s += (if (java.lang.Integer.bitCount(j & i) % 2 == 0) px(i) else -px(i))
+            i += 1
+          }
+          s
+        }
+        val med = coeffs.sorted.apply(7) // lower median of the 16
+        val h = coeffs.zipWithIndex.foldLeft(0L) { case (acc, (c, b)) =>
+          if (c > med) acc | (1L << b) else acc
+        }
+        MediaHash(r.id, h)
+      }
+    }
+  }
 }

@@ -41,6 +41,40 @@ class KTrussSpec extends SparkSpec {
     }
   }
 
+  test("clustering coefficients equal the driver-side neighborhood count (two SFs)") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_orderkey") % 2 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val adj = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+        .groupBy(_._1).map { case (x, ys) => x -> ys.map(_._2).toSet }
+      val got = GraphQueries.clusteringCoeff(spark, dir).collect()
+        .map(r => (r.getAs[Long]("vtx"),
+          (r.getAs[Long]("deg"), r.getAs[Long]("tri"), r.getAs[Double]("coeff"))))
+        .toMap
+      assert(got.keySet === adj.keySet)
+      adj.foreach { case (v, ns) =>
+        val (deg, tri, coeff) = got(v)
+        assert(deg === ns.size.toLong, s"deg mismatch for $v at $dir")
+        val t = ns.toSeq.combinations(2).count { case Seq(x, y) =>
+          adj(x).contains(y)
+        }
+        assert(tri === t.toLong, s"triangle count mismatch for $v at $dir")
+        val want = if (ns.size >= 2)
+          BigDecimal(2.0 * t / (ns.size.toLong * (ns.size - 1)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else 0.0
+        assert(math.abs(coeff - want) < 1e-9, s"coeff mismatch for $v at $dir")
+      }
+    }
+  }
+
   test("planted K4 survives the 4-truss; attached triangle and pendant peel away") {
     import spark.implicits._
     // order 10 -> K4 over parts 1-4; order 20 -> triangle {4,5,6} hanging
