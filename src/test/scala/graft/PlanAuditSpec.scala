@@ -79,6 +79,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_merge_upsert", // MERGE core is a full outer join — same semantics
     "q_tpch_q21",     // lineitem self-joins co-keyed on l_orderkey (documented)
     "graph_triangles",// edge-set self-joins, both sides same relation
+    "graph_clustering",// same wedge self-join (both sides the oriented
+                       // edge set) + deg ⋈ tri-count: both vertex-sized,
+                       // co-keyed on vertex id (the Pregel annotate shape;
+                       // the closing-edge join IS broadcast-hinted)
     "ml_naive_bayes", // doc-grid ⋈ doc-scores ⋈ doc-lengths: every side is
                       // document-count-sized, co-keyed on doc_id — no
                       // broadcastable side by semantics (model join IS hinted)
