@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.TextFunctions._
 import graft.plans.Fnv1a64
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` (north-star ops): language-ID
@@ -237,20 +238,32 @@ object TextQueries {
     * neighbor's minimum — that is the scheme's density guarantee at work).
     * Emits one row per kept fingerprint: (doc_id, n_grams, pos, fp).
     * Docs shorter than W+K−1 have no full window and are dropped by both
-    * engines. Scale: pure per-row HOF expressions — no shuffle, no join;
-    * the 2^21 position budget bounds docs at 2M chars (fixture max 577).
+    * engines. Scale: the key array is built ONCE per row (generators
+    * evaluate their child a single time) and the window min runs over
+    * per-doc ROWS frames — bounded state, the q_window_frame shape. The
+    * first cut computed the window mins as a nested HOF
+    * (`array_min(slice(keys, …))` inside a `transform`), which
+    * re-evaluates the ENTIRE gram-hash array per window element — O(n²)
+    * interpreted FNV work per document (HOF lambdas don't codegen and
+    * don't share outer subexpressions); it benched fine at sf0.01 and
+    * collapsed at sf0.1. The 2^21 position budget bounds docs at 2M
+    * chars (fixture max 577).
     */
   def winnowFingerprints(s: SparkSession, d: String): DataFrame = {
     val n = length(col("text"))
     val hashes = transform(sequence(lit(0), n - WinK),
       i => Fnv1a64.ihash31(col("text").substr(i + 1, lit(WinK))))
     val keys = transform(hashes, (h, i) => h * 2097152L + (lit(2097151) - i))
-    val sel = transform(sequence(lit(WinW - 1), size(keys) - 1),
-      e => array_min(slice(keys, e - WinW + 2, lit(WinW))))
+    val win = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(-(WinW - 1), 0)
     Tables.documents(s, d)
       .filter(n >= WinK + WinW - 1)
       .select(col("doc_id"), (n - WinK + 1).cast("long").as("n_grams"),
-        explode(array_distinct(sel)).as("key"))
+        posexplode(keys).as(Seq("i", "key")))
+      .withColumn("wmin", min(col("key")).over(win))
+      .filter(col("i") >= WinW - 1)
+      .select(col("doc_id"), col("n_grams"), col("wmin").as("key"))
+      .distinct()
       .select(col("doc_id"), col("n_grams"),
         (lit(2097151L) - col("key") % 2097152L).as("pos"),
         shiftright(col("key"), 21).as("fp"))
