@@ -110,11 +110,16 @@ object TopKAgg {
   private def better(ak: Long, ap: Long, bk: Long, bp: Long): Boolean =
     ak > bk || (ak == bk && ap < bp)
 
-  /** Order-preserving bijection double → signed long (IEEE total order:
-    * negatives map below positives, both increasing); `fromSortable`
-    * inverts it exactly, so a double key survives the heap bit-for-bit. */
+  /** Order-preserving double → signed long (IEEE order with −0.0
+    * canonicalized to +0.0 first — SQL comparison semantics treat the two
+    * zeros as EQUAL and fall through to the payload tie-break, so the raw
+    * IEEE total order, which ranks −0.0 strictly below +0.0, would
+    * silently diverge from the rank-window/oracle contract on zero keys);
+    * `fromSortable` inverts the encoding exactly, so a double key
+    * survives the heap bit-for-bit (−0.0 keys surface as +0.0, the SQL
+    * canonical form). */
   def toSortable(d: Double): Long = {
-    val bits = java.lang.Double.doubleToLongBits(d)
+    val bits = java.lang.Double.doubleToLongBits(if (d == 0.0) 0.0 else d)
     if (bits >= 0) bits else -1L - (bits & Long.MaxValue)
   }
 

@@ -456,7 +456,9 @@ object GraphQueries {
     val w = Fnv1a64.ihash31(concat(least(col("u"), col("v")).cast("string"),
       lit("|"), greatest(col("u"), col("v")).cast("string"))) % 1000L + 1L
     val e = und.select(col("u"), col("v"), w.as("w")).localCheckpoint(false)
-    var dist = und.select(col("u").as("vtx")).distinct()
+    // frontier derives from the CHECKPOINTED edge list (same u column), so
+    // the lineitem scan + distinct edge projection runs once — the bfs idiom
+    var dist = e.select(col("u").as("vtx")).distinct()
       .filter(col("vtx") < 10).withColumn("dist", lit(0L))
       .localCheckpoint(false)
     for (_ <- 1 to rounds) {
@@ -469,24 +471,6 @@ object GraphQueries {
     dist.orderBy("vtx")
   }
 
-  /** k-truss synchronous peel over the dense co-order part graph
-    * (distinct l_partkey pairs sharing an even-keyed order — the
-    * even-order slice keeps every co-order clique intact while bounding
-    * the wedge volume; u < v canonical): each
-    * round recounts every edge's triangle support — wedges are enumerated
-    * from the degree-ordered ORIENTATION (once per triangle, at its
-    * min-(deg,id) apex), closed against a broadcast of the shrinking edge
-    * set, and each triangle credits its three edges — then edges with
-    * support < k−2 drop. The semantics are DEFINED
-    * as exactly `rounds` synchronous rounds on both engines (the fixture
-    * needs ~25 rounds to converge at k=8/sf0.01, so the 8-round output
-    * is the peel-progress curve, not a fixpoint claim — the honest
-    * bounded contract, same device as graph_sssp). Output is the
-    * decision-sized curve (round, n_edges). Scale: the wedge join is the
-    * standard distributed triangle-support shape — shuffles on vertex
-    * then edge keys, support state one long per live edge; per-round
-    * lazy checkpoints + dropStats block the compounding-statistics trap
-    * (see boruvkaMsf). */
   /** Dense co-purchase graph: distinct part pairs sharing an even-keyed
     * order (u < v canonical; the even-order slice keeps every co-order
     * clique intact while bounding triangle volume). Shared by the
@@ -508,7 +492,23 @@ object GraphQueries {
       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       |  WHERE a.l_orderkey % 2 = 0""".stripMargin
 
+  /** k-truss synchronous peel over the dense co-order part graph
+    * (`coOrderEdges`): each round recounts every edge's triangle support —
+    * wedges enumerate from the degree-ordered ORIENTATION (once per
+    * triangle, at its min-(deg,id) apex), close against a broadcast of
+    * the shrinking edge set, and each triangle credits its three edges —
+    * then edges with support < k−2 drop. The semantics are DEFINED as
+    * exactly `rounds` synchronous rounds on both engines (the fixture
+    * needs ~25 rounds to converge at k=8/sf0.01, so the 8-round output is
+    * the peel-progress curve, not a fixpoint claim — the honest bounded
+    * contract, same device as graph_sssp). Output is the decision-sized
+    * curve (round, n_edges). k ≥ 3 is required: the credit path has no
+    * row for a zero-support edge, so the vacuous k ≤ 2 thresholds (which
+    * should keep every edge) are inexpressible here. Scale: support state
+    * is one long per live edge; per-round lazy checkpoints + dropStats
+    * block the compounding-statistics trap (see boruvkaMsf). */
   def ktruss(s: SparkSession, d: String, k: Int = 8, rounds: Int = 8): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3 (zero-support edges drop), got $k")
     var cur = coOrderEdges(s, d).localCheckpoint(false)
     val curve = (1 to rounds).map { r =>
       // shared degree-ordered enumeration (see orientByDegree /

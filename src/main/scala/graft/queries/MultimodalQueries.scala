@@ -100,7 +100,10 @@ object MultimodalQueries {
     * join broadcasts the decision-sized (phash, count) aggregate.
     */
   def phash(s: SparkSession, d: String): DataFrame = {
+    // h feeds the bucket aggregate AND the join probe — pin it so the
+    // scan + per-row WHT runs once (the triangles() multi-reference device)
     val h = Multimodal.phashStub(Multimodal.fromDocuments(s, d)).toDF()
+      .localCheckpoint(false)
     val buckets = h.groupBy("phash").agg(count(lit(1)).as("bucket_size"))
     h.join(broadcast(buckets), "phash")
       .select(col("id"), col("phash"), col("bucket_size"))

@@ -119,8 +119,10 @@ object Multimodal {
     media.mapPartitions { it =>
       it.map { r =>
         val n = r.media.length
+        // long arithmetic: i * n overflows Int for blobs > ~34 MB (real
+        // media sizes), and the SQL oracle computes (i*n)//64 unbounded
         val px = Array.tabulate(64) { i =>
-          if (n == 0) 0L else (r.media(i * n / 64) & 0xffL)
+          if (n == 0) 0L else (r.media((i.toLong * n / 64).toInt) & 0xffL)
         }
         val coeffs = for { rf <- 0 until 4; cf <- 0 until 4 } yield {
           val j = rf * 8 + cf

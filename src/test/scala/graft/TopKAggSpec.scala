@@ -80,6 +80,9 @@ class TopKAggSpec extends SparkSpec {
     }
     assert(TopKAgg.toSortable(-1e-300) < TopKAgg.toSortable(0.0))
     assert(TopKAgg.toSortable(0.0) < TopKAgg.toSortable(1e-300))
+    // SQL comparison semantics: the zeros are EQUAL (tie-break falls
+    // through to the payload), not IEEE-totally-ordered
+    assert(TopKAgg.toSortable(-0.0) === TopKAgg.toSortable(0.0))
     import spark.implicits._
     val df = Seq((1L, 0.3, 1L), (1L, -0.7, 2L), (1L, 0.95, 3L), (1L, 0.3, 0L))
       .toDF("g", "key", "p")
