@@ -509,28 +509,48 @@ object GraphQueries {
     * block the compounding-statistics trap (see boruvkaMsf). */
   def ktruss(s: SparkSession, d: String, k: Int = 8, rounds: Int = 8): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3 (zero-support edges drop), got $k")
+    import s.implicits._
     var cur = coOrderEdges(s, d).localCheckpoint(false)
-    val curve = (1 to rounds).map { r =>
-      // shared degree-ordered enumeration (see orientByDegree /
-      // closedTriangles): 148M unoriented wedges collapse to 41M at
-      // sf0.1, and the broadcast close keeps the wedge stream unshuffled;
-      // eo is lazily checkpointed because it feeds both wedge sides plus
-      // the closing join (3 references — same reason triangles() pins it)
-      val eo = orientByDegree(cur).localCheckpoint(false)
-      // each triangle credits its three edges, canonicalized back to
-      // u < v (wedge endpoints are (deg,id)-ordered, not id-ordered)
-      val credits = closedTriangles(eo, broadcastClose = true)
-        .select(explode(array(
-          struct(least(col("a"), col("y")).as("u"), greatest(col("a"), col("y")).as("v")),
-          struct(least(col("a"), col("z")).as("u"), greatest(col("a"), col("z")).as("v")),
-          struct(least(col("y"), col("z")).as("u"), greatest(col("y"), col("z")).as("v")))).as("e"))
-        .select(col("e.u").as("u"), col("e.v").as("v"))
-      val sup = credits.groupBy("u", "v").agg(count(lit(1)).as("s"))
-      cur = dropStats(s, sup.filter(col("s") >= k - 2).select("u", "v")
-        .localCheckpoint(false))
-      cur.agg(count(lit(1)).as("n_edges")).select(lit(r).as("round"), col("n_edges"))
+    // eager per-round counts buy the fixpoint short-circuit: the peel is
+    // MONOTONE (e_r ⊆ e_{r-1}), so equal consecutive counts ⇒ equal edge
+    // sets ⇒ every later round repeats verbatim — at sf0.1 the fixture
+    // converges in 2 of the 8 contractual rounds, so 6 wedge enumerations
+    // are replaced by replaying the converged count (semantics unchanged:
+    // the output IS the fixed-8-round curve either way)
+    val counts = scala.collection.mutable.Buffer.empty[Long]
+    var prev = -1L
+    var converged = false
+    for (_ <- 1 to rounds) {
+      if (converged) counts += prev
+      else {
+        // shared degree-ordered enumeration (see orientByDegree /
+        // closedTriangles): 148M unoriented wedges collapse to 41M at
+        // sf0.1, and the broadcast close keeps the wedge stream
+        // unshuffled; eo is lazily checkpointed because it feeds both
+        // wedge sides plus the closing join (3 references — same reason
+        // triangles() pins it)
+        val eo = orientByDegree(cur).localCheckpoint(false)
+        // each triangle credits its three edges, canonicalized back to
+        // u < v (wedge endpoints are (deg,id)-ordered, not id-ordered)
+        val credits = closedTriangles(eo, broadcastClose = true)
+          .select(explode(array(
+            struct(least(col("a"), col("y")).as("u"), greatest(col("a"), col("y")).as("v")),
+            struct(least(col("a"), col("z")).as("u"), greatest(col("a"), col("z")).as("v")),
+            struct(least(col("y"), col("z")).as("u"), greatest(col("y"), col("z")).as("v")))).as("e"))
+          .select(col("e.u").as("u"), col("e.v").as("v"))
+        val sup = credits.groupBy("u", "v").agg(count(lit(1)).as("s"))
+        cur = dropStats(s, sup.filter(col("s") >= k - 2).select("u", "v")
+          .localCheckpoint(false))
+        val n = cur.count()
+        converged = n == prev
+        prev = n
+        counts += n
+      }
     }
-    curve.reduce(_ union _).orderBy("round")
+    counts.toSeq.zipWithIndex
+      .map { case (n, i) => (i + 1, n) }
+      .toDF("round", "n_edges")
+      .orderBy("round")
   }
 
   /** Local clustering coefficient per vertex of the co-purchase graph:
