@@ -4,7 +4,7 @@ import graft.Tables
 import graft.functions.TextFunctions.spaceTokens
 import graft.plans.Fnv1a64
 import graft.plans.CosineSimilarity.cosine_sim
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -369,7 +369,61 @@ object MixQueries {
       .orderBy("global_pos")
   }
 
+  /** exp(x) as a 15-term Taylor-Horner fold — pure +,*,/ on doubles with
+    * the SAME operation sequence emitted for both engines (the Scala loop
+    * below generates the Spark expression AND the SQL text), so the
+    * result is bit-exact by construction instead of relying on two libm
+    * implementations agreeing. Accurate to ~1 ulp for |x| ≤ 1, which the
+    * caller's η-scaled excess guarantees. */
+  private def taylorExp(x: Column): Column =
+    (1 to 15).reverse.foldLeft(lit(1.0)) { (acc, k) =>
+      lit(1.0) + x * acc / k.toDouble
+    }
+
+  private def taylorExpSql(x: String): String =
+    (1 to 15).reverse.foldLeft("1.0") { (acc, k) =>
+      s"(1.0 + ($x) * ($acc) / $k.0)"
+    }
+
+  /** One DoReMi-style domain-reweighting step: each source's mixture
+    * weight moves by exp(η · excess), where excess is the domain's
+    * per-doc token mass relative to the corpus mean (the deterministic
+    * stand-in for the proxy-model excess loss the published method
+    * measures — the OPERATOR is the exponentiated-gradient update, not
+    * the loss), then weights normalize and smooth toward uniform
+    * ((1−c)·ŵ + c/N, c = 0.1). Numeric discipline: every input to the
+    * exp fold is an exact-integer-derived double; weights micro-round to
+    * BIGINTs before the normalizing sum (order-independent integer
+    * addition — the fixed-point discipline), so the emitted weights are
+    * bit-stable cross-engine. Scale: one corpus scan → 20-row domain
+    * table; everything after is decision-sized broadcast arithmetic.
+    */
+  def doremiStep(s: SparkSession, d: String): DataFrame = {
+    val toks = size(spaceTokens(col("text"))).cast("long")
+    val per = Tables.documents(s, d)
+      .select(col("source"), toks.as("t"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("tok_sum"))
+      .localCheckpoint(false) // feeds the total, the fold, and the output
+    val tot = per.agg(sum(col("tok_sum")).as("tot_toks"),
+      sum(col("n_docs")).as("tot_docs"), count(lit(1)).as("n_src"))
+    val scored = per.crossJoin(broadcast(tot))
+      .withColumn("excess",
+        (col("tok_sum") / col("n_docs"))
+          / (col("tot_toks") / col("tot_docs")) - 1.0)
+      .withColumn("w_micro",
+        round(taylorExp(col("excess") * 0.5) * 1e6).cast("long"))
+    val norm = scored.agg(sum(col("w_micro")).as("sum_micro"))
+    scored.crossJoin(broadcast(norm))
+      .select(col("source"), col("n_docs"),
+        round(col("excess"), 6).as("excess"),
+        round(lit(0.9) * col("w_micro") / col("sum_micro")
+          + lit(0.1) / col("n_src"), 6).as("weight"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_doremi_step" -> (doremiStep(_, _)),
     "pipeline_interleave" -> (interleaveSources(_, _)),
     "pipeline_shard_manifest" -> (shardManifest(_, _)),
     "ml_eval_prf" -> (evalPrf(_, _)),
@@ -676,6 +730,30 @@ object MixQueries {
         |       CAST(rank() OVER (ORDER BY tokens_src ASC, source ASC) AS BIGINT)
         |         AS boost_rank
         |FROM w, tot ORDER BY source""".stripMargin,
+    "pipeline_doremi_step" -> {
+      val fold = taylorExpSql("(excess) * 0.5")
+      s"""WITH per AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok_sum
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(sum(tok_sum) AS BIGINT) AS tot_toks,
+         |               CAST(sum(n_docs) AS BIGINT) AS tot_docs,
+         |               CAST(count(*) AS BIGINT) AS n_src FROM per),
+         |scored AS (
+         |  SELECT per.source, per.n_docs, tot.n_src,
+         |         (tok_sum / CAST(n_docs AS DOUBLE))
+         |           / (tot_toks / CAST(tot_docs AS DOUBLE)) - 1.0 AS excess
+         |  FROM per CROSS JOIN tot),
+         |w AS (
+         |  SELECT source, n_docs, n_src, excess,
+         |         CAST(round(($fold) * 1e6) AS BIGINT) AS w_micro
+         |  FROM scored),
+         |norm AS (SELECT CAST(sum(w_micro) AS BIGINT) AS sum_micro FROM w)
+         |SELECT source, n_docs, round(excess, 6) AS excess,
+         |       round(0.9 * w_micro / CAST(sum_micro AS DOUBLE)
+         |             + 0.1 / n_src, 6) AS weight
+         |FROM w CROSS JOIN norm ORDER BY source""".stripMargin
+    },
     "pipeline_mixture" ->
       """WITH per AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -40,11 +40,62 @@ object SequenceQueries {
       .orderBy("from_type", "to_type")
   }
 
+  /** Sequential-pattern mining, 2-sequences (the GSP/PrefixSpan support
+    * primitive): pattern a→b is supported by a user iff SOME a-event
+    * strictly precedes SOME b-event — existential, counted once per user,
+    * which distinguishes it from `q_markov_transitions` (adjacent
+    * transitions, multiplicity-counted) and `q_market_basket` (unordered
+    * co-occurrence). The existential test collapses to one aggregate per
+    * (user, type): first-occurrence < last-occurrence of the partner, so
+    * the per-user join is over the TYPE UNIVERSE (≤ |types|² rows/user,
+    * here 25), never event×event. Confidence = P(b after a | user has a).
+    * Ties on the microsecond stamp do not count as "before" (strict,
+    * exact-integer comparison on both engines).
+    */
+  def seqPairs(s: SparkSession, d: String): DataFrame = {
+    val occ = ev(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+      .localCheckpoint(false) // feeds both sides of the per-user pair join
+    val ab = occ.as("a").join(occ.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.first_us") < col("b.last_us"))
+      .groupBy(col("a.event_type").as("ante"), col("b.event_type").as("cons"))
+      .agg(count(lit(1)).as("n_users_ab"))
+    val na = occ.groupBy(col("event_type").as("ante"))
+      .agg(count(lit(1)).as("n_users_ante"))
+    ab.join(broadcast(na), "ante")
+      .select(col("ante"), col("cons"), col("n_users_ab"), col("n_users_ante"),
+        round(col("n_users_ab") / col("n_users_ante"), 6).as("conf"))
+      .orderBy("ante", "cons")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_markov_transitions" -> (markovTransitions(_, _))
+    "q_markov_transitions" -> (markovTransitions(_, _)),
+    "mining_seq_pairs" -> (seqPairs(_, _))
   )
 
   val oracles: Map[String, String] = Map(
+    "mining_seq_pairs" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |                 epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |occ AS (
+        |  SELECT user_id, event_type,
+        |         min(us) AS first_us, max(us) AS last_us
+        |  FROM e GROUP BY 1, 2),
+        |ab AS (
+        |  SELECT a.event_type AS ante, b.event_type AS cons,
+        |         CAST(count(*) AS BIGINT) AS n_users_ab
+        |  FROM occ a JOIN occ b
+        |    ON a.user_id = b.user_id AND a.first_us < b.last_us
+        |  GROUP BY 1, 2),
+        |na AS (
+        |  SELECT event_type AS ante, CAST(count(*) AS BIGINT) AS n_users_ante
+        |  FROM occ GROUP BY 1)
+        |SELECT ab.ante, ab.cons, ab.n_users_ab, na.n_users_ante,
+        |       round(ab.n_users_ab / CAST(na.n_users_ante AS DOUBLE), 6) AS conf
+        |FROM ab JOIN na ON ab.ante = na.ante
+        |ORDER BY ab.ante, ab.cons""".stripMargin,
     "q_markov_transitions" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |                 epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
