@@ -553,6 +553,75 @@ object GraphQueries {
       .orderBy("round")
   }
 
+  /** HITS hubs & authorities over the directed bipartite part→supplier
+    * graph (parts are hubs, suppliers authorities — the natural reading
+    * of "a good part is stocked by good suppliers and vice versa").
+    * Fixed 8 mutual-reinforcement rounds, made INTEGER-EXACT end to end:
+    * scores live as micro-units (initial hub = 1e6), each half-round is
+    * one BIGINT sum over the edge join (order-independent — no float
+    * accumulation anywhere), and renormalization divides by the round's
+    * max (an order-independent aggregate) BEFORE scaling back up to
+    * micro-units — the quotient is in [0,1], so no intermediate ever
+    * leaves the double-exact integer range — then micro-rounds to BIGINT. Both engines therefore run the identical integer recurrence;
+    * the only doubles are the final /1e6 display columns. The same
+    * unrolled-CTE oracle device as pagerank, without pagerank's
+    * tolerated float-sum rounding. Scale: per round two keyed
+    * aggregates over the edge list + two 1-row max scalars broadcast
+    * back; per-round lazy checkpoints + dropStats as in the other
+    * iterative loops. */
+  def hits(s: SparkSession, d: String, rounds: Int = 8): DataFrame = {
+    val e = edges(s, d).filter(col("u") < 1000000L) // directed part→supplier
+      .select(col("u").as("p"), col("v").as("sv")).localCheckpoint(false)
+    var hub = e.select(col("p")).distinct()
+      .withColumn("h", lit(1000000L)).localCheckpoint(false)
+    var auth: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val aRaw = e.join(hub, "p").groupBy("sv").agg(sum(col("h")).as("a"))
+      val aMax = aRaw.agg(max(col("a")).as("am"))
+      auth = dropStats(s, aRaw.crossJoin(broadcast(aMax))
+        .select(col("sv"), round(col("a") / col("am") * 1000000.0).cast("long").as("a"))
+        .localCheckpoint(false))
+      val hRaw = e.join(auth, "sv").groupBy("p").agg(sum(col("a")).as("h"))
+      val hMax = hRaw.agg(max(col("h")).as("hm"))
+      hub = dropStats(s, hRaw.crossJoin(broadcast(hMax))
+        .select(col("p"), round(col("h") / col("hm") * 1000000.0).cast("long").as("h"))
+        .localCheckpoint(false))
+    }
+    hub.select(col("p").as("vtx"), lit("hub").as("kind"),
+        round(col("h") / 1000000.0, 6).as("score"))
+      .union(auth.select(col("sv").as("vtx"), lit("auth").as("kind"),
+        round(col("a") / 1000000.0, 6).as("score")))
+      .orderBy("kind", "vtx")
+  }
+
+  private def hitsSql(rounds: Int): String = {
+    val iter = (1 to rounds).map { i =>
+      s"""ar$i AS MATERIALIZED (
+         |  SELECT e.sv, CAST(sum(h.h) AS BIGINT) AS a
+         |  FROM e JOIN h${i - 1} h ON e.p = h.p GROUP BY e.sv),
+         |a$i AS MATERIALIZED (
+         |  SELECT sv, CAST(round(a / CAST((SELECT max(a) FROM ar$i) AS DOUBLE)
+         |    * 1000000.0) AS BIGINT) AS a FROM ar$i),
+         |hr$i AS MATERIALIZED (
+         |  SELECT e.p, CAST(sum(a.a) AS BIGINT) AS h
+         |  FROM e JOIN a$i a ON e.sv = a.sv GROUP BY e.p),
+         |h$i AS MATERIALIZED (
+         |  SELECT p, CAST(round(h / CAST((SELECT max(h) FROM hr$i) AS DOUBLE)
+         |    * 1000000.0) AS BIGINT) AS h FROM hr$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH und AS MATERIALIZED ($undirectedSql),
+       |e AS MATERIALIZED (
+       |  SELECT u AS p, v AS sv FROM und WHERE u < 1000000),
+       |h0 AS (SELECT DISTINCT p, CAST(1000000 AS BIGINT) AS h FROM e),
+       |$iter
+       |SELECT p AS vtx, 'hub' AS kind, round(h / 1000000.0, 6) AS score
+       |FROM h$rounds
+       |UNION ALL
+       |SELECT sv AS vtx, 'auth' AS kind, round(a / 1000000.0, 6) AS score
+       |FROM a$rounds
+       |ORDER BY kind, vtx""".stripMargin
+  }
+
   /** Local clustering coefficient per vertex of the co-purchase graph:
     * coeff(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — how close v's
     * neighborhood is to a clique. One oriented-triangle pass (each
@@ -649,6 +718,7 @@ object GraphQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_ktruss" -> (ktruss(_, _, 8, 8)),
     "graph_clustering" -> (clusteringCoeff(_, _)),
+    "graph_hits" -> (hits(_, _, 8)),
     "graph_sssp" -> (ssspBellmanFord(_, _, 20)),
     "graph_msf" -> (boruvkaMsf(_, _, 20)),
     "graph_kcore" -> (kcore(_, _)),
@@ -733,6 +803,7 @@ object GraphQueries {
         |        JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v) AS n_triangles""".stripMargin,
     "graph_ktruss" -> ktrussSql(8, 8),
     "graph_clustering" -> clusteringSql,
+    "graph_hits" -> hitsSql(8),
     "graph_sssp" -> ssspSql(20),
     "graph_pagerank" -> pagerankSql(10),
     "graph_kcore" -> kcoreSql(5, 8),
