@@ -268,7 +268,39 @@ object SketchQueries {
           col("inter_exact") * 0.15).as("inter_tol"))
   }
 
+  /** Misra-Gries heavy hitters over the corpus word stream through the
+    * native mergeable summary (`plans/HeavyHittersAgg`, the second
+    * TypedImperativeAggregate): one global aggregate whose map-side
+    * partials are k-counter MG summaries merged under the
+    * mergeable-summaries rule. The summary's counter values are
+    * arrival-order-dependent, so the gate rides the THEOREM instead:
+    * every word with exact frequency > n/(k+1) is guaranteed present in
+    * the summary (`found`) with an estimate inside
+    * [cnt − n/(k+1), cnt] (`within`) — both deterministically TRUE under
+    * any partitioning, checked with exact integer arithmetic
+    * (cnt·(k+1) vs n, never a float threshold). The deterministic-bound
+    * cousin of `sketch_countmin`'s probabilistic overcount.
+    */
+  def mgHeavy(s: SparkSession, d: String, k: Int = 50): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(explode(spaceTokens(col("text"))).as("word"))
+    val exact = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val tot = words.agg(count(lit(1)).as("n"))
+    val mg = words.agg(graft.plans.HeavyHittersAgg.heavyHitters(col("word"), k).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("word"), col("e.est").as("est"))
+    exact.crossJoin(broadcast(tot))
+      .filter(col("cnt") * (k + 1) > col("n"))
+      .join(broadcast(mg), Seq("word"), "left")
+      .select(col("word"), col("cnt"),
+        col("est").isNotNull.as("found"),
+        (col("est").isNotNull && col("est") <= col("cnt") &&
+          (col("cnt") - col("est")) * (k + 1) <= col("n")).as("within"))
+      .orderBy(col("cnt").desc, col("word"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_mg_heavy" -> (mgHeavy(_, _, 50)),
     "sketch_kmv_intersect" -> (kmvIntersect(_, _)),
     "sketch_hll" -> (hll(_, _)),
     "sketch_hll_union" -> (hllUnion(_, _)),
@@ -280,6 +312,16 @@ object SketchQueries {
   import OracleSql.fnvIhash31
 
   val oracles: Map[String, String] = Map(
+    // theorem-backed envelope (the sketch_hll device): exact counts are
+    // value-checked; the MG guarantees are literal TRUE because they hold
+    // under any partitioning by the deficiency bound
+    "sketch_mg_heavy" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w),
+        |exact AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY word)
+        |SELECT word, cnt, TRUE AS found, TRUE AS within
+        |FROM exact CROSS JOIN n WHERE cnt * 51 > n
+        |ORDER BY cnt DESC, word""".stripMargin,
     "sketch_kmv_intersect" ->
       s"""WITH keys AS (
          |  SELECT f,

@@ -56,6 +56,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_incremental_agg",      // broadcast 1-row cutoff scalar × events stream
     "ml_histogram_split",     // ~50-row histogram × broadcast 1-row totals scalar
     "sketch_bloom",           // 40-probe report × 1-row bits_set scalar
+    "sketch_mg_heavy",        // 1-row token-total scalar × word counts;
+                              // the ≤k-row MG summary is broadcast
+    "pipeline_doremi_step",   // two 1-row scalars (corpus totals, micro
+                              // weight sum) × the 20-row domain table
     "ml_naive_bayes",         // doc grid × broadcast C-row class-constant table
     "q_market_basket",        // broadcast 1-row n_orders scalar × pair table
     "pipeline_curriculum",    // broadcast 1-row quantile-boundary scalar × corpus
