@@ -353,6 +353,43 @@ object PipelineQueries {
       .orderBy("mask")
   }
 
+  /** Exact Shapley attribution of corpus rejection across the four
+    * quality gates — the cooperative-game answer to "which gate does the
+    * filtering work", where `pipeline_gate_ablation`'s sequential
+    * marginals depend on gate order and Shapley is the order-free
+    * average over all 4! orderings. Characteristic v(S) = docs rejected
+    * when only the gates in S apply = total − Σ_{mask ⊇ S} n_mask,
+    * computable exactly from `pipeline_gate_bitmask`'s 16-row subset
+    * table; φᵢ rides EXACT integer numerators over the common
+    * denominator 4! = 24 (weights |S|!·(3−|S|)! = 6,2,2,6), so both
+    * engines emit identical BIGINTs plus one final /24 double. The
+    * ≤2⁴-row mask table is collected driver-side (bounded by
+    * construction — the isotonic-PAV precedent); the corpus-scan half is
+    * the shared bitmask aggregate. Efficiency (Σφ = rejected-by-all) is
+    * spec-pinned.
+    */
+  def gateShapley(s: SparkSession, d: String): DataFrame = {
+    val masks = gateBitmask(s, d).select("mask", "n_docs").collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val total = masks.values.sum
+    def v(sBits: Int): Long =
+      total - masks.collect { case (m, n) if (m & sBits) == sBits => n }.sum
+    val names = Seq("len_ge_20", "lang_allowlist", "diversity_ge_0.4", "topword_le_0.2")
+    val weight24 = Array(6L, 2L, 2L, 6L) // |S|!·(3−|S|)! for |S| = 0..3
+    val rows = (0 until 4).map { i =>
+      val bit = 1 << i
+      val num = (0 until 16).collect {
+        case sBits if (sBits & bit) == 0 =>
+          weight24(Integer.bitCount(sBits)) * (v(sBits | bit) - v(sBits))
+      }.sum
+      (i + 1L, names(i), num, num / 24.0)
+    }
+    import s.implicits._
+    rows.toDF("gate_idx", "gate", "shapley_24", "shapley")
+      .withColumn("shapley", round(col("shapley"), 6))
+      .orderBy("gate_idx")
+  }
+
   /** Near-dup cluster SIZE distribution: how many clusters of each size
     * the pair graph resolves into — the shape parameter that decides
     * whether dedup costs 1% or 30% of the corpus and the first chart of
@@ -369,6 +406,7 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cluster_sizes" -> (clusterSizes(_, _)),
     "pipeline_gate_bitmask" -> (gateBitmask(_, _)),
+    "pipeline_gate_shapley" -> (gateShapley(_, _)),
     "q_k_anonymity" -> (kAnonymity(_, _)),
     "pipeline_gate_ablation" -> (gateAblation(_, _)),
     "q_dq_checks" -> (dqChecks(_, _)),
@@ -416,6 +454,45 @@ object PipelineQueries {
       |), final AS (SELECT vtx, min(comp) AS comp FROM cc GROUP BY vtx)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "pipeline_gate_shapley" ->
+      """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+        |              FROM documents),
+        |base AS (SELECT doc_id, lang, len(w) AS ntok,
+        |                len(list_distinct(w)) AS ndis FROM toks),
+        |wc AS (SELECT doc_id, max(c) AS topw FROM (
+        |         SELECT doc_id, t, count(*) AS c
+        |         FROM (SELECT doc_id, unnest(w) AS t FROM toks)
+        |         GROUP BY 1, 2) GROUP BY doc_id),
+        |f AS (SELECT
+        |        CASE WHEN ntok >= 20 THEN 1 ELSE 0 END
+        |        + CASE WHEN lang IN ('en','es','de','fr') THEN 2 ELSE 0 END
+        |        + CASE WHEN ndis / ntok >= 0.4 THEN 4 ELSE 0 END
+        |        + CASE WHEN topw / ntok <= 0.2 THEN 8 ELSE 0 END AS mask
+        |      FROM base JOIN wc USING (doc_id)),
+        |mc AS (SELECT mask, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY mask),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM mc),
+        |subsets AS (SELECT unnest(generate_series(0, 15)) AS sb),
+        |v AS (
+        |  SELECT sb, (SELECT total FROM tot)
+        |    - coalesce((SELECT sum(n) FROM mc WHERE (mask & sb) = sb), 0) AS val
+        |  FROM subsets),
+        |gates AS (SELECT unnest(generate_series(0, 3)) AS gi),
+        |contrib AS (
+        |  SELECT g.gi,
+        |         CASE bit_count(v0.sb) WHEN 0 THEN 6 WHEN 1 THEN 2
+        |                               WHEN 2 THEN 2 ELSE 6 END
+        |           * (v1.val - v0.val) AS c
+        |  FROM gates g
+        |  JOIN v v0 ON (v0.sb & (1 << g.gi)) = 0
+        |  JOIN v v1 ON v1.sb = (v0.sb | (1 << g.gi))),
+        |sh AS (SELECT gi, CAST(sum(c) AS BIGINT) AS shapley_24
+        |       FROM contrib GROUP BY gi)
+        |SELECT CAST(gi + 1 AS BIGINT) AS gate_idx,
+        |       CASE gi WHEN 0 THEN 'len_ge_20' WHEN 1 THEN 'lang_allowlist'
+        |               WHEN 2 THEN 'diversity_ge_0.4'
+        |               ELSE 'topword_le_0.2' END AS gate,
+        |       shapley_24, round(shapley_24 / 24.0, 6) AS shapley
+        |FROM sh ORDER BY gate_idx""".stripMargin,
     "pipeline_gate_bitmask" ->
       """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w
         |              FROM documents),
