@@ -293,7 +293,75 @@ object MlQueries2 {
       .orderBy("fold")
   }
 
+  /** Bradley-Terry preference-strength fitting over sources — the
+    * reward-model primitive (`pipeline_dpo_pairs` prepares training
+    * pairs; this FITS the pairwise model): deterministic contests pair
+    * adjacent doc ids (2t vs 2t+1, linear — never doc×doc), the higher
+    * distinct-token-ratio wins (tie → the even/lower id), and two
+    * Hunter-MM iterations from uniform θ update
+    * θᵢ ← Wᵢ / Σⱼ nᵢⱼ/(θᵢ+θⱼ), renormalized to mean 1. Numeric
+    * discipline: θ lives as BIGINT micro-units; every per-pair quotient
+    * is micro-rounded BEFORE the per-source sum (order-independent
+    * integer addition), and each double step is the same formula text on
+    * both engines — the DoReMi/fixed-point device. The ≤ C(|sources|,2)
+    * contest matrix (190 rows) is collected driver-side (bounded by the
+    * source universe — the isotonic/shapley precedent); the corpus scan
+    * is the distributed half.
+    */
+  def bradleyTerry(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      (size(array_distinct(spaceTokens(col("text")))).cast("double")
+        / size(spaceTokens(col("text")))).as("ttr"),
+      shiftright(col("doc_id"), 1).as("g"),
+      (col("doc_id") % 2).as("side"))
+    val contests = docs.filter(col("side") === 0).as("a")
+      .join(docs.filter(col("side") === 1).as("b"), col("a.g") === col("b.g"))
+      .filter(col("a.source") =!= col("b.source"))
+      .select(col("a.source").as("sa"), col("b.source").as("sb"),
+        (col("a.ttr") >= col("b.ttr")).as("a_wins")) // tie → lower id (a)
+    val matrix = contests
+      .groupBy(least(col("sa"), col("sb")).as("i"), greatest(col("sa"), col("sb")).as("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a_wins") === (col("sa") <= col("sb")), 1L).otherwise(0L)).as("w_i"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val sources = matrix.flatMap(m => Seq(m._1, m._2)).distinct.sorted
+    val nMap = matrix.map(m => (m._1, m._2) -> m._3).toMap
+    val wMap = sources.map { src =>
+      src -> matrix.collect {
+        case (i, j, n, wi) if i == src => wi
+        case (i, j, n, wi) if j == src => n - wi
+      }.sum
+    }.toMap
+    def nOf(a: String, b: String): Long =
+      nMap.getOrElse(if (a < b) (a, b) else (b, a), 0L)
+    var theta = sources.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 2) {
+      val raw = sources.map { i =>
+        val denomMicro = sources.filter(_ != i).map { j =>
+          math.round(nOf(i, j).toDouble / (theta(i) + theta(j)) * 1.0e12)
+        }.sum
+        i -> (if (denomMicro == 0L) 1000000L
+              else math.round(wMap(i).toDouble / denomMicro * 1.0e18))
+      }.toMap
+      val sumRaw = raw.values.sum
+      // floor at 1 micro: a zero-strength source would make a later
+      // θᵢ+θⱼ denominator 0/0 — the floor is the deterministic epsilon
+      theta = raw.map { case (i, t) =>
+        i -> math.max(1L,
+          math.round(t.toDouble / sumRaw * sources.length * 1.0e6))
+      }
+    }
+    import s.implicits._
+    sources.toSeq.map { src =>
+      (src, sources.filter(_ != src).map(nOf(src, _)).sum, wMap(src),
+        theta(src) / 1.0e6)
+    }.toDF("source", "n_contests", "n_wins", "theta")
+      .withColumn("theta", round(col("theta"), 6))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_bradley_terry" -> (bradleyTerry(_, _)),
     "ml_kfold_auc" -> (kfoldAuc(_, _)),
     "ml_auc_exact" -> (aucExact(_, _)),
     "ml_gbdt_residual" -> (gbdtResidualStep(_, _)),
@@ -305,7 +373,59 @@ object MlQueries2 {
 
   import OracleSql.fnvIhash31
 
+  /** The two Hunter-MM iterations unrolled — generated so the formula
+    * text is identical round to round (and to the Scala driver loop). */
+  private def btIterSql(i: Int): String = {
+    val p = i - 1
+    s"""d$i AS (
+       |  SELECT sym.s,
+       |         CAST(sum(CAST(round(sym.n / CAST(ti.th + tj.th AS DOUBLE)
+       |                             * 1.0e12) AS BIGINT)) AS BIGINT) AS dm
+       |  FROM sym JOIN t$p ti ON ti.s = sym.s JOIN t$p tj ON tj.s = sym.o
+       |  GROUP BY sym.s),
+       |r$i AS (
+       |  SELECT src.s,
+       |         CASE WHEN d$i.dm = 0 THEN CAST(1000000 AS BIGINT)
+       |              ELSE CAST(round(src.n_wins / CAST(d$i.dm AS DOUBLE)
+       |                              * 1.0e18) AS BIGINT) END AS rt
+       |  FROM src JOIN d$i ON d$i.s = src.s),
+       |n$i AS (SELECT CAST(sum(rt) AS BIGINT) AS sr,
+       |               CAST(count(*) AS BIGINT) AS ns FROM r$i),
+       |t$i AS (
+       |  SELECT s, greatest(CAST(1 AS BIGINT),
+       |    CAST(round(rt / CAST(sr AS DOUBLE) * ns * 1.0e6) AS BIGINT)) AS th
+       |  FROM r$i CROSS JOIN n$i)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "ml_bradley_terry" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, source,
+         |         len(list_distinct(string_split(text, ' ')))
+         |           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr,
+         |         doc_id >> 1 AS g, doc_id % 2 AS side
+         |  FROM documents),
+         |contests AS (
+         |  SELECT a.source AS sa, b.source AS sb, a.ttr >= b.ttr AS a_wins
+         |  FROM docs a JOIN docs b ON a.g = b.g AND a.side = 0 AND b.side = 1
+         |  WHERE a.source <> b.source),
+         |m AS (
+         |  SELECT least(sa, sb) AS i, greatest(sa, sb) AS j,
+         |         CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(CASE WHEN a_wins = (sa <= sb) THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS w_i
+         |  FROM contests GROUP BY 1, 2),
+         |sym AS (
+         |  SELECT i AS s, j AS o, n, w_i AS w FROM m
+         |  UNION ALL SELECT j, i, n, n - w_i FROM m),
+         |src AS (SELECT s, CAST(sum(n) AS BIGINT) AS n_contests,
+         |               CAST(sum(w) AS BIGINT) AS n_wins FROM sym GROUP BY s),
+         |t0 AS (SELECT s, CAST(1000000 AS BIGINT) AS th FROM src),
+         |${btIterSql(1)},
+         |${btIterSql(2)}
+         |SELECT src.s AS source, src.n_contests, src.n_wins,
+         |       round(t2.th / 1000000.0, 6) AS theta
+         |FROM src JOIN t2 ON t2.s = src.s ORDER BY source""".stripMargin,
     "ml_kfold_auc" ->
       s"""WITH li AS (
          |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
