@@ -193,7 +193,47 @@ object SignalQueries {
     rows.toDF("l_returnflag", "tot_w", "wmedian_cents")
   }
 
+  /** Theil-Sen robust regression over the 24-point hourly-mean spine —
+    * the median-of-pairwise-slopes estimator (breakdown point 29%, where
+    * `q_regression`'s OLS breaks at one outlier). The spine is bounded by
+    * the hour universe, so the all-pairs slope set is C(24,2) = 276
+    * values computed driver-side (the isotonic/shapley bounded-collect
+    * precedent); the corpus-scan half is the distributed hourly
+    * aggregate. Exactness: y rides micro-dollar BIGINTs; slopes are
+    * doubles from exact integers; both medians use the same
+    * avg-of-middle-ranks form on both engines (odd count degenerates to
+    * the single middle). Intercept = median residual at the fitted
+    * slope.
+    */
+  def theilSen(s: SparkSession, d: String): DataFrame = {
+    val spine = Tables.events(s, d)
+      .select(hour(col("ts")).as("hr"),
+        round(col("value") * 100).cast("long").as("v_c"))
+      .groupBy("hr").agg(count(lit(1)).as("n"), sum(col("v_c")).as("sum_c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val pts = spine.map { case (hr, n, sumC) =>
+      (hr.toLong, math.round(sumC.toDouble / n * 10000.0))
+    }
+    def med(xs: Seq[Double]): Double =
+      if (xs.length % 2 == 1) xs(xs.length / 2)
+      else (xs(xs.length / 2 - 1) + xs(xs.length / 2)) / 2.0
+    val slopes = (for {
+      i <- pts.indices; j <- pts.indices if i < j
+    } yield (pts(j)._2 - pts(i)._2).toDouble / (pts(j)._1 - pts(i)._1))
+      .sorted.toSeq
+    val slope = med(slopes)
+    val icept = med(pts.map { case (x, y) => y - slope * x }.sorted.toSeq)
+    import s.implicits._
+    Seq((pts.length.toLong, slopes.length.toLong, slope, icept))
+      .toDF("n_points", "n_pairs", "s_micro", "i_micro")
+      .select(col("n_points"), col("n_pairs"),
+        round(col("s_micro") / 1000000.0, 6).as("slope"),
+        round(col("i_micro") / 1000000.0, 6).as("icept"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_theil_sen" -> (theilSen(_, _)),
     "priv_rr_estimate" -> (privRrEstimate(_, _)),
     "seq_regex_paths" -> (seqRegexPaths(_, _)),
     "q_holt_trend" -> (holtTrend(_, _)),
@@ -201,6 +241,31 @@ object SignalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_theil_sen" ->
+      """WITH ev AS (SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hr,
+        |                   CAST(round(value * 100) AS BIGINT) AS v_c
+        |            FROM events),
+        |h AS (SELECT hr, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(v_c) AS BIGINT) AS sum_c FROM ev GROUP BY hr),
+        |pts AS (SELECT CAST(hr AS BIGINT) AS x,
+        |               CAST(round(sum_c / CAST(n AS DOUBLE) * 10000.0)
+        |                    AS BIGINT) AS y
+        |        FROM h),
+        |sl AS (SELECT (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS s
+        |       FROM pts a JOIN pts b ON a.x < b.x),
+        |sr AS (SELECT s, row_number() OVER (ORDER BY s) AS rk,
+        |              count(*) OVER () AS cnt FROM sl),
+        |slope AS (SELECT avg(s) AS sm FROM sr
+        |          WHERE rk IN ((cnt + 1) // 2, (cnt + 2) // 2)),
+        |r0 AS (SELECT y - (SELECT sm FROM slope) * x AS r FROM pts),
+        |rr AS (SELECT r, row_number() OVER (ORDER BY r) AS rk,
+        |              count(*) OVER () AS cnt FROM r0),
+        |icept AS (SELECT avg(r) AS im FROM rr
+        |          WHERE rk IN ((cnt + 1) // 2, (cnt + 2) // 2))
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM pts) AS n_points,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM sl) AS n_pairs,
+        |       round((SELECT sm FROM slope) / 1000000.0, 6) AS slope,
+        |       round((SELECT im FROM icept) / 1000000.0, 6) AS icept""".stripMargin,
     "priv_rr_estimate" -> {
       val h = OracleSql.fnvIhash31("CAST(event_id AS VARCHAR) || '|rr'")
       s"""WITH b AS (
