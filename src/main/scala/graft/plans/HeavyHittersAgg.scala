@@ -62,7 +62,7 @@ case class HeavyHittersAgg(
 
   override def update(buf: HeavyHittersAgg.Buffer, input: InternalRow): HeavyHittersAgg.Buffer = {
     val v = child.eval(input)
-    if (v != null) buf.add(v.asInstanceOf[UTF8String].toString, 1L)
+    if (v != null) buf.add(v.asInstanceOf[UTF8String].toString)
     buf
   }
 
@@ -96,25 +96,17 @@ object HeavyHittersAgg {
     private[HeavyHittersAgg] val counters =
       scala.collection.mutable.HashMap.empty[String, Long]
 
-    def add(item: String, w: Long): Unit = {
+    /** Classic unit-weight MG step (the only arrival path — merges go
+      * through `mergeWith`, never here): bump a tracked item or fill a
+      * free slot; otherwise decrement every counter by one (consuming
+      * the arrival) and prune zeros. */
+    def add(item: String): Unit = {
       val cur = counters.getOrElse(item, 0L)
       if (cur > 0L || counters.size < k) {
-        counters(item) = cur + w
+        counters(item) = cur + 1L
       } else {
-        // decrement-all by the new item's weight, capped at the smallest
-        // counter so no counter goes negative in one step; the remainder
-        // of w re-enters until absorbed or a slot frees (w is 1 in the
-        // row-update path — the loop matters only for merges)
-        var rest = w
-        while (rest > 0L) {
-          if (counters.size < k) { counters(item) = rest; rest = 0L }
-          else {
-            val dec = math.min(rest, counters.values.min)
-            counters.mapValuesInPlace((_, c) => c - dec)
-            counters.filterInPlace((_, c) => c > 0L)
-            rest -= dec
-          }
-        }
+        counters.mapValuesInPlace((_, c) => c - 1L)
+        counters.filterInPlace((_, c) => c > 0L)
       }
     }
 

@@ -750,8 +750,8 @@ object MixQueries {
          |  FROM scored),
          |norm AS (SELECT CAST(sum(w_micro) AS BIGINT) AS sum_micro FROM w)
          |SELECT source, n_docs, round(excess, 6) AS excess,
-         |       round(0.9 * w_micro / CAST(sum_micro AS DOUBLE)
-         |             + 0.1 / n_src, 6) AS weight
+         |       round(0.9 * CAST(w_micro AS DOUBLE) / CAST(sum_micro AS DOUBLE)
+         |             + 0.1 / CAST(n_src AS DOUBLE), 6) AS weight
          |FROM w CROSS JOIN norm ORDER BY source""".stripMargin
     },
     "pipeline_mixture" ->

@@ -310,8 +310,7 @@ object MlQueries2 {
     */
   def bradleyTerry(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
-      (size(array_distinct(spaceTokens(col("text")))).cast("double")
-        / size(spaceTokens(col("text")))).as("ttr"),
+      graft.functions.TextFunctions.distinctTokenRatio(spaceTokens(col("text"))).as("ttr"),
       shiftright(col("doc_id"), 1).as("g"),
       (col("doc_id") % 2).as("side"))
     val contests = docs.filter(col("side") === 0).as("a")

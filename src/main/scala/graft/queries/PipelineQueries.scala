@@ -453,22 +453,31 @@ object PipelineQueries {
       |  SELECT e.v AS vtx, c.comp FROM cc c JOIN und e ON c.vtx = e.u
       |), final AS (SELECT vtx, min(comp) AS comp FROM cc GROUP BY vtx)""".stripMargin
 
+  /** Shared oracle SQL for the gate family: the toks/base/wc derivation
+    * every gate oracle starts from, plus the 4-bit pass-mask CTE shared
+    * by the bitmask and Shapley oracles — ONE definition so a future
+    * gate-threshold change cannot leave one oracle on the old gates. */
+  private val gateBaseSql =
+    """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+      |              FROM documents),
+      |base AS (SELECT doc_id, lang, len(w) AS ntok,
+      |                len(list_distinct(w)) AS ndis FROM toks),
+      |wc AS (SELECT doc_id, max(c) AS topw FROM (
+      |         SELECT doc_id, t, count(*) AS c
+      |         FROM (SELECT doc_id, unnest(w) AS t FROM toks)
+      |         GROUP BY 1, 2) GROUP BY doc_id),""".stripMargin
+
+  private val gateMaskSql = gateBaseSql + "\n" +
+    """f AS (SELECT
+      |        CASE WHEN ntok >= 20 THEN 1 ELSE 0 END
+      |        + CASE WHEN lang IN ('en','es','de','fr') THEN 2 ELSE 0 END
+      |        + CASE WHEN ndis / ntok >= 0.4 THEN 4 ELSE 0 END
+      |        + CASE WHEN topw / ntok <= 0.2 THEN 8 ELSE 0 END AS mask
+      |      FROM base JOIN wc USING (doc_id))""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "pipeline_gate_shapley" ->
-      """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w
-        |              FROM documents),
-        |base AS (SELECT doc_id, lang, len(w) AS ntok,
-        |                len(list_distinct(w)) AS ndis FROM toks),
-        |wc AS (SELECT doc_id, max(c) AS topw FROM (
-        |         SELECT doc_id, t, count(*) AS c
-        |         FROM (SELECT doc_id, unnest(w) AS t FROM toks)
-        |         GROUP BY 1, 2) GROUP BY doc_id),
-        |f AS (SELECT
-        |        CASE WHEN ntok >= 20 THEN 1 ELSE 0 END
-        |        + CASE WHEN lang IN ('en','es','de','fr') THEN 2 ELSE 0 END
-        |        + CASE WHEN ndis / ntok >= 0.4 THEN 4 ELSE 0 END
-        |        + CASE WHEN topw / ntok <= 0.2 THEN 8 ELSE 0 END AS mask
-        |      FROM base JOIN wc USING (doc_id)),
+      s"""${gateMaskSql},
         |mc AS (SELECT mask, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY mask),
         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM mc),
         |subsets AS (SELECT unnest(generate_series(0, 15)) AS sb),
@@ -491,23 +500,11 @@ object PipelineQueries {
         |       CASE gi WHEN 0 THEN 'len_ge_20' WHEN 1 THEN 'lang_allowlist'
         |               WHEN 2 THEN 'diversity_ge_0.4'
         |               ELSE 'topword_le_0.2' END AS gate,
-        |       shapley_24, round(shapley_24 / 24.0, 6) AS shapley
+        |       shapley_24,
+        |       round(CAST(shapley_24 AS DOUBLE) / 24.0, 6) AS shapley
         |FROM sh ORDER BY gate_idx""".stripMargin,
     "pipeline_gate_bitmask" ->
-      """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w
-        |              FROM documents),
-        |base AS (SELECT doc_id, lang, len(w) AS ntok,
-        |                len(list_distinct(w)) AS ndis FROM toks),
-        |wc AS (SELECT doc_id, max(c) AS topw FROM (
-        |         SELECT doc_id, t, count(*) AS c
-        |         FROM (SELECT doc_id, unnest(w) AS t FROM toks)
-        |         GROUP BY 1, 2) GROUP BY doc_id),
-        |f AS (SELECT
-        |        CASE WHEN ntok >= 20 THEN 1 ELSE 0 END
-        |        + CASE WHEN lang IN ('en','es','de','fr') THEN 2 ELSE 0 END
-        |        + CASE WHEN ndis / ntok >= 0.4 THEN 4 ELSE 0 END
-        |        + CASE WHEN topw / ntok <= 0.2 THEN 8 ELSE 0 END AS mask
-        |      FROM base JOIN wc USING (doc_id))
+      s"""${gateMaskSql}
         |SELECT CAST(mask AS BIGINT) AS mask,
         |       CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(mask & 1 > 0 AS INT) AS passed_len,
@@ -521,14 +518,7 @@ object PipelineQueries {
         |       CAST(count(*) < 5 AS INT) AS at_risk
         |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "pipeline_gate_ablation" ->
-      """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w
-        |              FROM documents),
-        |base AS (SELECT doc_id, lang, len(w) AS ntok,
-        |                len(list_distinct(w)) AS ndis FROM toks),
-        |wc AS (SELECT doc_id, max(c) AS topw FROM (
-        |         SELECT doc_id, t, count(*) AS c
-        |         FROM (SELECT doc_id, unnest(w) AS t FROM toks)
-        |         GROUP BY 1, 2) GROUP BY doc_id),
+      s"""${gateBaseSql}
         |f AS (SELECT ntok >= 20 AS g_len,
         |             lang IN ('en','es','de','fr') AS g_lang,
         |             ndis / ntok >= 0.4 AS g_div,

@@ -215,6 +215,11 @@ object SignalQueries {
     val pts = spine.map { case (hr, n, sumC) =>
       (hr.toLong, math.round(sumC.toDouble / n * 10000.0))
     }
+    // a spine with < 2 points has no pairwise slope — fail deliberately
+    // instead of an IndexOutOfBounds inside med() (the oracle would emit
+    // a NULL row; neither output is meaningful)
+    require(pts.length >= 2,
+      s"theil-sen needs >= 2 distinct hours, got ${pts.length}")
     def med(xs: Seq[Double]): Double =
       if (xs.length % 2 == 1) xs(xs.length / 2)
       else (xs(xs.length / 2 - 1) + xs(xs.length / 2)) / 2.0

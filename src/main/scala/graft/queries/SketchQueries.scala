@@ -281,7 +281,9 @@ object SketchQueries {
     * (cnt·(k+1) vs n, never a float threshold). The deterministic-bound
     * cousin of `sketch_countmin`'s probabilistic overcount.
     */
-  def mgHeavy(s: SparkSession, d: String, k: Int = 50): DataFrame = {
+  private val MgK = 50
+
+  def mgHeavy(s: SparkSession, d: String, k: Int = MgK): DataFrame = {
     val words = Tables.documents(s, d)
       .select(explode(spaceTokens(col("text"))).as("word"))
     val exact = words.groupBy("word").agg(count(lit(1)).as("cnt"))
@@ -300,7 +302,7 @@ object SketchQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sketch_mg_heavy" -> (mgHeavy(_, _, 50)),
+    "sketch_mg_heavy" -> (mgHeavy(_, _, MgK)),
     "sketch_kmv_intersect" -> (kmvIntersect(_, _)),
     "sketch_hll" -> (hll(_, _)),
     "sketch_hll_union" -> (hllUnion(_, _)),
@@ -311,17 +313,21 @@ object SketchQueries {
 
   import OracleSql.fnvIhash31
 
+  /** Threshold derives from the SAME k the registry binds — changing the
+    * binding cannot desynchronize the word sets the engines gate on. */
+  private def mgHeavySql(k: Int): String =
+    s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w),
+       |exact AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY word)
+       |SELECT word, cnt, TRUE AS found, TRUE AS within
+       |FROM exact CROSS JOIN n WHERE cnt * ${k + 1} > n
+       |ORDER BY cnt DESC, word""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // theorem-backed envelope (the sketch_hll device): exact counts are
     // value-checked; the MG guarantees are literal TRUE because they hold
     // under any partitioning by the deficiency bound
-    "sketch_mg_heavy" ->
-      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
-        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w),
-        |exact AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY word)
-        |SELECT word, cnt, TRUE AS found, TRUE AS within
-        |FROM exact CROSS JOIN n WHERE cnt * 51 > n
-        |ORDER BY cnt DESC, word""".stripMargin,
+    "sketch_mg_heavy" -> mgHeavySql(MgK),
     "sketch_kmv_intersect" ->
       s"""WITH keys AS (
          |  SELECT f,

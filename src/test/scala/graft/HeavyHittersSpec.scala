@@ -39,13 +39,13 @@ class HeavyHittersSpec extends SparkSpec {
 
   test("buffer: classic MG decrement, merge rule, serde") {
     val b = new HeavyHittersAgg.Buffer(2)
-    Seq("a", "a", "b", "c").foreach(b.add(_, 1L)) // c triggers decrement-all
+    Seq("a", "a", "b", "c").foreach(b.add) // c triggers decrement-all
     assert(b.sorted.toSeq === Seq(("a", 1L)), "a:2,b:1 minus c's decrement")
     val x = new HeavyHittersAgg.Buffer(2)
-    Seq("a", "a", "a", "b").foreach(x.add(_, 1L))
+    Seq("a", "a", "a", "b").foreach(x.add)
     val y = HeavyHittersAgg.Buffer.fromBytes(2, {
       val t = new HeavyHittersAgg.Buffer(2)
-      Seq("a", "c", "c").foreach(t.add(_, 1L))
+      Seq("a", "c", "c").foreach(t.add)
       t.toBytes
     })
     // merged raw: a:4, b:1, c:2 → subtract 3rd-largest (1), keep positive
