@@ -110,7 +110,41 @@ object MultimodalQueries {
       .orderBy("id")
   }
 
+  /** Per-media audio summary over the PCM stub: frame count, total
+    * energy, peak amplitude, and RELATIVE-silence frames — a frame is
+    * "quiet" when its energy is under half the media's own mean
+    * (energy · n_frames · 2 < energy_total, exact integer compare; an
+    * absolute threshold would be vacuous on text-byte PCM). Media too
+    * short for one full frame report zeros via the left join — the
+    * frame_stats discipline. All BIGINT until nothing; fully oracled by
+    * re-deriving the sample arithmetic from the text bytes.
+    */
+  def audioEnergy(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.fromDocuments(s, d)
+    val per = Multimodal.audioEnergyStub(media).toDF()
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("energy")).as("energy_total"),
+        max(col("peak")).as("peak"))
+    val frames = Multimodal.audioEnergyStub(media).toDF()
+      .join(per.select(col("id"), col("n_frames").as("nf"),
+        col("energy_total").as("et")), "id")
+      .groupBy("id")
+      .agg(sum(when(col("energy") * col("nf") * 2 < col("et"), 1L)
+        .otherwise(0L)).as("n_quiet"))
+    media.toDF().select(col("id"))
+      .join(per, Seq("id"), "left")
+      .join(frames, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_frames"), lit(0L)).as("n_frames"),
+        coalesce(col("energy_total"), lit(0L)).as("energy_total"),
+        coalesce(col("peak"), lit(0L)).as("peak"),
+        coalesce(col("n_quiet"), lit(0L)).as("n_quiet"))
+      .orderBy("id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_energy" -> (audioEnergy(_, _)),
     "mm_phash" -> (phash(_, _)),
     "mm_pair_embed" -> (pairEmbed(_, _)),
     "mm_binary_meta" -> (binaryMeta(_, _)),
@@ -120,6 +154,42 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // PCM sample arithmetic re-derived from the ASCII text bytes (the
+    // byte-level oracle convention): little-endian int16 with the sign
+    // fold, 32-sample frames, tail truncated
+    "mm_audio_energy" ->
+      """WITH d AS (SELECT doc_id AS id, text, length(text) AS n FROM documents),
+        |fr AS (
+        |  SELECT id, i AS frame_no,
+        |         CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS energy,
+        |         CAST(max(abs(s)) AS BIGINT) AS peak
+        |  FROM (
+        |    SELECT d.id, f.i, sm.j,
+        |           CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS s
+        |    FROM d,
+        |         LATERAL (SELECT unnest(generate_series(0, n // 64 - 1)) AS i) f,
+        |         LATERAL (SELECT unnest(generate_series(0, 31)) AS j) sm,
+        |         LATERAL (SELECT unicode(substr(text, CAST(i*64 + 2*j + 1 AS INT), 1))
+        |                  + 256 * unicode(substr(text, CAST(i*64 + 2*j + 2 AS INT), 1))
+        |                  AS raw) r)
+        |  GROUP BY id, i),
+        |per AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS n_frames,
+        |         CAST(sum(energy) AS BIGINT) AS energy_total,
+        |         CAST(max(peak) AS BIGINT) AS peak
+        |  FROM fr GROUP BY id),
+        |q AS (
+        |  SELECT fr.id,
+        |         CAST(sum(CASE WHEN fr.energy * per.n_frames * 2
+        |                            < per.energy_total THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_quiet
+        |  FROM fr JOIN per ON per.id = fr.id GROUP BY fr.id)
+        |SELECT d.id, coalesce(per.n_frames, 0) AS n_frames,
+        |       coalesce(per.energy_total, 0) AS energy_total,
+        |       coalesce(per.peak, 0) AS peak,
+        |       coalesce(q.n_quiet, 0) AS n_quiet
+        |FROM d LEFT JOIN per ON per.id = d.id LEFT JOIN q ON q.id = d.id
+        |ORDER BY d.id""".stripMargin,
     // the Walsh-Hadamard pHash re-derived relationally: 64 sampled byte
     // "pixels" (ASCII text bytes, like every byte-level oracle here),
     // ±1 weights from popcount parity, lower-median threshold, 16 bits

@@ -99,6 +99,38 @@ object Multimodal {
   def withMeta(media: Dataset[MediaRecord]): DataFrame =
     media.toDF().select(col("id"), col("kind"), octet_length(col("media")).as("n_bytes"))
 
+  case class FrameEnergy(id: Long, frame_no: Long, energy: Long, peak: Long)
+
+  /** Audio feature extraction over the decode stub — the PCM half of the
+    * multimodal contract (images get `phashStub`): the blob reads as
+    * little-endian int16 samples (the real codec goes here; ASCII fixture
+    * bytes make every sample positive, but the sign fold is the honest
+    * PCM formula), framed at 32 samples (64 bytes, tail truncated), and
+    * each frame reports Σs² energy and peak |s| — the primitives under
+    * VAD/silence trimming. Integer-exact end to end, same per-partition
+    * typed batch shape as decodeBatch.
+    */
+  def audioEnergyStub(media: Dataset[MediaRecord],
+      frameSamples: Int = 32): Dataset[FrameEnergy] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      r.media.grouped(2 * frameSamples).zipWithIndex.collect {
+        case (bytes, i) if bytes.length == 2 * frameSamples =>
+          var energy = 0L
+          var peak = 0L
+          var j = 0
+          while (j < frameSamples) {
+            val raw = (bytes(2 * j) & 0xff) + 256 * (bytes(2 * j + 1) & 0xff)
+            val s = if (raw >= 32768) raw - 65536 else raw
+            energy += s.toLong * s
+            if (math.abs(s) > peak) peak = math.abs(s)
+            j += 1
+          }
+          FrameEnergy(r.id, i.toLong, energy, peak)
+      }
+    }
+  }
+
   case class MediaHash(id: Long, phash: Long)
 
   /** Perceptual hash over the decode stub — the image near-dup primitive

@@ -40,6 +40,24 @@ class MmPhashSpec extends SparkSpec {
     }
   }
 
+  test("audio energy: planted quiet/loud frames report exact integers") {
+    import spark.implicits._
+    // frame 0: all samples = 257 (bytes 1,1) -> energy 32*257^2; frames
+    // 1-2: all samples = 2 (bytes 2,0) -> energy 32*4 = 128, both under
+    // half the mean; 10 trailing bytes truncate
+    val loud = Array.fill(32)(Array[Byte](1, 1)).flatten
+    val quiet = Array.fill(32)(Array[Byte](2, 0)).flatten
+    val blob = loud ++ quiet ++ quiet ++ Array.fill(10)(3.toByte)
+    val ds = Seq((7L, "audio", blob)).toDF("id", "kind", "media")
+      .as[Multimodal.MediaRecord]
+    val frames = Multimodal.audioEnergyStub(ds).collect()
+      .map(f => f.frame_no -> (f.energy, f.peak)).toMap
+    assert(frames.keySet === Set(0L, 1L, 2L), "tail must truncate")
+    assert(frames(0L) === (32L * 257 * 257, 257L))
+    assert(frames(1L) === (128L, 2L))
+    assert(frames(2L) === (128L, 2L))
+  }
+
   test("identical blobs collide; a change between sample points is invisible") {
     import spark.implicits._
     val base = ("x" * 200).getBytes("UTF-8")
