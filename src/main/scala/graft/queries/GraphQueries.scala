@@ -553,6 +553,64 @@ object GraphQueries {
       .orderBy("round")
   }
 
+  /** DAG critical-path layering (topological depth): the id-oriented
+    * co-occurrence graph (u < v — acyclic by construction) layered by
+    * LONGEST path from any source, the quantity a scheduler calls the
+    * critical path and a lineage engine calls stage depth. Max-plus
+    * relaxation with the fixed-round contract (45 rounds ≥ the 40-deep
+    * sf0.001 fixture; the spec proves round 46 changes nothing, and the
+    * relaxation is monotone non-decreasing so extra rounds are
+    * idempotent). All-lazy checkpoints — one job for 45 rounds (the
+    * pagerank device) — with dropStats against the compounding-stats
+    * trap. Output is the decision-sized layer histogram. Scale: each
+    * round one keyed join + max-aggregate over (long, int) rows.
+    */
+  def dagLayers(s: SparkSession, d: String, rounds: Int = 45): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val e = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("w")).filter(col("w") >= 2).select("u", "v")
+      .localCheckpoint(false)
+    var layer = e.select(col("u").as("vtx")).union(e.select(col("v").as("vtx")))
+      .distinct().withColumn("layer", lit(0)).localCheckpoint(false)
+    for (r <- 1 to rounds) {
+      layer = dropStats(s, layer.union(
+          e.join(layer, e("u") === layer("vtx"))
+            .select(col("v").as("vtx"), (col("layer") + 1).as("layer")))
+        .groupBy("vtx").agg(max("layer").as("layer"))
+        .localCheckpoint(false))
+      // 45 ALL-lazy rounds nest an RDD object graph deep enough that task
+      // deserialization overflows the executor stack (pagerank's 10 lazy
+      // rounds fit); materializing every 10th checkpoint truncates the
+      // physical lineage at the cost of 4 extra jobs
+      if (r % 10 == 0) layer.count()
+    }
+    layer.groupBy("layer").agg(count(lit(1)).as("n_vertices")).orderBy("layer")
+  }
+
+  private def dagLayersSql(rounds: Int): String = {
+    val iter = (1 to rounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT vtx, CAST(max(layer) AS INT) AS layer FROM (
+         |    SELECT vtx, layer FROM l${i - 1}
+         |    UNION ALL
+         |    SELECT e.v AS vtx, r.layer + 1 FROM e JOIN l${i - 1} r ON e.u = r.vtx)
+         |  GROUP BY vtx)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |l0 AS (SELECT DISTINCT x AS vtx, CAST(0 AS INT) AS layer FROM
+       |         (SELECT u AS x FROM e UNION SELECT v FROM e)),
+       |$iter
+       |SELECT layer, CAST(count(*) AS BIGINT) AS n_vertices
+       |FROM l$rounds GROUP BY layer ORDER BY layer""".stripMargin
+  }
+
   /** HITS hubs & authorities over the directed bipartite part→supplier
     * graph (parts are hubs, suppliers authorities — the natural reading
     * of "a good part is stocked by good suppliers and vice versa").
@@ -719,6 +777,7 @@ object GraphQueries {
     "graph_ktruss" -> (ktruss(_, _, 8, 8)),
     "graph_clustering" -> (clusteringCoeff(_, _)),
     "graph_hits" -> (hits(_, _, 8)),
+    "graph_dag_layers" -> (dagLayers(_, _, 45)),
     "graph_sssp" -> (ssspBellmanFord(_, _, 20)),
     "graph_msf" -> (boruvkaMsf(_, _, 20)),
     "graph_kcore" -> (kcore(_, _)),
@@ -804,6 +863,7 @@ object GraphQueries {
     "graph_ktruss" -> ktrussSql(8, 8),
     "graph_clustering" -> clusteringSql,
     "graph_hits" -> hitsSql(8),
+    "graph_dag_layers" -> dagLayersSql(45),
     "graph_sssp" -> ssspSql(20),
     "graph_pagerank" -> pagerankSql(10),
     "graph_kcore" -> kcoreSql(5, 8),
