@@ -575,17 +575,26 @@ object GraphQueries {
       .localCheckpoint(false)
     var layer = e.select(col("u").as("vtx")).union(e.select(col("v").as("vtx")))
       .distinct().withColumn("layer", lit(0)).localCheckpoint(false)
-    for (r <- 1 to rounds) {
+    // Eager per-round convergence via the sum invariant (the
+    // minLabelPropagation device, flipped for max-plus: layers only ever
+    // INCREASE, so equal consecutive sums ⇔ fixpoint, and every later
+    // contractual round repeats verbatim — the ktruss short-circuit). The
+    // per-round aggregate also materializes each lazy checkpoint, which
+    // is what keeps the nested-RDD task binary shallow: 45 ALL-lazy
+    // rounds overflow the executor stack at task DEserialization
+    // (pagerank's 10 lazy rounds fit).
+    var lastSum = -1L
+    var converged = false
+    for (_ <- 1 to rounds if !converged) {
       layer = dropStats(s, layer.union(
           e.join(layer, e("u") === layer("vtx"))
             .select(col("v").as("vtx"), (col("layer") + 1).as("layer")))
         .groupBy("vtx").agg(max("layer").as("layer"))
         .localCheckpoint(false))
-      // 45 ALL-lazy rounds nest an RDD object graph deep enough that task
-      // deserialization overflows the executor stack (pagerank's 10 lazy
-      // rounds fit); materializing every 10th checkpoint truncates the
-      // physical lineage at the cost of 4 extra jobs
-      if (r % 10 == 0) layer.count()
+      val sm = layer.agg(coalesce(sum(col("layer")), lit(0L)))
+        .collect()(0).getLong(0)
+      converged = sm == lastSum
+      lastSum = sm
     }
     layer.groupBy("layer").agg(count(lit(1)).as("n_vertices")).orderBy("layer")
   }
