@@ -127,35 +127,41 @@ object RelationalQueries {
   def setExcept(s: SparkSession, d: String): DataFrame =
     lnParts(s, d, 6).except(lnParts(s, d, 7)).orderBy("l_partkey")
 
-  /** Exact-money aggregation on the DECIMAL surface: per-row casts to
-    * DECIMAL(18,2), revenue as an exact decimal product re-anchored to
-    * DECIMAL(18,4), and decimal sums (order-independent — the
-    * distributed-float-sum trap does not exist in decimal; cf.
-    * ml_linreg_ols's power sums). Every output column's precision/scale
-    * is pinned explicitly because the two engines widen sums differently
-    * (Spark +10 digits, DuckDB to 38) and the driver's hash is
-    * type-sensitive. All OUTPUT columns stay within DECIMAL(18,x): the
-    * r5 driver gate proved that DECIMAL(>18) — int128-backed storage,
-    * the wide-decimal cousin of the r4 HUGEINT class — hashes
-    * differently in the driver's canonicalization even when values and
-    * logical types are identical. Sums at any test SF fit 18 digits
-    * with room to spare (sf1 lineitem sums ≈ 14 digits).
+  /** Exact-money aggregation with DECIMAL arithmetic kept strictly
+    * INTERNAL to the query: per-row values are anchored to DECIMAL(18,2)
+    * (revenue to DECIMAL(18,4) via the exact decimal product), then
+    * immediately re-expressed as fixed-point BIGINT — cents for qty and
+    * price (×100), 1e-4 units for revenue (×10000) — so every OUTPUT
+    * column is a scalar BIGINT. Sums of fixed-point longs are exact and
+    * order-independent (no distributed-float-sum trap; cf.
+    * ml_linreg_ols's power sums). Rationale for the no-DECIMAL-output
+    * rule: three driver rounds (r4 HUGEINT, r5 DECIMAL(28,x), r6
+    * DECIMAL(18,x)) each hash-failed on a value-equal DECIMAL-typed
+    * output, proving the driver's canonicalization diverges on the
+    * DECIMAL storage class itself regardless of precision. The oracle
+    * mirrors the ×100/×10000 fixed-point casts and re-casts its sums to
+    * BIGINT (DuckDB sum(BIGINT) widens to HUGEINT — the r4 class).
+    * Fixed-point multiply-then-cast is exact on both engines: the scaled
+    * decimal value is an integer, so truncation (Spark) and rounding
+    * (DuckDB) casts agree. Sums at any test SF fit in int64 with ~5
+    * digits of headroom (sf1 revenue sum ≈ 1e14 × 1e4 = 1e18 < 2^63).
     */
   def decimalMoney(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select(
       col("l_returnflag"), col("l_linestatus"),
-      col("l_quantity").cast("decimal(18,2)").as("qty"),
-      col("l_extendedprice").cast("decimal(18,2)").as("price"),
-      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
-        .cast("decimal(18,2)").as("disc_factor"))
-      .withColumn("revenue", (col("price") * col("disc_factor")).cast("decimal(18,4)"))
+      (col("l_quantity").cast("decimal(18,2)") * lit(100)).cast("long").as("qty_cents"),
+      (col("l_extendedprice").cast("decimal(18,2)") * lit(100)).cast("long").as("price_cents"),
+      ((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+            .cast("decimal(18,2)"))
+        .cast("decimal(18,4)") * lit(10000)).cast("long").as("revenue_e4"))
     li.groupBy("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"),
-        sum(col("qty")).cast("decimal(18,2)").as("sum_qty"),
-        sum(col("price")).cast("decimal(18,2)").as("sum_price"),
-        sum(col("revenue")).cast("decimal(18,4)").as("sum_revenue"),
-        min(col("revenue")).cast("decimal(18,4)").as("min_revenue"),
-        max(col("revenue")).cast("decimal(18,4)").as("max_revenue"))
+        sum(col("qty_cents")).as("sum_qty_cents"),
+        sum(col("price_cents")).as("sum_price_cents"),
+        sum(col("revenue_e4")).as("sum_revenue_e4"),
+        min(col("revenue_e4")).as("min_revenue_e4"),
+        max(col("revenue_e4")).as("max_revenue_e4"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 
@@ -180,20 +186,20 @@ object RelationalQueries {
     "q_decimal_money" ->
       """WITH li AS (
         |  SELECT l_returnflag, l_linestatus,
-        |         CAST(l_quantity AS DECIMAL(18,2)) AS qty,
-        |         CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
-        |         CAST((CAST(l_extendedprice AS DECIMAL(18,2))
-        |               * CAST(1 - CAST(l_discount AS DECIMAL(18,2))
-        |                      AS DECIMAL(18,2)))
-        |              AS DECIMAL(18,4)) AS revenue
+        |         CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_cents,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents,
+        |         CAST(CAST((CAST(l_extendedprice AS DECIMAL(18,2))
+        |                    * CAST(1 - CAST(l_discount AS DECIMAL(18,2))
+        |                           AS DECIMAL(18,2)))
+        |                   AS DECIMAL(18,4)) * 10000 AS BIGINT) AS revenue_e4
         |  FROM lineitem)
         |SELECT l_returnflag, l_linestatus,
         |       CAST(count(*) AS BIGINT) AS n,
-        |       CAST(sum(qty) AS DECIMAL(18,2)) AS sum_qty,
-        |       CAST(sum(price) AS DECIMAL(18,2)) AS sum_price,
-        |       CAST(sum(revenue) AS DECIMAL(18,4)) AS sum_revenue,
-        |       CAST(min(revenue) AS DECIMAL(18,4)) AS min_revenue,
-        |       CAST(max(revenue) AS DECIMAL(18,4)) AS max_revenue
+        |       CAST(sum(qty_cents) AS BIGINT) AS sum_qty_cents,
+        |       CAST(sum(price_cents) AS BIGINT) AS sum_price_cents,
+        |       CAST(sum(revenue_e4) AS BIGINT) AS sum_revenue_e4,
+        |       min(revenue_e4) AS min_revenue_e4,
+        |       max(revenue_e4) AS max_revenue_e4
         |FROM li GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_filter_range" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_shipdate

@@ -35,16 +35,21 @@ class AppliedOpsSpec extends SparkSpec {
     }
   }
 
-  test("decimal money: revenue bounded by price, counts reconcile") {
-    val rows = RelationalQueries.decimalMoney(spark, sf).collect()
+  test("decimal money: revenue bounded by price, counts reconcile, all-BIGINT schema") {
+    val df = RelationalQueries.decimalMoney(spark, sf)
+    // No-DECIMAL-output rule (r4/r5/r6 driver evidence): every non-key
+    // output column must be a scalar LongType.
+    df.schema.fields.filterNot(f => f.name.startsWith("l_")).foreach { f =>
+      assert(f.dataType === org.apache.spark.sql.types.LongType,
+        s"${f.name} must be BIGINT, got ${f.dataType}")
+    }
+    val rows = df.collect()
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     assert(rows.map(_.getAs[Long]("n")).sum === li.count())
     rows.foreach { r =>
-      assert(r.getAs[java.math.BigDecimal]("sum_revenue")
-        .compareTo(r.getAs[java.math.BigDecimal]("sum_price")
-          .setScale(4)) <= 0)
-      assert(r.getAs[java.math.BigDecimal]("min_revenue")
-        .compareTo(r.getAs[java.math.BigDecimal]("max_revenue")) <= 0)
+      // revenue_e4 is 1e-4 units, price_cents is 1e-2 units: compare in 1e-4.
+      assert(r.getAs[Long]("sum_revenue_e4") <= r.getAs[Long]("sum_price_cents") * 100L)
+      assert(r.getAs[Long]("min_revenue_e4") <= r.getAs[Long]("max_revenue_e4"))
     }
   }
 
