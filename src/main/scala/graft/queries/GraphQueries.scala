@@ -331,10 +331,15 @@ object GraphQueries {
     * forest that p := p∘p collapses in O(log depth) self-joins (the
     * generic fixpoint pays one job per chain HOP — measured ~2× slower
     * end-to-end). localCheckpoint truncates lineage per round exactly as
-    * in CC/pagerank. Not SQL-expressible (nested data-dependent loops),
-    * so this entry takes the contract's rows-only driver check;
-    * GraphMsfSpec proves the edge set equals a driver-side Kruskal under
-    * the identical total order at two SFs.
+    * in CC/pagerank. Oracled since r7: the data-dependent loop becomes a
+    * FIXED-round unrolled Borůvka in DuckDB (`msfSql` — 16 rounds ≥ the
+    * ⌈log2 V⌉=15 worst-case bound at sf0.1, 12 pointer squarings ≥ depth
+    * 4096 per round; idempotent past convergence, and any
+    * under-provisioning fails LOUD as a row mismatch, never a silent
+    * pass), validated edge-for-edge against the Spark forest at
+    * sf0.001/0.01/0.1. GraphMsfSpec additionally proves the edge set
+    * equals a driver-side Kruskal under the identical total order at two
+    * SFs.
     *
     * At 100 TB: every step is a keyed shuffle or broadcast-free
     * aggregate on (long, long, long) rows; per-round state is one label
@@ -757,6 +762,67 @@ object GraphQueries {
        |SELECT round, n_edges FROM ($counts) ORDER BY round""".stripMargin
   }
 
+  /** Borůvka unrolled to a fixed round count in the kcore/ktruss/sssp
+    * MATERIALIZED-CTE style (inlining would expand the plan
+    * exponentially). Per round: cross-component edge selection under the
+    * previous labels, per-component struct-min election over the
+    * (w, eu, ev) total order (DuckDB structs compare lexicographically),
+    * forest accumulation by UNION, then contraction as FIXED-count
+    * pointer squaring — mutual-min 2-cycles hook to their min endpoint,
+    * `squarings` self-joins collapse chains up to depth 2^squarings.
+    * Rounds/squarings are over-provisioned vs the theoretical bounds
+    * (components at least halve per round ⇒ ⌈log2 V⌉ rounds); past
+    * convergence every round is idempotent (empty cross ⇒ forest and
+    * labels carry), and an under-provisioned unroll loses forest edges —
+    * a LOUD row mismatch, never a false pass. */
+  private def msfSql(rounds: Int, squarings: Int): String = {
+    val w = OracleSql.fnvIhash31(
+      "CAST(least(u, v) AS VARCHAR) || '|' || CAST(greatest(u, v) AS VARCHAR)")
+    val base = Seq(
+      s"""e AS MATERIALIZED (
+         |  SELECT u AS eu, v AS ev, CAST($w AS BIGINT) AS w
+         |  FROM (SELECT DISTINCT l_partkey AS u, l_suppkey + 1000000 AS v
+         |        FROM lineitem WHERE l_partkey % 10 = l_suppkey % 10))""".stripMargin,
+      """l0 AS MATERIALIZED (
+        |  SELECT DISTINCT x AS vtx, x AS comp
+        |  FROM (SELECT eu AS x FROM e UNION SELECT ev FROM e))""".stripMargin,
+      "f0 AS MATERIALIZED (SELECT eu, ev, w FROM e WHERE false)")
+    val perRound = (1 to rounds).flatMap { i =>
+      val p = i - 1
+      val squares = (1 to squarings).map { s =>
+        s"""p${i}_$s AS MATERIALIZED (
+           |  SELECT x.c, coalesce(y.p, x.p) AS p
+           |  FROM p${i}_${s - 1} x LEFT JOIN p${i}_${s - 1} y ON x.p = y.c)""".stripMargin
+      }
+      Seq(
+        s"""cross$i AS MATERIALIZED (
+           |  SELECT e.eu, e.ev, e.w, lu.comp AS cu, lv.comp AS cv
+           |  FROM e JOIN l$p lu ON lu.vtx = e.eu JOIN l$p lv ON lv.vtx = e.ev
+           |  WHERE lu.comp <> lv.comp)""".stripMargin,
+        s"""mine$i AS MATERIALIZED (
+           |  SELECT c, p.w AS w, p.eu AS eu, p.ev AS ev, p.other AS other FROM (
+           |    SELECT c, min({'w': w, 'eu': eu, 'ev': ev, 'other': other}) AS p FROM (
+           |      SELECT cu AS c, w, eu, ev, cv AS other FROM cross$i
+           |      UNION ALL
+           |      SELECT cv AS c, w, eu, ev, cu AS other FROM cross$i)
+           |    GROUP BY c))""".stripMargin,
+        s"""f$i AS MATERIALIZED (
+           |  SELECT eu, ev, w FROM f$p
+           |  UNION SELECT eu, ev, w FROM mine$i)""".stripMargin,
+        s"""p${i}_0 AS MATERIALIZED (
+           |  SELECT a.c, CASE WHEN b.c IS NOT NULL
+           |                   THEN least(a.c, a.other) ELSE a.other END AS p
+           |  FROM mine$i a
+           |  LEFT JOIN mine$i b ON a.other = b.c AND b.other = a.c)""".stripMargin) ++
+        squares :+
+        s"""l$i AS MATERIALIZED (
+           |  SELECT l.vtx, coalesce(m.p, l.comp) AS comp
+           |  FROM l$p l LEFT JOIN p${i}_$squarings m ON m.c = l.comp)""".stripMargin
+    }
+    s"""WITH ${(base ++ perRound).mkString(",\n")}
+       |SELECT eu AS u, ev AS v, w FROM f$rounds ORDER BY u, v""".stripMargin
+  }
+
   /** Fixed-round unrolled relaxation. Each round reads d_{i-1} TWICE
     * (carry + relax), so the CTEs must be MATERIALIZED — default
     * inlining expands the plan 2^rounds-fold (the kcoreSql hang, at a
@@ -874,6 +940,7 @@ object GraphQueries {
     "graph_hits" -> hitsSql(8),
     "graph_dag_layers" -> dagLayersSql(45),
     "graph_sssp" -> ssspSql(20),
+    "graph_msf" -> msfSql(16, 12),
     "graph_pagerank" -> pagerankSql(10),
     "graph_kcore" -> kcoreSql(5, 8),
     "graph_components" ->
