@@ -106,26 +106,43 @@ object CatalogQueries {
     * machinery, not BHJ, has to absorb the hot key. Quantity sums are
     * integer-valued doubles → exact under any partition split AQE picks.
     */
+  /** Session confs under which the skew join must EXECUTE (not just
+    * plan): broadcast off so the skew machinery absorbs the hot key,
+    * thresholds scaled so the fixture's hot partition trips the split.
+    * Shared with tools.SkewProbe, which re-runs the identical shape at
+    * upscaled SFs and pins `skew=true` in the AQE final plan. */
+  private[graft] val skewJoinConfs = Map(
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "256KB")
+
+  /** The un-settled join shape behind q_skew_join_aqe: key expression
+    * funnels ~99% of lineitem onto k=1 REGARDLESS of key-offset
+    * replication (the modulus is taken per replica, so every replica's
+    * non-divisible rows land on the same literal hot key) — which makes
+    * this the registry shuffle that stays genuinely skewed under the
+    * sf1 upscale, where replication otherwise preserves distribution
+    * shapes. */
+  private[graft] def skewJoinShape(s: SparkSession, d: String): DataFrame = {
+    val fact = Tables.lineitem(s, d).select(
+      when(col("l_orderkey") % 100 =!= 0, lit(1L))
+        .otherwise(col("l_orderkey") % 1000).as("k"),
+      col("l_quantity"))
+    val dim = Tables.part(s, d)
+      .filter(col("p_partkey") <= 1000)
+      .select(col("p_partkey").as("k"), col("p_brand"))
+    fact.join(dim, "k")
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy("p_brand")
+  }
+
   def skewJoinAqe(s: SparkSession, d: String): DataFrame = {
-    val confs = Map(
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256KB",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "256KB")
-    withConfs(s, confs) {
-      val fact = Tables.lineitem(s, d).select(
-        when(col("l_orderkey") % 100 =!= 0, lit(1L))
-          .otherwise(col("l_orderkey") % 1000).as("k"),
-        col("l_quantity"))
-      val dim = Tables.part(s, d)
-        .filter(col("p_partkey") <= 1000)
-        .select(col("p_partkey").as("k"), col("p_brand"))
-      val shaped = fact.join(dim, "k")
-        .groupBy("p_brand")
-        .agg(count(lit(1)).as("cnt"),
-          round(sum(col("l_quantity")), 2).as("sum_qty"))
-        .orderBy("p_brand")
-      // settle under the confs: execution (not just planning) must run
-      // with broadcast off + skew thresholds in force
+    withConfs(s, skewJoinConfs) {
+      val shaped = skewJoinShape(s, d)
+      // settle under the confs: execution (not just plan construction)
+      // must run with broadcast off + skew thresholds in force
       val rows = java.util.Arrays.asList(shaped.collect(): _*)
       s.createDataFrame(rows, shaped.schema)
     }
