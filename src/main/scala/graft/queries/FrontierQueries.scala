@@ -83,15 +83,18 @@ object FrontierQueries {
     * aggregate job. Scale: each iteration scans with a pushed bucket
     * predicate; the script variable holds only the scalar accumulator. */
   def sqlScript(s: SparkSession, d: String): DataFrame = {
-    // scripting.enabled gates only the parser's compound-statement path,
-    // so it is restored immediately after sql() returns (the script's
-    // procedural statements have executed by then and the returned
-    // last-SELECT plan is already analyzed) — no conf leakage into
-    // whatever query the registry runs next.
-    val prev = s.conf.getOption("spark.sql.scripting.enabled")
-    s.conf.set("spark.sql.scripting.enabled", "true")
-    Tables.orders(s, d).createOrReplaceTempView("orders_script_v")
-    try s.sql("""
+    // The script runs on a PRIVATE child session (newSession: shared
+    // SparkContext and catalog, separate conf and temp-view registry), so
+    // the shared session's parser conf is never flipped even transiently —
+    // a concurrently-BUILT query could otherwise observe
+    // scripting.enabled=true mid-construction (the csvMalformed isolation
+    // pattern). The temp view is session-scoped, hence registered on the
+    // child, and the child's conf needs no restore: it dies with the
+    // reference.
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.scripting.enabled", "true")
+    Tables.orders(ss, d).createOrReplaceTempView("orders_script_v")
+    ss.sql("""
       BEGIN
         DECLARE total BIGINT DEFAULT 0;
         DECLARE cents BIGINT DEFAULT 0;
@@ -112,10 +115,6 @@ object FrontierQueries {
         SELECT total AS n_orders, cents AS sum_cents,
                i AS n_chunks, size_label;
       END""")
-    finally prev match {
-      case Some(v) => s.conf.set("spark.sql.scripting.enabled", v)
-      case None => s.conf.unset("spark.sql.scripting.enabled")
-    }
   }
 
   /** Chi-square independence test: is event_type independent of the
