@@ -466,12 +466,27 @@ object GraphQueries {
     var dist = e.select(col("u").as("vtx")).distinct()
       .filter(col("vtx") < 10).withColumn("dist", lit(0L))
       .localCheckpoint(false)
-    for (_ <- 1 to rounds) {
+    // Fixpoint short-circuit under the fixed-rounds contract (the
+    // dag_layers device, min-plus flavor): the reached set only GROWS and
+    // distances only DECREASE, so an unchanged (count, sum) pair means the
+    // round was a no-op — and relaxation is deterministic, so every later
+    // contractual round repeats verbatim. The skipped rounds' outputs are
+    // replayed by doing nothing; the result is bit-identical to the
+    // 20-round definition the oracle unrolls. The per-round aggregate also
+    // materializes each lazy checkpoint (the anti-stack-overflow guard).
+    var lastState = (-1L, Long.MinValue)
+    var converged = false
+    for (_ <- 1 to rounds if !converged) {
       val relax = e.join(dist, e("u") === dist("vtx"))
         .select(col("v").as("vtx"), (col("dist") + col("w")).as("dist"))
       dist = dropStats(s, dist.union(relax)
         .groupBy("vtx").agg(min(col("dist")).as("dist"))
         .localCheckpoint(false))
+      val row = dist.agg(count(lit(1)),
+        coalesce(sum(col("dist")), lit(0L))).collect()(0)
+      val cur = (row.getLong(0), row.getLong(1))
+      converged = cur == lastState
+      lastState = cur
     }
     dist.orderBy("vtx")
   }
