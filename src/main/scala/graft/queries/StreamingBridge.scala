@@ -28,9 +28,10 @@ object StreamingBridge {
     * the JVM lifetime (neither clearCache nor the persistent-RDD sweep
     * touches temp views). Results are small (≤ tens of thousands of rows).
     */
-  private def settle(s: SparkSession, name: String, shaped: DataFrame): DataFrame = {
+  private def settle(s: SparkSession, sinkSession: SparkSession, name: String,
+      shaped: DataFrame): DataFrame = {
     val rows = java.util.Arrays.asList(shaped.collect(): _*)
-    s.catalog.dropTempView(name)
+    sinkSession.catalog.dropTempView(name)
     s.createDataFrame(rows, shaped.schema)
   }
 
@@ -38,14 +39,27 @@ object StreamingBridge {
     * clean up. The run-to-completion + always-stop + drop-view contract
     * for every bridge query lives only here: a new bridge entry cannot
     * leak a running query or a temp view by forgetting the boilerplate.
+    *
+    * The stream is BUILT AND RUN ON A PRIVATE CHILD SESSION
+    * (`s.newSession()` — shares the SparkContext, clones the conf):
+    * per-query streaming confs (`multipleWatermarkPolicy`, the RocksDB
+    * state-store provider) are plain `confs` entries that live and die
+    * with the bridge run instead of being set/restored on the shared
+    * session — the same concurrent-visibility race class
+    * FrontierQueries.sqlScript was isolated for. The memory-sink temp
+    * view lands in the child's (session-scoped) catalog, so a leak
+    * cannot outlive the bridge either.
     */
   /** `singleBatch = false` is for sinks whose content is only complete
     * after the trailing watermark micro-batch (stream-stream OUTER joins:
     * unmatched rows emit on state eviction). Everything else runs
     * Trigger.Once. */
-  private def runSettled(s: SparkSession, prefix: String, streamDf: DataFrame,
-      mode: OutputMode, singleBatch: Boolean = true)
+  private def runSettled(s: SparkSession, prefix: String, mode: OutputMode,
+      singleBatch: Boolean = true, confs: Seq[(String, String)] = Nil)
+      (build: SparkSession => DataFrame)
       (shape: DataFrame => DataFrame): DataFrame = {
+    val cs = s.newSession()
+    confs.foreach { case (k, v) => cs.conf.set(k, v) }
     val name = s"graft_stream_${prefix}_${counter.incrementAndGet()}"
     // Trigger.Once: the bounded source fits one micro-batch (Once processes
     // ALL available input regardless of maxFilesPerTrigger), every bridge's
@@ -53,12 +67,23 @@ object StreamingBridge {
     // eagerly; Complete mode rewrites; the stateful ops emit while
     // processing), and skipping the trailing eviction-only batch saves ~40%
     // of the stream-stream join's wall time. See StreamingOps.toMemorySink.
-    val q = StreamingOps.toMemorySink(streamDf, name, mode, singleBatch)
+    val q = StreamingOps.toMemorySink(build(cs), name, mode, singleBatch)
     try {
       if (singleBatch) q.awaitTermination() else q.processAllAvailable()
     } finally q.stop()
-    settle(s, name, shape(s.table(name)))
+    settle(s, cs, name, shape(cs.table(name)))
   }
+
+  /** RocksDB state-store provider, required by `transformWithState` —
+    * passed as a child-session conf by the three TWS bridges. */
+  private val RocksDbProvider = Seq(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+  /** Max multiple-watermark policy, required by the OUTER interval joins
+    * (see StreamingOps.purchasesAfterSignupOuter scaladoc). */
+  private val MaxWatermarkPolicy =
+    Seq("spark.sql.streaming.multipleWatermarkPolicy" -> "max")
 
   /** The events parquet as a bounded stream, with the same ns→µs timestamp
     * normalization the batch loader applies (streaming sources require an
@@ -77,8 +102,9 @@ object StreamingBridge {
 
   /** Tumbling windows via the streaming engine; equals `q_events_tumbling`. */
   def tumblingViaStream(s: SparkSession, d: String): DataFrame =
-    runSettled(s, "tumbling", StreamingOps.tumblingCounts(eventsStream(s, d)),
-      OutputMode.Complete()) {
+    runSettled(s, "tumbling", OutputMode.Complete()) { cs =>
+      StreamingOps.tumblingCounts(eventsStream(cs, d))
+    } {
       _.select(col("win_start").cast("long").as("win_start"), col("event_type"),
         col("cnt"), round(col("sum_value"), 2).as("sum_value"))
     }.orderBy("win_start", "event_type")
@@ -111,7 +137,7 @@ object StreamingBridge {
       finally q.stop()
     // settle (which DROPS the temp view) before the probe assert — a probe
     // failure must not leak the memory-sink table for the JVM lifetime
-    val settled = settle(s, name, s.table(name))
+    val settled = settle(s, s, name, s.table(name))
     require(nBatches >= 2,
       s"AvailableNow ran $nBatches micro-batch(es) — maxFilesPerTrigger not honored")
     settled.orderBy("user_id", "event_type")
@@ -126,10 +152,11 @@ object StreamingBridge {
     * equal the single-source tumbling query on the whole table.
     */
   def unionViaStream(s: SparkSession, d: String): DataFrame = {
-    val a = eventsStream(s, d).filter(col("event_id") % 2 === 0)
-    val b = eventsStream(s, d).filter(col("event_id") % 2 =!= 0)
-    runSettled(s, "union", StreamingOps.tumblingCounts(a.unionByName(b)),
-      OutputMode.Complete()) {
+    runSettled(s, "union", OutputMode.Complete()) { cs =>
+      val a = eventsStream(cs, d).filter(col("event_id") % 2 === 0)
+      val b = eventsStream(cs, d).filter(col("event_id") % 2 =!= 0)
+      StreamingOps.tumblingCounts(a.unionByName(b))
+    } {
       _.select(col("win_start").cast("long").as("win_start"), col("event_type"),
         col("cnt"), round(col("sum_value"), 2).as("sum_value"))
     }.orderBy("win_start", "event_type")
@@ -145,9 +172,9 @@ object StreamingBridge {
     * discipline).
     */
   def chainedAggViaStream(s: SparkSession, d: String): DataFrame =
-    runSettled(s, "chained",
-      StreamingOps.chainedWindowAgg(eventsStream(s, d)),
-      OutputMode.Append(), singleBatch = false) {
+    runSettled(s, "chained", OutputMode.Append(), singleBatch = false) { cs =>
+      StreamingOps.chainedWindowAgg(eventsStream(cs, d))
+    } {
       _.select(col("win_start").cast("long").as("win_start"),
         col("n_types"), col("n_events"))
     }.orderBy("win_start")
@@ -158,8 +185,9 @@ object StreamingBridge {
     * form of overlapping windows).
     */
   def slidingViaStream(s: SparkSession, d: String): DataFrame =
-    runSettled(s, "sliding", StreamingOps.slidingSums(eventsStream(s, d)),
-      OutputMode.Complete()) {
+    runSettled(s, "sliding", OutputMode.Complete()) { cs =>
+      StreamingOps.slidingSums(eventsStream(cs, d))
+    } {
       _.select(col("win_start").cast("long").as("win_start"),
         col("cnt"), round(col("sum_value"), 2).as("sum_value"))
     }.orderBy("win_start")
@@ -175,8 +203,9 @@ object StreamingBridge {
     * same-user pairs).
     */
   def sessionViaStream(s: SparkSession, d: String): DataFrame =
-    runSettled(s, "session", StreamingOps.sessionCounts(eventsStream(s, d)),
-      OutputMode.Complete()) {
+    runSettled(s, "session", OutputMode.Complete()) { cs =>
+      StreamingOps.sessionCounts(eventsStream(cs, d))
+    } {
       _.select(col("user_id"),
         col("session_start").cast("long").as("session_start"),
         col("n_events"), round(col("sum_value"), 2).as("sum_value"))
@@ -191,41 +220,33 @@ object StreamingBridge {
   /** `stream_user_totals` through Spark 4's `transformWithState` instead
     * of `mapGroupsWithState` — same oracle, so the two arbitrary-state
     * APIs are proven equivalent on the same data. transformWithState only
-    * runs on the RocksDB state store; the conf is session-level, and like
-    * the skew-join builder the override must cover EXECUTION, which for a
-    * bridge happens inside runSettled — hence set/restore around it.
+    * runs on the RocksDB state store; the conf is session-level and must
+    * cover EXECUTION, so it rides the bridge's private child session.
     */
   def transformStateViaStream(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val saved = s.conf.getOption(key)
-    s.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val ev = eventsStream(s, d)
+    runSettled(s, "tws", OutputMode.Update(), confs = RocksDbProvider) { cs =>
+      val ev = eventsStream(cs, d)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
           col("value"))
         .as[StreamingOps.Event]
-      runSettled(s, "tws", StreamingOps.runningUserTotalsTws(ev).toDF(),
-        OutputMode.Update()) {
-        _.groupBy("user_id")
-          .agg(max(col("n_events")).as("n_events"),
-            round(expr("max_by(total_value, n_events)"), 2).as("total_value"))
-      }.orderBy("user_id")
-    } finally saved match {
-      case Some(v) => s.conf.set(key, v)
-      case None    => s.conf.unset(key)
-    }
+      StreamingOps.runningUserTotalsTws(ev).toDF()
+    } {
+      _.groupBy("user_id")
+        .agg(max(col("n_events")).as("n_events"),
+          round(expr("max_by(total_value, n_events)"), 2).as("total_value"))
+    }.orderBy("user_id")
   }
 
   def userTotalsViaStream(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val ev = eventsStream(s, d)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        col("value"))
-      .as[StreamingOps.Event]
-    runSettled(s, "utotals", StreamingOps.runningUserTotals(ev).toDF(),
-      OutputMode.Update()) {
+    runSettled(s, "utotals", OutputMode.Update()) { cs =>
+      val ev = eventsStream(cs, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"))
+        .as[StreamingOps.Event]
+      StreamingOps.runningUserTotals(ev).toDF()
+    } {
       _.groupBy("user_id")
         .agg(max(col("n_events")).as("n_events"),
           round(expr("max_by(total_value, n_events)"), 2).as("total_value"))
@@ -237,12 +258,13 @@ object StreamingBridge {
     */
   def sessionStartsViaStream(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val ev = eventsStream(s, d)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        col("value"))
-      .as[StreamingOps.Event]
-    runSettled(s, "sstarts", StreamingOps.sessionStarts(ev).toDF(),
-      OutputMode.Append()) {
+    runSettled(s, "sstarts", OutputMode.Append()) { cs =>
+      val ev = eventsStream(cs, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"))
+        .as[StreamingOps.Event]
+      StreamingOps.sessionStarts(ev).toDF()
+    } {
       _.select(col("user_id"), col("session_start"))
     }.orderBy("user_id", "session_start")
   }
@@ -252,9 +274,9 @@ object StreamingBridge {
     * (the DuckDB oracle) because inner interval joins emit eagerly.
     */
   def intervalJoinViaStream(s: SparkSession, d: String): DataFrame =
-    runSettled(s, "ivjoin",
-      StreamingOps.purchasesAfterSignup(eventsStream(s, d)),
-      OutputMode.Append()) {
+    runSettled(s, "ivjoin", OutputMode.Append()) { cs =>
+      StreamingOps.purchasesAfterSignup(eventsStream(cs, d))
+    } {
       _.select(col("s_user").as("user_id"), col("signup_id"), col("purchase_id"),
         col("s_ts").cast("long").as("signup_s"),
         col("p_ts").cast("long").as("purchase_s"), col("value"))
@@ -266,24 +288,17 @@ object StreamingBridge {
     * NEEDS the trailing watermark micro-batch (`singleBatch = false`).
     * Equals the batch left range join over the same bounded universe.
     */
-  def intervalLeftViaStream(s: SparkSession, d: String): DataFrame = {
+  def intervalLeftViaStream(s: SparkSession, d: String): DataFrame =
     // max watermark policy for THIS query only (see purchasesAfterSignupOuter
-    // scaladoc); conf is read at stream start, restored after
-    val key = "spark.sql.streaming.multipleWatermarkPolicy"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, "max")
-    try runSettled(s, "ivleft",
-      StreamingOps.purchasesAfterSignupOuter(eventsStream(s, d)),
-      OutputMode.Append(), singleBatch = false) {
+    // scaladoc) — a child-session conf, read at stream start
+    runSettled(s, "ivleft", OutputMode.Append(), singleBatch = false,
+      confs = MaxWatermarkPolicy) { cs =>
+      StreamingOps.purchasesAfterSignupOuter(eventsStream(cs, d))
+    } {
       _.select(col("s_user").as("user_id"), col("signup_id"), col("purchase_id"),
         col("s_ts").cast("long").as("signup_s"),
         col("p_ts").cast("long").as("purchase_s"), col("value"))
     }.orderBy("signup_id", "purchase_id")
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
-    }
-  }
 
   /** Stream-stream FULL OUTER interval join under the gate: unmatched
     * rows from BOTH sides emit on watermark eviction (the left form only
@@ -291,33 +306,28 @@ object StreamingBridge {
     * be the null one. Needs the trailing watermark batches and the max
     * watermark policy, like the left form.
     */
-  def intervalFullViaStream(s: SparkSession, d: String): DataFrame = {
-    val key = "spark.sql.streaming.multipleWatermarkPolicy"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, "max")
-    try runSettled(s, "ivfull",
-      StreamingOps.purchasesAfterSignupFull(eventsStream(s, d)),
-      OutputMode.Append(), singleBatch = false) {
+  def intervalFullViaStream(s: SparkSession, d: String): DataFrame =
+    runSettled(s, "ivfull", OutputMode.Append(), singleBatch = false,
+      confs = MaxWatermarkPolicy) { cs =>
+      StreamingOps.purchasesAfterSignupFull(eventsStream(cs, d))
+    } {
       _.select(coalesce(col("s_user"), col("p_user")).as("user_id"),
         col("signup_id"), col("purchase_id"),
         col("s_ts").cast("long").as("signup_s"),
         col("p_ts").cast("long").as("purchase_s"), col("value"))
     }.orderBy("user_id", "signup_id", "purchase_id")
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
-    }
-  }
 
   /** Stream-static enrichment under the gate: events joined per
     * micro-batch to the static customer dimension (broadcast, no
     * streaming state), settled to per-(segment, event_type) totals.
     */
   def enrichJoinViaStream(s: SparkSession, d: String): DataFrame = {
-    val dim = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
-    runSettled(s, "enrich",
-      StreamingOps.enrichWithDim(eventsStream(s, d), dim, "user_id", "c_custkey"),
-      OutputMode.Append()) {
+    runSettled(s, "enrich", OutputMode.Append()) { cs =>
+      val dim = Tables.customer(cs, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      StreamingOps.enrichWithDim(eventsStream(cs, d), dim, "user_id",
+        "c_custkey")
+    } {
       _.groupBy(col("c_mktsegment"), col("event_type"))
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
     }.orderBy("c_mktsegment", "event_type")
@@ -332,10 +342,10 @@ object StreamingBridge {
     * precisely the redelivered copies.
     */
   def dedupViaStream(s: SparkSession, d: String): DataFrame = {
-    val ev = eventsStream(s, d)
-    runSettled(s, "dedup",
-      StreamingOps.streamingDedup(ev.union(ev)),
-      OutputMode.Append()) {
+    runSettled(s, "dedup", OutputMode.Append()) { cs =>
+      val ev = eventsStream(cs, d)
+      StreamingOps.streamingDedup(ev.union(ev))
+    } {
       _.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
     }.orderBy("event_type")
@@ -454,8 +464,9 @@ object StreamingBridge {
     * (the sink table's order is the streaming result; rank pins it into
     * a checkable column). */
   def leaderboardViaStream(s: SparkSession, d: String): DataFrame =
-    runSettled(s, "board", StreamingOps.userLeaderboard(eventsStream(s, d)),
-      OutputMode.Complete()) {
+    runSettled(s, "board", OutputMode.Complete()) { cs =>
+      StreamingOps.userLeaderboard(eventsStream(cs, d))
+    } {
       _.withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("n_events").desc, col("user_id").asc)))
@@ -494,17 +505,17 @@ object StreamingBridge {
     * Complete-mode per-band totals equal the batch BETWEEN join.
     */
   def intervalEnrichViaStream(s: SparkSession, d: String): DataFrame = {
-    val bands = s.range(25).select(col("id").as("band_id"),
-      (col("id").cast("double") * 20).as("lo"),
-      (col("id").cast("double") * 20 + 39.99).as("hi"))
-    val joined = graft.plans.IntervalJoin.intervalJoinBucketed(
-      eventsStream(s, d).select(col("event_id"), col("value")), bands,
-      col("value"), bands("lo"), bands("hi"), width = 20.0)
-    runSettled(s, "ivenrich",
+    runSettled(s, "ivenrich", OutputMode.Complete()) { cs =>
+      val bands = cs.range(25).select(col("id").as("band_id"),
+        (col("id").cast("double") * 20).as("lo"),
+        (col("id").cast("double") * 20 + 39.99).as("hi"))
+      val joined = graft.plans.IntervalJoin.intervalJoinBucketed(
+        eventsStream(cs, d).select(col("event_id"), col("value")), bands,
+        col("value"), bands("lo"), bands("hi"), width = 20.0)
       joined.groupBy("band_id")
         .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value")), 2).as("sum_value")),
-      OutputMode.Complete()) {
+          round(sum(col("value")), 2).as("sum_value"))
+    } {
       _.select(col("band_id"), col("n_events"),
         round(col("sum_value"), 2).as("sum_value"))
     }.orderBy("band_id")
@@ -523,14 +534,15 @@ object StreamingBridge {
     * both hash-mismatch.
     */
   def simhashDedupViaStream(s: SparkSession, d: String): DataFrame = {
-    val raw = s.read.parquet(s"$d/documents.parquet").schema
-    val src = s.readStream.schema(raw).parquet(s"$d/{documents}.parquet")
-    val sigs = src.select(col("doc_id"), DedupQueries.simhashCol.as("simhash"))
-      .withColumn("ts",
-        timestamp_seconds(lit(1700000000L) + col("doc_id") % 600))
-    runSettled(s, "simdedup",
-      StreamingOps.streamingSimhashDedup(sigs.union(sigs)),
-      OutputMode.Append()) {
+    runSettled(s, "simdedup", OutputMode.Append()) { cs =>
+      val raw = cs.read.parquet(s"$d/documents.parquet").schema
+      val src = cs.readStream.schema(raw).parquet(s"$d/{documents}.parquet")
+      val sigs = src.select(col("doc_id"),
+        DedupQueries.simhashCol.as("simhash"))
+        .withColumn("ts",
+          timestamp_seconds(lit(1700000000L) + col("doc_id") % 600))
+      StreamingOps.streamingSimhashDedup(sigs.union(sigs))
+    } {
       _.groupBy(col("simhash")).agg(count(lit(1)).as("n_rows"))
     }.orderBy("simhash")
   }
@@ -546,23 +558,15 @@ object StreamingBridge {
     */
   def topkStateViaStream(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val saved = s.conf.getOption(key)
-    s.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val ev = eventsStream(s, d)
+    runSettled(s, "topk", OutputMode.Update(), confs = RocksDbProvider) { cs =>
+      val ev = eventsStream(cs, d)
         .select(col("user_id"),
           round(col("value") * 100).cast("long").as("value_c"),
           col("event_id"))
         .as[StreamingOps.TopEntry]
-      runSettled(s, "topk", StreamingOps.runningTopKTws(ev).toDF(),
-        OutputMode.Update()) { df => df }
-        .orderBy("user_id", "rank")
-    } finally saved match {
-      case Some(v) => s.conf.set(key, v)
-      case None    => s.conf.unset(key)
-    }
+      StreamingOps.runningTopKTws(ev).toDF()
+    } { df => df }
+      .orderBy("user_id", "rank")
   }
 
   /** Event-time timers under the gate: per-user counts that emit ONLY
@@ -577,22 +581,15 @@ object StreamingBridge {
   def timerViaStream(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val fireAt = 1706140800000L // 2024-01-25T00:00:00Z, inside the fixture
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val saved = s.conf.getOption(key)
-    s.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val ev = eventsStream(s, d)
+    runSettled(s, "timer", OutputMode.Append(), singleBatch = false,
+      confs = RocksDbProvider) { cs =>
+      val ev = eventsStream(cs, d)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
           col("value"))
         .as[StreamingOps.Event]
-      runSettled(s, "timer", StreamingOps.timerCounts(ev, fireAt).toDF(),
-        OutputMode.Append(), singleBatch = false) { df => df }
-        .orderBy("user_id")
-    } finally saved match {
-      case Some(v) => s.conf.set(key, v)
-      case None    => s.conf.unset(key)
-    }
+      StreamingOps.timerCounts(ev, fireAt).toDF()
+    } { df => df }
+      .orderBy("user_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,0 +1,83 @@
+package graft.tools
+
+import graft.Tables
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Dev utility: run one streaming-bridge shape and print the engine's own
+  * per-micro-batch duration breakdown (`StreamingQueryProgress.json`:
+  * addBatch / getBatch / queryPlanning / walCommit / commitOffsets, plus
+  * per-operator state-store commit times), so streaming-floor optimization
+  * targets the measured cost instead of a guess. The registry bridges hide
+  * the `StreamingQuery` handle behind `runSettled`, hence this probe.
+  *
+  * Usage: runMain graft.tools.StreamProbe <sfDir> <shape[,shape...]> [shufflePartitions]
+  * Shapes: ivfull ivleft ivjoin leaderboard tumbling availnow
+  * Each shape runs twice in the same JVM — the second run is the marginal
+  * (warm-session) cost the bench's per-query times approximate.
+  */
+object StreamProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val shapes =
+      if (args.length > 1) args(1).split(",").toSeq else Seq("ivfull")
+    val parts = if (args.length > 2) args(2) else "32"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def events(): DataFrame = {
+      Tables.events(spark, sfDir)
+      val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
+      val src =
+        spark.readStream.schema(raw).parquet(s"$sfDir/{events}.parquet")
+      Tables.normalizeTs(src, raw("ts").dataType)
+    }
+
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    def run(shape: String): Unit = {
+      val (df, mode, single) = shape match {
+        case "ivfull" =>
+          spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
+          (StreamingOps.purchasesAfterSignupFull(events()),
+            OutputMode.Append(), false)
+        case "ivleft" =>
+          spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
+          (StreamingOps.purchasesAfterSignupOuter(events()),
+            OutputMode.Append(), false)
+        case "ivjoin" =>
+          (StreamingOps.purchasesAfterSignup(events()),
+            OutputMode.Append(), true)
+        case "leaderboard" =>
+          (StreamingOps.userLeaderboard(events()), OutputMode.Complete(), true)
+        case "tumbling" =>
+          (StreamingOps.tumblingCounts(events()), OutputMode.Complete(), true)
+        case other => sys.error(s"unknown shape $other")
+      }
+      val name = s"probe_${shape}_${n.incrementAndGet()}"
+      val t0 = System.nanoTime()
+      val q = StreamingOps.toMemorySink(df, name, mode, single)
+      try {
+        if (single) q.awaitTermination() else q.processAllAvailable()
+      } finally q.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"== $shape parts=$parts wall=$secs%.2f s batches=${q.recentProgress.length}")
+      q.recentProgress.foreach { p =>
+        val so = p.stateOperators.map(o =>
+          s"${o.operatorName}:commit=${o.commitTimeMs}ms,rows=${o.numRowsTotal}")
+          .mkString(" | ")
+        println(s"  batch=${p.batchId} rows=${p.numInputRows} dur=${p.durationMs} state[$so]")
+      }
+      spark.catalog.dropTempView(name)
+    }
+
+    shapes.foreach { sh => run(sh); run(sh) }
+    spark.stop()
+  }
+}
