@@ -158,4 +158,27 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("dedup_out").count() == 50L)
     } finally q.stop()
   }
+
+  test("bridges leave no conf or temp-view footprint on the shared session") {
+    // The isolation contract: per-query streaming confs (max watermark
+    // policy, RocksDB provider) and the memory-sink temp view live on the
+    // bridge's private child session; the caller's session must come back
+    // byte-identical. A concurrently-built query observing a flipped conf
+    // is the race this pins against.
+    val watchedConfs = Seq(
+      "spark.sql.streaming.multipleWatermarkPolicy",
+      "spark.sql.streaming.stateStore.providerClass")
+    val before = watchedConfs.map(k => k -> spark.conf.getOption(k))
+    // one bridge per conf class, both settle non-empty
+    assert(queries.StreamingBridge.queries("stream_interval_left")(spark, sf)
+      .count() >= 0)
+    assert(queries.StreamingBridge.queries("stream_transform_state")(spark, sf)
+      .count() > 0)
+    val after = watchedConfs.map(k => k -> spark.conf.getOption(k))
+    assert(after == before,
+      s"bridge mutated shared-session conf: before=$before after=$after")
+    val leaked = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_stream_"))
+    assert(leaked.isEmpty, s"bridge leaked temp views: ${leaked.mkString(",")}")
+  }
 }
