@@ -58,6 +58,18 @@ object StreamProbe {
           (StreamingOps.userLeaderboard(events()), OutputMode.Complete(), true)
         case "tumbling" =>
           (StreamingOps.tumblingCounts(events()), OutputMode.Complete(), true)
+        case "sessionwin" =>
+          (StreamingOps.sessionCounts(events()), OutputMode.Complete(), true)
+        case "sstarts" =>
+          import spark.implicits._
+          val ev = events()
+            .select(org.apache.spark.sql.functions.col("event_id"),
+              org.apache.spark.sql.functions.col("ts"),
+              org.apache.spark.sql.functions.col("user_id"),
+              org.apache.spark.sql.functions.col("event_type"),
+              org.apache.spark.sql.functions.col("value"))
+            .as[StreamingOps.Event]
+          (StreamingOps.sessionStarts(ev).toDF(), OutputMode.Append(), true)
         case other => sys.error(s"unknown shape $other")
       }
       val name = s"probe_${shape}_${n.incrementAndGet()}"
