@@ -109,8 +109,17 @@ object TextFunctions {
   def l2norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
 
-  /** Cosine similarity of two double arrays. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** Cosine similarity of two double arrays — `dot / (l2norm * l2norm)`
+    * CLAMPED to [-1, 1], matching `plans.CosineSimilarity` and DuckDB's
+    * `list_cosine_similarity` bit-exactly (the unclamped quotient exceeds
+    * 1.0 by an ulp on identical vectors; see CosineSimilarity's scaladoc). */
+  def cosine(a: Column, b: Column): Column = {
+    val q = dot(a, b) / (l2norm(a) * l2norm(b))
+    // guard NaN explicitly: Spark's least/greatest order NaN above every
+    // double, which would silently clamp a 0-norm NaN to 1.0
+    when(isnan(q), q)
+      .otherwise(least(greatest(q, lit(-1.0d)), lit(1.0d)))
+  }
 
   /** Jaccard similarity of two pre-deduplicated arrays. (For hot paths,
     * materialize `size(array_intersect(a, b))` as its own column first so

@@ -13,9 +13,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * allocates an intermediate array per row; this runs a single compiled
   * loop per row with zero allocation.
   *
-  * Float semantics match the HOF form and DuckDB's
-  * `list_cosine_similarity` exactly: left-to-right accumulation,
-  * `dot / (sqrt(na) * sqrt(nb))`. Mismatched lengths yield null (the
+  * Float semantics match DuckDB's `list_cosine_similarity` exactly:
+  * left-to-right accumulation, `dot / (sqrt(na) * sqrt(nb))`, then a
+  * CLAMP to [-1, 1]. The clamp is load-bearing, not cosmetic: on
+  * identical (or exactly scaled) vectors the unclamped quotient is
+  * 1.0000000000000002 — fl(sqrt(x)*sqrt(x)) can exceed x by an ulp —
+  * and DuckDB clamps it to exactly 1.0. The sf1 sweep exposed this:
+  * key-offset replication creates bit-identical vector pairs, and every
+  * self-pair's sim hash-diverged (dedup_semantic, 21,735 rows) while
+  * all fixture-scale SFs — which have no identical vectors — had
+  * passed. (The single-sqrt form `dot / sqrt(na * nb)` fixes self-pairs
+  * too but diverges from DuckDB by an ulp on ordinary pairs — probed
+  * empirically on pair (0, 1204) of the sf1 fixtures — so clamp, don't
+  * refactor the quotient.) Mismatched lengths yield null (the
   * zip_with-pads-null analog), as does any null element.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
@@ -81,7 +91,9 @@ object CosineSimilarity {
       nb += y * y
       i += 1
     }
-    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+    val r = dot / (math.sqrt(na) * math.sqrt(nb))
+    java.lang.Double.valueOf(
+      if (r > 1.0d) 1.0d else if (r < -1.0d) -1.0d else r)
   }
 
   /** Column wrapper. */

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 class CosineSimilaritySpec extends SparkSpec {
 
   test("matches the higher-order-function formulation bit-exactly") {
-    import graft.functions.TextFunctions.{dot, l2norm}
+    import graft.functions.TextFunctions.cosine
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       .limit(50)
@@ -17,10 +17,23 @@ class CosineSimilaritySpec extends SparkSpec {
     val pairs = a.join(b, col("ia") < col("ib"))
     val viaExpr = pairs.select(cosine_sim(col("va"), col("vb")).as("s"))
       .collect().map(_.getDouble(0))
-    val viaHof = pairs.select(
-        (dot(col("va"), col("vb")) / (l2norm(col("va")) * l2norm(col("vb")))).as("s"))
+    val viaHof = pairs.select(cosine(col("va"), col("vb")).as("s"))
       .collect().map(_.getDouble(0))
     assert(viaExpr.toSeq == viaHof.toSeq)
+  }
+
+  test("identical vectors similarity is exactly 1.0 (the DuckDB clamp)") {
+    // the unclamped quotient dot/(sqrt(na)*sqrt(nb)) returns
+    // 1.0000000000000002 on some self-pairs — DuckDB clamps to [-1, 1],
+    // and the sf1 replica sweep exposed the unclamped form as a
+    // 21,735-row cross-engine hash divergence (dedup_semantic)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+      .limit(200)
+    val sims = vecs.select(cosine_sim(col("v"), col("v")).as("s"))
+      .collect().map(_.getDouble(0))
+    assert(sims.forall(_ == 1.0d),
+      s"self-similarity != 1.0 for ${sims.count(_ != 1.0d)} of ${sims.length} vectors")
   }
 
   test("length mismatch and null elements yield null") {
