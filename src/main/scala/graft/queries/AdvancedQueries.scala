@@ -85,8 +85,13 @@ object AdvancedQueries {
     graft.plans.IntervalJoin.intervalJoin(li, bands,
         li("l_extendedprice"), bands("lo"), bands("hi"))
       .groupBy("band_id")
+      // cent-exact long sum: round(sum(double), 2) is order-dependent and
+      // flipped the last cent at sf1 (~450k-row band sums) — prices are
+      // cent-valued, so per-row cents are exact and their long sum is
+      // partition-order-free (the q_decimal_money discipline)
       .agg(count(lit(1)).as("n_items"),
-        round(sum("l_extendedprice"), 2).as("sum_price"))
+        sum(round(col("l_extendedprice") * lit(100)).cast("long"))
+          .as("sum_price_cents"))
       .orderBy("band_id")
   }
 
@@ -107,8 +112,13 @@ object AdvancedQueries {
     graft.plans.IntervalJoin.intervalJoinBucketed(li, bands,
         li("l_extendedprice"), bands("lo"), bands("hi"), width = 8000.0)
       .groupBy("band_id")
+      // cent-exact long sum: round(sum(double), 2) is order-dependent and
+      // flipped the last cent at sf1 (~450k-row band sums) — prices are
+      // cent-valued, so per-row cents are exact and their long sum is
+      // partition-order-free (the q_decimal_money discipline)
       .agg(count(lit(1)).as("n_items"),
-        round(sum("l_extendedprice"), 2).as("sum_price"))
+        sum(round(col("l_extendedprice") * lit(100)).cast("long"))
+          .as("sum_price_cents"))
       .orderBy("band_id")
   }
 
@@ -460,7 +470,8 @@ object AdvancedQueries {
         |         CAST(b AS DOUBLE) * 8000 + 15999.99 AS hi
         |  FROM (SELECT unnest(range(0, 14)) AS b))
         |SELECT band_id, CAST(count(*) AS BIGINT) AS n_items,
-        |       round(sum(l_extendedprice), 2) AS sum_price
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |            AS BIGINT) AS sum_price_cents
         |FROM lineitem JOIN bands ON l_extendedprice BETWEEN lo AND hi
         |GROUP BY band_id ORDER BY band_id""".stripMargin,
     "q_interval_native" ->
@@ -469,7 +480,8 @@ object AdvancedQueries {
         |         CAST(b AS DOUBLE) * 8000 + 15999.99 AS hi
         |  FROM (SELECT unnest(range(0, 14)) AS b))
         |SELECT band_id, CAST(count(*) AS BIGINT) AS n_items,
-        |       round(sum(l_extendedprice), 2) AS sum_price
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |            AS BIGINT) AS sum_price_cents
         |FROM lineitem JOIN bands ON l_extendedprice BETWEEN lo AND hi
         |GROUP BY band_id ORDER BY band_id""".stripMargin,
     "q_asof_forward" ->

@@ -143,8 +143,15 @@ object TpchQueries2 {
       .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"),
         year(col("o_orderdate")).cast("long").as("o_year"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
-        lit(0.1) * col("p_retailprice") * col("l_quantity")), 2).as("sum_profit"))
+      // per-row profit micro-rounds to BIGINT 1e-4 units BEFORE the sum:
+      // round(sum(double), 2) is order-dependent, and the sf1 sweep caught
+      // it flipping the last cent on 3 of 175 groups (≈6M-row sums cross a
+      // half-cent boundary). Fixed-point long sums are exact under any
+      // partitioning — the q_decimal_money/ml_linreg_ols discipline.
+      .agg(sum(round(
+        (col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          lit(0.1) * col("p_retailprice") * col("l_quantity")) * lit(10000))
+        .cast("long")).as("sum_profit_e4"))
       .orderBy(col("nation"), col("o_year").desc)
 
   /** Q11 (adapted) — parts whose supply value from one nation's suppliers
@@ -408,7 +415,9 @@ object TpchQueries2 {
         |        AND o_orderdate < TIMESTAMP '1998-01-01')
         |GROUP BY o_year ORDER BY o_year""".stripMargin,
     "q_tpch_q9" ->
-      """SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+      """SELECT nation, o_year,
+        |       CAST(sum(CAST(round(amount * 10000) AS BIGINT)) AS BIGINT)
+        |         AS sum_profit_e4
         |FROM (SELECT n_name AS nation,
         |             CAST(year(o_orderdate) AS BIGINT) AS o_year,
         |             l_extendedprice * (1 - l_discount)
