@@ -182,6 +182,17 @@ object QualityQueries {
     * pairs stay bounded. Pair generation uses the per-bucket sorted-id-list
     * shape (posexplode + sliced explode — never a self-join). Fully
     * deterministic → fully oracled, like the IVF family it reuses.
+    *
+    * Every cosine-derived value is micro-rounded to BIGINT 1e-6 units
+    * BEFORE any decision (argmax cell election, the τ threshold) and in
+    * the OUTPUT. The sf1 sweep motivated this: this query's 116k-pair
+    * surface was the first big enough to expose the unclamped-cosine
+    * ulp class (replica self-pairs at 1.0000000000000002 vs DuckDB's
+    * clamped 1.0 — since fixed in CosineSimilarity itself), and integer
+    * micro-units additionally keep the argmax, the threshold, and the
+    * hash compare on BIGINT — the proven output storage class under the
+    * type-frontier rule, and the MatchQueries round-before-decide
+    * precedent. Ties → lowest cell id in both engines.
     */
   def semanticDedup(s: SparkSession, d: String, cells: Int = 8,
       tau: Double = 0.4): DataFrame = {
@@ -194,7 +205,8 @@ object QualityQueries {
     require(cents.length == cells,
       s"semantic quantizer expects contiguous vec_ids 0..${cells - 1}; found ${cents.length}")
     val cLit: Int => Column = j => array(cents(j).map(lit(_)): _*)
-    val sims = array((0 until cells).map(j => cosine_sim(col("v"), cLit(j))): _*)
+    val sims = array((0 until cells).map(j =>
+      round(cosine_sim(col("v"), cLit(j)) * lit(1000000L)).cast("long")): _*)
     val assigned = base.withColumn("sims", sims)
       .withColumn("cell",
         (array_position(col("sims"), array_max(col("sims"))) - 1).cast("int"))
@@ -206,9 +218,11 @@ object QualityQueries {
     pairs
       .join(byId.select(col("vec_id").as("va"), col("v").as("xa")), Seq("va"))
       .join(byId.select(col("vec_id").as("vb"), col("v").as("xb")), Seq("vb"))
-      .withColumn("sim", cosine_sim(col("xa"), col("xb")))
-      .filter(col("sim") > tau)
-      .select(col("cell").cast("long").as("cell"), col("va"), col("vb"), col("sim"))
+      .withColumn("sim_e6",
+        round(cosine_sim(col("xa"), col("xb")) * lit(1000000L)).cast("long"))
+      .filter(col("sim_e6") > lit((tau * 1000000L).round))
+      .select(col("cell").cast("long").as("cell"), col("va"), col("vb"),
+        col("sim_e6"))
       .orderBy("va", "vb")
   }
 
@@ -390,13 +404,16 @@ object QualityQueries {
         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
         |asg AS (SELECT e.vec_id, e.v,
         |               (SELECT c.cid FROM cents c
-        |                ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid
+        |                ORDER BY CAST(round(list_cosine_similarity(e.v, c.cv)
+        |                              * 1000000) AS BIGINT) DESC, c.cid
         |                LIMIT 1) AS cell
         |        FROM e)
         |SELECT a.cell, a.vec_id AS va, b.vec_id AS vb,
-        |       list_cosine_similarity(a.v, b.v) AS sim
+        |       CAST(round(list_cosine_similarity(a.v, b.v) * 1000000)
+        |            AS BIGINT) AS sim_e6
         |FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.v, b.v) > 0.4
+        |WHERE CAST(round(list_cosine_similarity(a.v, b.v) * 1000000)
+        |           AS BIGINT) > 400000
         |ORDER BY va, vb""".stripMargin,
     "q_observe" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
