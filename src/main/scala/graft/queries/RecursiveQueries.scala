@@ -22,8 +22,20 @@ object RecursiveQueries {
     * decimal-truncation ancestor chain to the root; output is the per-depth
     * population with node/ancestor checksums (depth ≤ 1 + log10(max key),
     * so the recursion is bounded by construction).
+    *
+    * Runs on a private child session (the registry isolation contract)
+    * with `spark.sql.cteRecursionRowLimit` lifted: the default 1M-row
+    * guard is a fixture-scale artifact — the sf1 sweep hit it at 1.5M
+    * customers × ~7 depth levels (RECURSION_ROW_LIMIT_EXCEEDED). Total
+    * recursion volume here is rows × depth, LINEAR in input because the
+    * depth is bounded by construction, so the correct scale posture is
+    * level-limited (the engine's default 100 still applies), not
+    * row-limited. The level limit stays: it is what actually protects
+    * against a non-terminating recursion.
     */
-  def recursiveAncestors(s: SparkSession, d: String): DataFrame = {
+  def recursiveAncestors(outer: SparkSession, d: String): DataFrame = {
+    val s = outer.newSession()
+    s.conf.set("spark.sql.cteRecursionRowLimit", "-1")
     Tables.customer(s, d).createOrReplaceTempView("rec_customer")
     s.sql(
       """WITH RECURSIVE anc(node, anc, depth) AS (
