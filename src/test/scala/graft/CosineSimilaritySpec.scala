@@ -22,18 +22,23 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(viaExpr.toSeq == viaHof.toSeq)
   }
 
-  test("identical vectors similarity is exactly 1.0 (the DuckDB clamp)") {
-    // the unclamped quotient dot/(sqrt(na)*sqrt(nb)) returns
-    // 1.0000000000000002 on some self-pairs — DuckDB clamps to [-1, 1],
-    // and the sf1 replica sweep exposed the unclamped form as a
-    // 21,735-row cross-engine hash divergence (dedup_semantic)
+  test("self-similarity never exceeds 1.0, and the clamp engages (DuckDB parity)") {
+    // the unclamped quotient dot/(sqrt(na)*sqrt(nb)) lands an ulp ABOVE
+    // 1.0 on some self-pairs (1.0000000000000002) and an ulp BELOW on
+    // others (0.9999999999999999). DuckDB caps the top — the sf1 replica
+    // sweep exposed the uncapped form as a 21,735-row cross-engine hash
+    // divergence (dedup_semantic) — and leaves sub-1.0 values alone, so
+    // the contract is: never above 1.0, within accumulated float noise
+    // below it, with the clamp provably engaging on this fixture.
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(transform(col("embedding"), x => x.cast("double")).as("v"))
       .limit(200)
     val sims = vecs.select(cosine_sim(col("v"), col("v")).as("s"))
       .collect().map(_.getDouble(0))
-    assert(sims.forall(_ == 1.0d),
-      s"self-similarity != 1.0 for ${sims.count(_ != 1.0d)} of ${sims.length} vectors")
+    assert(sims.forall(s => s <= 1.0d && s > 0.999999999999999d),
+      s"self-similarity outside (1-1e-15, 1.0] for " +
+        s"${sims.count(s => !(s <= 1.0d && s > 0.999999999999999d))} of ${sims.length}")
+    assert(sims.contains(1.0d), "clamp never engaged on this fixture")
   }
 
   test("length mismatch and null elements yield null") {
