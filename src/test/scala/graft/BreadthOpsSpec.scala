@@ -185,6 +185,28 @@ class BreadthOpsSpec extends SparkSpec {
       Seq((1L, "new", 42L), (2L, "new", 42L), (3L, "done", 42L), (4L, "full", 7L)))
   }
 
+  test("metadata columns on a MULTI-FILE layout: per-file audit counts") {
+    // The registry oracle pins the driver's single-file fixture by name, so
+    // the multi-file shape (a Spark-written directory — what every sf1+
+    // layout looks like) is proven here instead: group by
+    // `_metadata.file_name` over a 4-file write and reconcile the per-file
+    // counts against the directory listing and the total.
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_meta_multi").toString + "/li4"
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    li.repartition(4).write.mode("overwrite").parquet(path)
+    val perFile = spark.read.parquet(path)
+      .groupBy(expr("_metadata.file_name").as("file_name"))
+      .agg(count(lit(1)).as("n_rows"))
+      .collect()
+    val onDisk = new java.io.File(path).listFiles()
+      .map(_.getName).filter(n => n.endsWith(".parquet")).toSet
+    assert(onDisk.size === 4, s"expected a 4-file layout, got $onDisk")
+    assert(perFile.map(_.getAs[String]("file_name")).toSet === onDisk)
+    assert(perFile.map(_.getAs[Long]("n_rows")).sum === li.count())
+    assert(perFile.forall(_.getAs[Long]("n_rows") > 0L))
+  }
+
   test("csv quoting: delimiter/quote/newline payloads round-trip losslessly") {
     val got = queries.CatalogQueries.csvQuoted(spark, sf).collect()
     val exp = Tables.documents(spark, sf)
