@@ -16,7 +16,18 @@ object Bench {
     queries.GraphQueries.reset()
     Tables.reset()
     spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    // blocking=true: block removal lands HERE (outside any timed window),
+    // never inside the next query's measurement
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    // Drain the PREVIOUS query's GC debt outside the timed window (the JMH
+    // forced-GC-between-iterations discipline). Three rounds of full-registry
+    // runs show the alternative: a query scheduled right after a
+    // heap-pressure-heavy one reads 3-10x its isolated cost (e.g.
+    // pipeline_decontam 20.1 s in-run vs 5.1 s solo, r7s3) purely from
+    // inherited old-gen pressure, and those phantom spikes then need manual
+    // isolated requalification every round. The gc cost itself is NOT summed
+    // into any reported number ("total" is the sum of per-query windows).
+    System.gc()
   }
 
   def main(args: Array[String]): Unit = {
