@@ -126,6 +126,45 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("randomized differential: both paths equal a driver-side reference under ties") {
+    import spark.implicits._
+    // Deterministic adversarial generation: 5-6 keys x 25 time values over
+    // hundreds of rows forces the cases the fixture never has — exact
+    // boundary ties (bt == t), duplicate (key, time) build rows, probe keys
+    // absent from the build, null keys — under both tolerance modes and
+    // both physical paths. The matched TIME is compared (tie payload is
+    // documented-undefined, as in DuckDB ASOF / pandas merge_asof).
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 1 to 4) {
+      val probe = (1 to 200).map(i => (i.toLong,
+        if (rnd.nextInt(10) == 0) null else s"k${rnd.nextInt(5)}",
+        rnd.nextInt(25).toLong))
+      val build = (1 to 120).map(_ =>
+        (s"k${rnd.nextInt(6)}", rnd.nextInt(25).toLong, rnd.nextInt(1000)))
+      val pdf = probe.toDF("id", "k", "t")
+      val bdf = build.toDF("bk", "bt", "pay")
+      val tol = if (trial % 2 == 0) 5L else -1L
+      val sortedTimes = build.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).sorted }
+      val expect = probe.map { case (id, k, t) =>
+        id -> (if (k == null) None
+               else sortedTimes.getOrElse(k, Nil).takeWhile(_ <= t).lastOption
+                 .filter(bt => tol < 0 || t - bt <= tol))
+      }.toMap
+      def run(): Map[Long, Option[Long]] = {
+        val rows = AsOfJoin.asof(pdf, bdf,
+            Seq(pdf("k")), Seq(bdf("bk")), pdf("t"), bdf("bt"),
+            toleranceMicros = tol)
+          .select("id", "bt").collect()
+        assert(rows.length == probe.length,
+          s"as-of must stay 1:1 per probe row even on build-side ties (trial $trial)")
+        rows.map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      }
+      assert(run() == expect, s"broadcast path diverged (trial $trial, tol $tol)")
+      withSmjForced { assert(run() == expect, s"smj path diverged (trial $trial, tol $tol)") }
+    }
+  }
+
   test("native as-of equals window-composed as-of on events (no tie collisions in fixture)") {
     val native = AdvancedQueries.asofNative(spark, sf).collect().map(_.toSeq)
     val window = AdvancedQueries.asofJoin(spark, sf).collect().map(_.toSeq)
