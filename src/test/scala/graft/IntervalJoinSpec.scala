@@ -56,6 +56,31 @@ class IntervalJoinSpec extends SparkSpec {
     assert(out == Seq((1L, "ok"), (2L, "ok")))
   }
 
+  test("randomized differential vs the BETWEEN join: shared endpoints, zero width") {
+    // Integer-valued doubles over a 50-value space force what the fixture
+    // differential rarely hits: probes landing EXACTLY on interval
+    // endpoints, zero-width [lo, lo] intervals, duplicate intervals, and
+    // dense multi-overlap — compared row-for-row against the BETWEEN
+    // cross-join reference.
+    val rnd = new scala.util.Random(73L)
+    for (trial <- 1 to 3) {
+      val probe = (1 to 300).map(i => (i.toLong, rnd.nextInt(50).toDouble))
+        .toDF("id", "x")
+      val build = (1 to 60).map { j =>
+        val lo = rnd.nextInt(50).toDouble
+        (j.toLong, lo, lo + rnd.nextInt(8).toDouble)
+      }.toDF("bid", "blo", "bhi")
+      def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+        df.select("id", "bid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val native = pairs(IntervalJoin.intervalJoin(probe, build,
+        probe("x"), build("blo"), build("bhi")))
+      val reference = pairs(probe.join(build,
+        probe("x") >= build("blo") && probe("x") <= build("bhi")))
+      assert(native.nonEmpty && native == reference, s"trial $trial")
+    }
+  }
+
   test("empty build side yields an empty result, not a failure") {
     val probe = Seq((1L, 5.0)).toDF("id", "x")
     val build = Seq.empty[(Double, Double, String)].toDF("blo", "bhi", "tag")
