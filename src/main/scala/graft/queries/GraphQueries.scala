@@ -530,7 +530,17 @@ object GraphQueries {
   def ktruss(s: SparkSession, d: String, k: Int = 8, rounds: Int = 8): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3 (zero-support edges drop), got $k")
     import s.implicits._
-    var cur = coOrderEdges(s, d).localCheckpoint(false)
+    // Orientation is computed ONCE, from the initial degrees (r8, verdict
+    // #1): an edge's triangle support is orientation-INVARIANT (it counts
+    // triangles containing the edge), and once-per-triangle enumeration
+    // only needs SOME fixed injective vertex order — the initial (deg,id)
+    // order stays a total order on every surviving subset, so the r7 shape
+    // (re-deriving degrees + two orientation joins on the shrinking edge
+    // set EVERY round) bought nothing but three extra shuffles per round.
+    // The (deg,id) wedge bound degrades gracefully as edges drop (stale
+    // degrees only overestimate), and each surviving edge CARRIES its
+    // bord, so no round ever joins back to a degree table.
+    var cur = orientByDegree(coOrderEdges(s, d)).localCheckpoint(false)
     // eager per-round counts buy the fixpoint short-circuit: the peel is
     // MONOTONE (e_r ⊆ e_{r-1}), so equal consecutive counts ⇒ equal edge
     // sets ⇒ every later round repeats verbatim — at sf0.1 the fixture
@@ -543,23 +553,32 @@ object GraphQueries {
     for (_ <- 1 to rounds) {
       if (converged) counts += prev
       else {
-        // shared degree-ordered enumeration (see orientByDegree /
-        // closedTriangles): 148M unoriented wedges collapse to 41M at
-        // sf0.1, and the broadcast close keeps the wedge stream
-        // unshuffled; eo is lazily checkpointed because it feeds both
-        // wedge sides plus the closing join (3 references — same reason
-        // triangles() pins it)
-        val eo = orientByDegree(cur).localCheckpoint(false)
-        // each triangle credits its three edges, canonicalized back to
-        // u < v (wedge endpoints are (deg,id)-ordered, not id-ordered)
-        val credits = closedTriangles(eo, broadcastClose = true)
+        // wedge side 2 AND the closing edge set are broadcast (the peel's
+        // shrinking sets fit the broadcast budget — the same judgment
+        // closedTriangles(broadcastClose) makes), so the whole round runs
+        // map-side off one scan of cur until the single support shuffle.
+        // A wedge (a→y, a→z, ord(y)<ord(z)) closed by edge y→z credits
+        // its three edges IN ORIENTED FORM — (a,y), (a,z), (y,z) are
+        // already low→high in the fixed order, and each high endpoint's
+        // ord is on hand (yord/zord) — so the support aggregate's keys
+        // carry bord forward and no re-canonicalization (r7's
+        // least/greatest) or re-orientation is ever needed.
+        val credits = cur.select(col("a"), col("b").as("y"), col("bord").as("yord"))
+          .join(broadcast(cur.select(col("a").as("a2"), col("b").as("z"),
+              col("bord").as("zord"))),
+            col("a") === col("a2") && col("yord") < col("zord"))
+          .join(broadcast(cur.select(col("a").as("cy"), col("b").as("cz"))),
+            col("y") === col("cy") && col("z") === col("cz"))
           .select(explode(array(
-            struct(least(col("a"), col("y")).as("u"), greatest(col("a"), col("y")).as("v")),
-            struct(least(col("a"), col("z")).as("u"), greatest(col("a"), col("z")).as("v")),
-            struct(least(col("y"), col("z")).as("u"), greatest(col("y"), col("z")).as("v")))).as("e"))
-          .select(col("e.u").as("u"), col("e.v").as("v"))
-        val sup = credits.groupBy("u", "v").agg(count(lit(1)).as("s"))
-        cur = dropStats(s, sup.filter(col("s") >= k - 2).select("u", "v")
+            struct(col("a").as("u"), col("y").as("v"), col("yord").as("o")),
+            struct(col("a").as("u"), col("z").as("v"), col("zord").as("o")),
+            struct(col("y").as("u"), col("z").as("v"), col("zord").as("o")))).as("e"))
+        // bord is functionally dependent on v (it is (deg0[v], v)), so
+        // grouping on it too leaves the support counts unchanged
+        val sup = credits.groupBy("e.u", "e.v", "e.o")
+          .agg(count(lit(1)).as("s"))
+        cur = dropStats(s, sup.filter(col("s") >= k - 2)
+          .select(col("u").as("a"), col("v").as("b"), col("o").as("bord"))
           .localCheckpoint(false))
         val n = cur.count()
         converged = n == prev

@@ -128,19 +128,21 @@ class AsOfJoinSpec extends SparkSpec {
 
   test("randomized differential: both paths equal a driver-side reference under ties") {
     import spark.implicits._
-    // Deterministic adversarial generation: 5-6 keys x 25 time values over
+    // Deterministic adversarial generation: 5-7 keys x 25 time values over
     // hundreds of rows forces the cases the fixture never has — exact
     // boundary ties (bt == t), duplicate (key, time) build rows, probe keys
-    // absent from the build, null keys — under both tolerance modes and
-    // both physical paths. The matched TIME is compared (tie payload is
-    // documented-undefined, as in DuckDB ASOF / pandas merge_asof).
+    // absent from the build (probe draws k0-k6, build only k0-k4, so k5/k6
+    // probes structurally have no build rows), null keys — under both
+    // tolerance modes and both physical paths. The matched TIME is compared
+    // (tie payload is documented-undefined, as in DuckDB ASOF /
+    // pandas merge_asof).
     val rnd = new scala.util.Random(20260815L)
     for (trial <- 1 to 4) {
       val probe = (1 to 200).map(i => (i.toLong,
-        if (rnd.nextInt(10) == 0) null else s"k${rnd.nextInt(5)}",
+        if (rnd.nextInt(10) == 0) null else s"k${rnd.nextInt(7)}",
         rnd.nextInt(25).toLong))
       val build = (1 to 120).map(_ =>
-        (s"k${rnd.nextInt(6)}", rnd.nextInt(25).toLong, rnd.nextInt(1000)))
+        (s"k${rnd.nextInt(5)}", rnd.nextInt(25).toLong, rnd.nextInt(1000)))
       val pdf = probe.toDF("id", "k", "t")
       val bdf = build.toDF("bk", "bt", "pay")
       val tol = if (trial % 2 == 0) 5L else -1L

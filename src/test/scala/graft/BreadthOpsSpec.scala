@@ -176,8 +176,10 @@ class BreadthOpsSpec extends SparkSpec {
 
   test("metadata columns ride the scan; defaults fill unlisted columns") {
     val m = queries.CatalogQueries.metadataCols(spark, sf).collect()
-    assert(m.length === 1 && m.head.getAs[String]("file_name") == "lineitem.parquet")
+    assert(m.length === 1)
     assert(m.head.getAs[Long]("n_rows") === Tables.lineitem(spark, sf).count())
+    assert(m.head.getAs[Long]("n_sparse_files") === 0L,
+      "per-file row counts must reconcile against each file's row_index span")
     // build TWICE: a leftover table location must not break a rebuild
     queries.CatalogQueries.defaultCols(spark, sf).collect()
     val dft = queries.CatalogQueries.defaultCols(spark, sf).collect()
@@ -191,20 +193,28 @@ class BreadthOpsSpec extends SparkSpec {
     // layout looks like) is proven here instead: group by
     // `_metadata.file_name` over a 4-file write and reconcile the per-file
     // counts against the directory listing and the total.
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_meta_multi").toString + "/li4"
-    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
-    li.repartition(4).write.mode("overwrite").parquet(path)
-    val perFile = spark.read.parquet(path)
-      .groupBy(expr("_metadata.file_name").as("file_name"))
-      .agg(count(lit(1)).as("n_rows"))
-      .collect()
-    val onDisk = new java.io.File(path).listFiles()
-      .map(_.getName).filter(n => n.endsWith(".parquet")).toSet
-    assert(onDisk.size === 4, s"expected a 4-file layout, got $onDisk")
-    assert(perFile.map(_.getAs[String]("file_name")).toSet === onDisk)
-    assert(perFile.map(_.getAs[Long]("n_rows")).sum === li.count())
-    assert(perFile.forall(_.getAs[Long]("n_rows") > 0L))
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_meta_multi")
+    try {
+      val path = tmpRoot.toString + "/li4"
+      val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      li.repartition(4).write.mode("overwrite").parquet(path)
+      val perFile = spark.read.parquet(path)
+        .groupBy(expr("_metadata.file_name").as("file_name"))
+        .agg(count(lit(1)).as("n_rows"))
+        .collect()
+      val onDisk = new java.io.File(path).listFiles()
+        .map(_.getName).filter(n => n.endsWith(".parquet")).toSet
+      assert(onDisk.size === 4, s"expected a 4-file layout, got $onDisk")
+      assert(perFile.map(_.getAs[String]("file_name")).toSet === onDisk)
+      assert(perFile.map(_.getAs[Long]("n_rows")).sum === li.count())
+      assert(perFile.forall(_.getAs[Long]("n_rows") > 0L))
+    } finally { // the 4-file copy must not accumulate in /tmp across runs
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(tmpRoot)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
   }
 
   test("csv quoting: delimiter/quote/newline payloads round-trip losslessly") {
