@@ -245,9 +245,13 @@ object DedupQueries {
     * on batch AND streaming frames (StreamingBridge.simhashDedupViaStream
     * reuses it verbatim, so the streaming dedup can never drift from the
     * batch signature definition). */
-  private[queries] def simhashCol: Column =
-    simhash64(transform(filter(spaceTokens(col("text")), t => t =!= lit("")),
-      t => graft.plans.Fnv1a64.fnv1a64(t)))
+  private[graft] def simhashCol: Column =
+    // native one-pass SimHash (plans.SimHash64) — bit-identical to the
+    // composed TextFunctions.simhash64 (SimHashSpec differential) but
+    // without the 64-unrolled interpreted aggregate per row
+    graft.plans.SimHash64.simhash64(
+      transform(filter(spaceTokens(col("text")), t => t =!= lit("")),
+        t => graft.plans.Fnv1a64.fnv1a64(t)))
 
   private[queries] def simhashSigs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)

@@ -54,12 +54,25 @@ object StreamingBridge {
     * after the trailing watermark micro-batch (stream-stream OUTER joins:
     * unmatched rows emit on state eviction). Everything else runs
     * Trigger.Once. */
+  /** State-partition sizing (r8, StreamProbe-measured): every stateful
+    * operator commits one state-store file PER PARTITION PER MICRO-BATCH,
+    * a fixed ~100-200 ms I/O cost that is independent of the rows in the
+    * store — at 32 shuffle partitions the sf0.1 interval joins (4 stores
+    * per partition × 2 batches) spent 35-44 s of cumulative task time on
+    * commits holding ~12k state rows, and dropping to 8 partitions cut the
+    * bridge walls ~2-3× with byte-identical results. Production sizing is
+    * the same judgment in the other direction: state partitions sized to
+    * STATE VOLUME (so a 100 TB deployment raises this per-query conf),
+    * never defaulted to the batch shuffle width. Per-bridge `confs` can
+    * override. */
+  private val StateParts = Seq("spark.sql.shuffle.partitions" -> "8")
+
   private def runSettled(s: SparkSession, prefix: String, mode: OutputMode,
       singleBatch: Boolean = true, confs: Seq[(String, String)] = Nil)
       (build: SparkSession => DataFrame)
       (shape: DataFrame => DataFrame): DataFrame = {
     val cs = s.newSession()
-    confs.foreach { case (k, v) => cs.conf.set(k, v) }
+    (StateParts ++ confs).foreach { case (k, v) => cs.conf.set(k, v) }
     val name = s"graft_stream_${prefix}_${counter.incrementAndGet()}"
     // Trigger.Once: the bounded source fits one micro-batch (Once processes
     // ALL available input regardless of maxFilesPerTrigger), every bridge's
@@ -123,9 +136,14 @@ object StreamingBridge {
     val root = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
       "/graft_stream/events_split_" + d.replaceAll("[^A-Za-z0-9]", "_")
     Tables.events(s, d).repartition(4).write.mode("overwrite").parquet(root)
-    val raw = s.read.parquet(root).schema
+    // private child session for the STREAM (the runSettled discipline):
+    // this bridge pays the per-partition state commit on EVERY one of its
+    // ≥4 micro-batches, so the StateParts sizing matters most here
+    val cs = s.newSession()
+    StateParts.foreach { case (k, v) => cs.conf.set(k, v) }
+    val raw = cs.read.parquet(root).schema
     val src = Tables.normalizeTs(
-      s.readStream.schema(raw).option("maxFilesPerTrigger", "1").parquet(root),
+      cs.readStream.schema(raw).option("maxFilesPerTrigger", "1").parquet(root),
       raw("ts").dataType)
     val counts = src.groupBy("user_id", "event_type")
       .agg(count(lit(1)).as("n"),
@@ -137,7 +155,7 @@ object StreamingBridge {
       finally q.stop()
     // settle (which DROPS the temp view) before the probe assert — a probe
     // failure must not leak the memory-sink table for the JVM lifetime
-    val settled = settle(s, s, name, s.table(name))
+    val settled = settle(s, cs, name, cs.table(name))
     require(nBatches >= 2,
       s"AvailableNow ran $nBatches micro-batch(es) — maxFilesPerTrigger not honored")
     settled.orderBy("user_id", "event_type")
@@ -371,8 +389,12 @@ object StreamingBridge {
       val ev = Tables.events(s, d).select(col("event_id"), col("user_id"))
       val schema = ev.schema
       val totals = scala.collection.concurrent.TrieMap.empty[Long, Long]
+      // child session: state-partition sizing (see StateParts) — the count
+      // state is one long per user, and BOTH phases pay per-partition commits
+      val cs = s.newSession()
+      StateParts.foreach { case (k, v) => cs.conf.set(k, v) }
       def run(): Unit = {
-        val q = s.readStream.schema(schema)
+        val q = cs.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(s"$srcDir/*")
           .groupBy("user_id").agg(count(lit(1)).as("n_events"))
@@ -430,8 +452,12 @@ object StreamingBridge {
       val ev = Tables.events(s, d).select(col("event_id"), col("ts"))
       val schema = ev.schema
       val counts = scala.collection.concurrent.TrieMap.empty[Long, Long]
+      // child session: state-partition sizing (see StateParts), carried
+      // consistently across both checkpointed phases
+      val cs = s.newSession()
+      StateParts.foreach { case (k, v) => cs.conf.set(k, v) }
       def run(): Unit = {
-        val q = s.readStream.schema(schema)
+        val q = cs.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(s"$srcDir/*")
           .withWatermark("ts", "10 minutes")
@@ -541,7 +567,15 @@ object StreamingBridge {
         DedupQueries.simhashCol.as("simhash"))
         .withColumn("ts",
           timestamp_seconds(lit(1700000000L) + col("doc_id") % 600))
-      StreamingOps.streamingSimhashDedup(sigs.union(sigs))
+      // redelivery synthesized by row duplication AFTER signing (r8): the
+      // r7 `sigs.union(sigs)` shape re-scanned the parquet AND re-computed
+      // the (dominant-cost) simhash expression for the second copy; one
+      // explode delivers the same two copies per document off one pass
+      val redelivered = sigs
+        .select(col("doc_id"), col("simhash"), col("ts"),
+          explode(array(lit(0), lit(1))).as("delivery"))
+        .drop("delivery")
+      StreamingOps.streamingSimhashDedup(redelivered)
     } {
       _.groupBy(col("simhash")).agg(count(lit(1)).as("n_rows"))
     }.orderBy("simhash")

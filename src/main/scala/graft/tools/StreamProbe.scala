@@ -70,11 +70,59 @@ object StreamProbe {
               org.apache.spark.sql.functions.col("value"))
             .as[StreamingOps.Event]
           (StreamingOps.sessionStarts(ev).toDF(), OutputMode.Append(), true)
+        case "simdedup" =>
+          import org.apache.spark.sql.functions._
+          val raw = spark.read.parquet(s"$sfDir/documents.parquet").schema
+          val src = spark.readStream.schema(raw)
+            .parquet(s"$sfDir/{documents}.parquet")
+          val sigs = src.select(col("doc_id"),
+            graft.queries.DedupQueries.simhashCol.as("simhash"))
+            .withColumn("ts",
+              timestamp_seconds(lit(1700000000L) + col("doc_id") % 600))
+          val redelivered = sigs
+            .select(col("doc_id"), col("simhash"), col("ts"),
+              explode(array(lit(0), lit(1))).as("delivery"))
+            .drop("delivery")
+          (StreamingOps.streamingSimhashDedup(redelivered),
+            OutputMode.Append(), true)
+        case "simsig" => // simdedup minus the dedup operator (isolation probe)
+          import org.apache.spark.sql.functions._
+          val t0b = System.nanoTime()
+          graft.queries.DedupQueries.simhashSignatures(spark, sfDir).count()
+          println(f"  batch simhashSignatures: ${(System.nanoTime() - t0b) / 1e9}%.2f s")
+          val raw = spark.read.parquet(s"$sfDir/documents.parquet").schema
+          val src = spark.readStream.schema(raw)
+            .parquet(s"$sfDir/{documents}.parquet")
+          val sigs = src.select(col("doc_id"),
+            graft.queries.DedupQueries.simhashCol.as("simhash"))
+            .withColumn("ts",
+              timestamp_seconds(lit(1700000000L) + col("doc_id") % 600))
+          (sigs.select(col("doc_id"), col("simhash"), col("ts"),
+              explode(array(lit(0), lit(1))).as("delivery"))
+            .drop("delivery"),
+            OutputMode.Append(), true)
+        case "availnow" =>
+          import org.apache.spark.sql.functions._
+          val root = "/tmp/graft_probe_avnow"
+          Tables.events(spark, sfDir).repartition(4)
+            .write.mode("overwrite").parquet(root)
+          val raw = spark.read.parquet(root).schema
+          val src = Tables.normalizeTs(
+            spark.readStream.schema(raw).option("maxFilesPerTrigger", "1")
+              .parquet(root),
+            raw("ts").dataType)
+          (src.groupBy("user_id", "event_type")
+            .agg(count(lit(1)).as("n"),
+              sum(round(col("value") * 100).cast("long")).as("v_c")),
+            OutputMode.Complete(), true)
         case other => sys.error(s"unknown shape $other")
       }
       val name = s"probe_${shape}_${n.incrementAndGet()}"
       val t0 = System.nanoTime()
-      val q = StreamingOps.toMemorySink(df, name, mode, single)
+      val q =
+        if (shape == "availnow")
+          StreamingOps.toMemorySinkAvailableNow(df, name, mode)
+        else StreamingOps.toMemorySink(df, name, mode, single)
       try {
         if (single) q.awaitTermination() else q.processAllAvailable()
       } finally q.stop()
