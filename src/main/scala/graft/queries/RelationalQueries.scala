@@ -97,11 +97,16 @@ object RelationalQueries {
         grouping_id().as("gid"))
       .orderBy("gid", "l_returnflag", "l_linestatus")
 
-  /** CUBE over two dimensions. */
+  /** CUBE over two dimensions. Price totals are per-row BIGINT cents
+    * summed exactly (the q_tpch_q9 fixed-point discipline): the r8 sf10
+    * sweep caught `round(sum(double), 2)` flipping the last cent on the
+    * 15M-row grand-total cells — order-dependent under ANY partitioning,
+    * so the rounding moves BEFORE the (commutative, exact) integer sum. */
   def cubeAgg(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .cube("o_orderstatus", "o_orderpriority")
-      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("sum_price"),
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_price_c"),
         grouping_id().as("gid"))
       .orderBy("gid", "o_orderstatus", "o_orderpriority")
 
@@ -254,8 +259,9 @@ object RelationalQueries {
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
     "q_cube" ->
-      """SELECT o_orderstatus, o_orderpriority,
-        |       count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price,
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_price_c,
         |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,

@@ -72,6 +72,13 @@ def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # big-SF sweeps (sf10 = 1.5 GB parquet) exhaust DuckDB's default buffer
+    # budget when Spark dump JVMs hold RAM concurrently — pin an explicit
+    # limit + spill dir so an oracle spills instead of dying at 32-byte
+    # allocations (r8 sweep lesson; harmless at fixture scale)
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET threads=16")
+    con.execute("PRAGMA temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         # driver fixtures are single files; Upscale'd dirs (sf1) are
         # Spark-written directories of part files — glob those
