@@ -63,7 +63,11 @@ object ExtensionQueries {
         concat_ws("-", col("l_orderkey"), col("l_linenumber"))) % 100 < col("rate_pct"))
       .groupBy("l_returnflag")
       .agg(max(col("rate_pct")).as("rate_pct"), count(lit(1)).as("n_sampled"),
-        round(sum("l_extendedprice"), 2).as("sum_price"))
+        // per-row BIGINT cents summed exactly (q_tpch_q9 discipline): the
+        // r8 sf10 sweep caught round(sum(double),2) flipping the last cent
+        // on the ~7.5M-row 'A' stratum — order-dependent under ANY
+        // partitioning, so rounding moves BEFORE the exact integer sum
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_c"))
       .orderBy("l_returnflag")
 
   /** wc computed through the registered custom Aggregator instead of the
@@ -251,7 +255,8 @@ object ExtensionQueries {
          |  FROM lineitem)
          |SELECT l_returnflag, max(rate_pct) AS rate_pct,
          |       count(*) AS n_sampled,
-         |       round(sum(l_extendedprice), 2) AS sum_price
+         |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         |         AS sum_price_c
          |FROM h WHERE ihash % 100 < rate_pct
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // FNV-1a 64 as a HUGEINT fold (shared OracleSql helper), masked to 31

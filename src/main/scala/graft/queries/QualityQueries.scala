@@ -264,7 +264,10 @@ object QualityQueries {
       .sortWithinPartitions(col("l_returnflag"), col("l_orderkey"))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
-        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        // BIGINT cents summed exactly (q_tpch_q9 discipline) — the r8 sf10
+        // sweep caught the last cent of round(sum(double),2) flipping on
+        // the ~5M-row per-flag strata
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_c"))
       .orderBy("l_returnflag")
 
   /** The END-TO-END curation pipeline as ONE declarative plan — the
@@ -422,7 +425,8 @@ object QualityQueries {
         |FROM lineitem WHERE l_discount > 0.05""".stripMargin,
     "q_repartition_sort" ->
       """SELECT l_returnflag, count(*) AS n,
-        |       round(sum(l_extendedprice), 2) AS sum_price
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_price_c
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin
   )

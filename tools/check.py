@@ -68,9 +68,7 @@ def canon(rows, cols):
     return out
 
 
-def main():
-    out_dir, sf_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+def connect(sf_dir):
     con = duckdb.connect()
     # big-SF sweeps (sf10 = 1.5 GB parquet) exhaust DuckDB's default buffer
     # budget when Spark dump JVMs hold RAM concurrently — pin an explicit
@@ -87,6 +85,13 @@ def main():
         if os.path.isdir(path):
             path += "/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = connect(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
     for name in sorted(oracle):
@@ -94,23 +99,34 @@ def main():
             n_skip += 1
             continue
         sql = oracle[name]
+
+        def run_one(c):
+            gr = c.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            g_cols, g_tys, g = list(gr.columns), [str(t) for t in gr.types], gr.fetchall()
+            er = c.sql(sql)
+            e_cols, e_tys, e = list(er.columns), [str(t) for t in er.types], er.fetchall()
+            return g_cols, g_tys, g, e_cols, e_tys, e
+
+        # An OOM inside DuckDB poisons the whole connection: every later
+        # query on it fails at tiny allocations (r8 sf10 sweep lesson —
+        # one heavy oracle junked 40 queries downstream). Recover by
+        # rebuilding the connection and retrying the query once.
         try:
-            got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            got_cols = list(got_rel.columns)
-            got_tys = [str(t) for t in got_rel.types]
-            got = got_rel.fetchall()
+            try:
+                got_cols, got_tys, got, exp_cols, exp_tys, exp = run_one(con)
+            except Exception as e:
+                if "emory" not in str(e) and "allocat" not in str(e):
+                    raise
+                print(f"RETRY {name} on fresh connection after: {e}", flush=True)
+                con.close()
+                con = connect(sf_dir)
+                got_cols, got_tys, got, exp_cols, exp_tys, exp = run_one(con)
         except Exception as e:
-            print(f"FAIL {name}: cannot read spark output: {e}")
+            print(f"FAIL {name}: {e}", flush=True)
             n_fail += 1
-            continue
-        try:
-            exp_rel = con.sql(sql)
-            exp_cols = list(exp_rel.columns)
-            exp_tys = [str(t) for t in exp_rel.types]
-            exp = exp_rel.fetchall()
-        except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}")
-            n_fail += 1
+            if "emory" in str(e) or "allocat" in str(e):
+                con.close()
+                con = connect(sf_dir)
             continue
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: columns spark={sorted(got_cols)} duck={sorted(exp_cols)}")
@@ -143,10 +159,10 @@ def main():
         g = canon(got, got_cols)
         e = canon(exp, exp_cols)
         if g == e:
-            print(f"PASS {name} ({len(g)} rows)")
+            print(f"PASS {name} ({len(g)} rows)", flush=True)
             n_pass += 1
         else:
-            print(f"FAIL {name}: rows spark={len(g)} duck={len(e)}")
+            print(f"FAIL {name}: rows spark={len(g)} duck={len(e)}", flush=True)
             diff = [(a, b) for a, b in zip(g, e) if a != b][:3]
             for a, b in diff:
                 print(f"   spark: {a}\n   duck : {b}")
