@@ -47,14 +47,22 @@ object RelationalQueries {
         (col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("charge"))
       .orderBy("l_orderkey", "l_linenumber")
 
-  /** TPC-H Q1 pricing summary: multi-aggregate over two group keys. */
+  /** TPC-H Q1 pricing summary: multi-aggregate over two group keys.
+    * Money totals are exact integer sums (cents / e4 micro-units for the
+    * 4-decimal discounted price) per the q_tpch_q9 fixed-point discipline:
+    * the r8 sf10 sweep caught round(sum(double),2) flipping the last cent
+    * on the ~10M-row per-(flag,status) strata — order-dependent under any
+    * partitioning. Quantities and averages stay double: l_quantity is
+    * integer-valued (every partial sum is exact), and the 4-dp averages
+    * sit ~6 orders of magnitude above the accumulated ulp error. */
   def aggBasic(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_base_c"),
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long")).as("sum_disc_e4"),
         round(avg("l_quantity"), 4).as("avg_qty"),
         round(avg("l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("cnt"))
@@ -226,8 +234,10 @@ object RelationalQueries {
     "q_agg_basic" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,
-        |       round(sum(l_extendedprice), 2) AS sum_base,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_base_c,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |                     AS BIGINT)) AS BIGINT) AS sum_disc_e4,
         |       round(avg(l_quantity), 4) AS avg_qty,
         |       round(avg(l_discount), 4) AS avg_disc,
         |       count(*) AS cnt

@@ -38,6 +38,10 @@ class PlanAuditSpec extends SparkSpec {
     "sim_cosine_topk",        // broadcast query set × corpus stream (the design)
     "text_tfidf",             // broadcast 1-row doc-count scalar
     "q_scalar_subquery",      // scalar subquery becomes a 1-row broadcast
+    "q_metadata_cols",        // 1-row per-file rollup × 1-row global
+                              // distinct-orders scalar (layout-invariant
+                              // totals) — both sides single-row by
+                              // construction at any data size
     "q_lateral",              // lateral explode over a 1-row aggregate
     "pipeline_token_budget",  // 1-row broadcast budget scalar × selection filter
     "pipeline_e2e_curation",  // same budget-scalar shape at the end of the chain
