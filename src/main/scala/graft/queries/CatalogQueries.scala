@@ -162,7 +162,9 @@ object CatalogQueries {
       .filter(col("o_orderstatus") =!= "P")
       .groupBy("o_orderstatus", "o_orderpriority")
       .agg(count(lit(1)).as("cnt"),
-        round(sum(col("o_totalprice")), 2).as("total"),
+        // BIGINT cents summed exactly (q_tpch_q9 discipline) — the r8 sf10
+        // sweep caught the last cent flipping on the ~1M-row strata
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_c"),
         max(col("o_orderdate")).as("max_date"))
       .orderBy("o_orderstatus", "o_orderpriority")
   }
@@ -197,8 +199,11 @@ object CatalogQueries {
                |FROM $view
                |WHERE o_totalprice > 150000 AND o_totalprice <= 300000""".stripMargin)
     } finally s.catalog.dropTempView(view)
+    // BIGINT cents summed exactly (q_tpch_q9 discipline): millions of
+    // rows per status stratum at sf10 make round(sum(double),2)
+    // order-dependent in the last cent
     s.sql(s"""SELECT o_orderstatus, count(*) AS cnt,
-             |       round(sum(o_totalprice), 2) AS total,
+             |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_c,
              |       min(o_orderkey) AS min_key
              |FROM $table GROUP BY o_orderstatus
              |ORDER BY o_orderstatus""".stripMargin)
@@ -653,7 +658,8 @@ object CatalogQueries {
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q_orc_roundtrip" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
-        |       round(sum(o_totalprice), 2) AS total,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS total_c,
         |       max(o_orderdate) AS max_date
         |FROM orders WHERE o_orderstatus <> 'P'
         |GROUP BY o_orderstatus, o_orderpriority
@@ -661,7 +667,8 @@ object CatalogQueries {
     // overwrite slice (>300k) + append slice (150k..300k] = everything >150k
     "q_sql_dml" ->
       """SELECT o_orderstatus, count(*) AS cnt,
-        |       round(sum(o_totalprice), 2) AS total,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS total_c,
         |       min(o_orderkey) AS min_key
         |FROM orders WHERE o_totalprice > 150000
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
