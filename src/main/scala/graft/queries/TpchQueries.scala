@@ -25,18 +25,26 @@ import org.apache.spark.sql.functions._
   */
 object TpchQueries {
 
-  /** Q1 — pricing summary report: the canonical wide hash-aggregate. */
+  /** Q1 — pricing summary report: the canonical wide hash-aggregate.
+    * Money totals are exact integer sums (BIGINT cents / e4 micro-units,
+    * the q_tpch_q9 fixed-point discipline): the r8 sf10 sweep caught all
+    * three round(sum(double),2) totals flipping the last cent on ~10M-row
+    * strata — order-dependent under any partitioning. Each row's value is
+    * rounded on the SAME IEEE expression tree in both engines, then summed
+    * exactly; e4 units keep ~100× headroom below int64 at sf1000.
+    * Averages stay double (error 6 orders below the 4-dp rounding grid). */
   def q1(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") <= lit("2001-09-01"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
-          (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        sum(round(col("l_extendedprice") * 100).cast("long"))
+          .as("sum_base_c"),
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long")).as("sum_disc_e4"),
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax")) * 10000).cast("long")).as("sum_charge_e4"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_extendedprice")), 4).as("avg_price"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
@@ -155,9 +163,12 @@ object TpchQueries {
     "q_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,
-        |       round(sum(l_extendedprice), 2) AS sum_base_price,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_base_c,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |                     AS BIGINT)) AS BIGINT) AS sum_disc_e4,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000)
+        |                     AS BIGINT)) AS BIGINT) AS sum_charge_e4,
         |       round(avg(l_quantity), 4) AS avg_qty,
         |       round(avg(l_extendedprice), 4) AS avg_price,
         |       round(avg(l_discount), 4) AS avg_disc,
