@@ -338,13 +338,19 @@ object StreamingBridge {
   /** Stream-static enrichment under the gate: events joined per
     * micro-batch to the static customer dimension (broadcast, no
     * streaming state), settled to per-(segment, event_type) totals.
+    * The sink projection keeps ONLY the columns the settle aggregates —
+    * shipping the fat props column through the memory sink blew the
+    * driver's result budget at sf10 (10M wide rows > maxResultSize);
+    * prune-before-materialize is the same discipline a production sink
+    * needs at 100 TB.
     */
   def enrichJoinViaStream(s: SparkSession, d: String): DataFrame = {
     runSettled(s, "enrich", OutputMode.Append()) { cs =>
       val dim = Tables.customer(cs, d)
         .select(col("c_custkey"), col("c_mktsegment"))
       StreamingOps.enrichWithDim(eventsStream(cs, d), dim, "user_id",
-        "c_custkey")
+          "c_custkey")
+        .select(col("c_mktsegment"), col("event_type"), col("value"))
     } {
       _.groupBy(col("c_mktsegment"), col("event_type"))
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
