@@ -27,12 +27,18 @@ class DeterminismSpec extends SparkSpec {
   // (ml_naive_bayes, ml_logreg_step — per-row rounded transcendentals
   // summed as integers) and the commutative-hash fingerprint
   // (q_table_fingerprint), whose whole POINT is layout independence
+  // round-8 batch pins the sf10-found money-sum fixes (q_cube,
+  // q_agg_basic, q_repartition_sort, q_sample_stratified — per-row
+  // BIGINT cents/e4 micro-units replacing round(sum(double),2), the
+  // class whose order-dependence only SURFACES at ≥5M rows/group but
+  // whose contract this spec states at any size)
   private val probes = Seq("q_tpch_q1", "q_tpch_q9", "q_ewma",
     "dedup_minhash_lsh", "q_window_frame", "q_sample_hash",
     "pipeline_sample_weighted", "graph_bfs", "q_typed_reduce",
     "ml_kmeans_step", "ml_linreg_ols", "q_ab_ttest", "q_autocorr",
     "text_bm25", "er_jaro_winkler",
-    "ml_naive_bayes", "ml_logreg_step", "q_table_fingerprint")
+    "ml_naive_bayes", "ml_logreg_step", "q_table_fingerprint",
+    "q_cube", "q_agg_basic", "q_repartition_sort", "q_sample_stratified")
 
   private def runAll(parts: String): Map[String, Seq[String]] = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
