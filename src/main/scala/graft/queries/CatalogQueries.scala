@@ -462,15 +462,16 @@ object CatalogQueries {
     * filename column materialized in the data.
     */
   def metadataCols(s: SparkSession, d: String): DataFrame = {
+    // no per-file countDistinct here (r8 ADVICE): n_orders is the GLOBAL
+    // distinct (orders span files on a multi-part layout), so a per-file
+    // distinct can never roll up to it — it was dead weight and the most
+    // expensive aggregate in the query
     val perFile = s.read.parquet(s"$d/lineitem.parquet")
       .select(expr("_metadata.file_name").as("file_name"),
-        expr("_metadata.row_index").as("row_index"), col("l_orderkey"))
+        expr("_metadata.row_index").as("row_index"))
       .groupBy("file_name")
       .agg(count(lit(1)).as("f_rows"),
-        (max(col("row_index")) + 1).as("f_span"),
-        countDistinct(col("l_orderkey")).as("f_orders"))
-    // n_orders must be the GLOBAL distinct (orders span files on a
-    // multi-part layout), so it rolls up from the raw column, not f_orders
+        (max(col("row_index")) + 1).as("f_span"))
     perFile.agg(
         sum(col("f_rows")).as("n_rows"),
         sum(when(col("f_rows") === col("f_span"), 0L).otherwise(1L))

@@ -25,13 +25,35 @@ import org.apache.spark.sql.functions._
   */
 object TpchQueries {
 
+  import org.apache.spark.sql.Column
+
+  /** Silent-wrap guard for BIGINT fixed-point money totals (r8 ADVICE).
+    * With ANSI off, `sum(long)` wraps silently past 2^63. Every per-row
+    * cents/e4 addend here is non-negative, so the FIRST wrap necessarily
+    * lands the total negative (or, before wrapping, crosses 2^62 — kept
+    * as the alarm margin so the guard fires a full 2× before the wrap).
+    * `assert_true` is NULL on pass, so `coalesce` forwards the total
+    * untouched; on a breach the job fails loudly instead of publishing a
+    * wrapped figure. Per-GROUP cost: one compare on the 6 output rows. */
+  private[graft] def wrapGuard(c: Column): Column =
+    coalesce(
+      assert_true(c.isNull || (c >= 0L && c < (1L << 62)),
+        concat(lit("int64 fixed-point money total wrapped/over margin: "),
+          c.cast("string"))).cast("long"),
+      c)
+
   /** Q1 — pricing summary report: the canonical wide hash-aggregate.
     * Money totals are exact integer sums (BIGINT cents / e4 micro-units,
     * the q_tpch_q9 fixed-point discipline): the r8 sf10 sweep caught all
     * three round(sum(double),2) totals flipping the last cent on ~10M-row
     * strata — order-dependent under any partitioning. Each row's value is
     * rounded on the SAME IEEE expression tree in both engines, then summed
-    * exactly; e4 units keep ~100× headroom below int64 at sf1000.
+    * exactly. Headroom (r8 ADVICE correction): the largest stratum's
+    * sum_charge_e4 is ~1.2e18 at sf1000 — ~8× below int64, measured 180×
+    * at sf100 — NOT the ~100×-at-sf1000 an earlier comment claimed; with
+    * ANSI off a further decade would wrap SILENTLY, so each e4/cents total
+    * passes `wrapGuard` (positive addends: a first wrap lands negative or
+    * past 2^62 — fail loudly, don't publish a wrapped total).
     * Averages stay double (error 6 orders below the 4-dp rounding grid). */
   def q1(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -39,12 +61,12 @@ object TpchQueries {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        sum(round(col("l_extendedprice") * 100).cast("long"))
+        wrapGuard(sum(round(col("l_extendedprice") * 100).cast("long")))
           .as("sum_base_c"),
-        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
-          .cast("long")).as("sum_disc_e4"),
-        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) *
-          (lit(1) + col("l_tax")) * 10000).cast("long")).as("sum_charge_e4"),
+        wrapGuard(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long"))).as("sum_disc_e4"),
+        wrapGuard(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax")) * 10000).cast("long"))).as("sum_charge_e4"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_extendedprice")), 4).as("avg_price"),
         round(avg(col("l_discount")), 4).as("avg_disc"),

@@ -88,6 +88,24 @@ def connect(sf_dir):
     return con
 
 
+def _poisons_connection(e):
+    """True when the exception class invalidates the whole DuckDB
+    connection (OOM / fatal / internal), so the caller must rebuild it.
+
+    Keyed on the exception TYPES the duckdb module exposes, not message
+    substrings (r8 ADVICE): a differently-phrased memory failure must
+    still trigger the rebuild, and an unrelated error whose message
+    happens to mention 'allocation' must not force a pointless retry.
+    getattr-guarded so older duckdb builds that lack a class degrade to
+    never matching it rather than crashing the gate.
+    """
+    poisoning = tuple(t for t in (
+        getattr(duckdb, "OutOfMemoryException", None),
+        getattr(duckdb, "FatalException", None),
+        getattr(duckdb, "InternalException", None)) if t is not None)
+    return isinstance(e, poisoning)
+
+
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -115,7 +133,7 @@ def main():
             try:
                 got_cols, got_tys, got, exp_cols, exp_tys, exp = run_one(con)
             except Exception as e:
-                if "emory" not in str(e) and "allocat" not in str(e):
+                if not _poisons_connection(e):
                     raise
                 print(f"RETRY {name} on fresh connection after: {e}", flush=True)
                 con.close()
@@ -124,7 +142,7 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: {e}", flush=True)
             n_fail += 1
-            if "emory" in str(e) or "allocat" in str(e):
+            if _poisons_connection(e):
                 con.close()
                 con = connect(sf_dir)
             continue
