@@ -170,6 +170,35 @@ object GraphQueries {
         when(uo < vo, vo).otherwise(uo).as("bord"))
   }
 
+  /** Row-count budget for the triangle family's edge-set broadcasts —
+    * the knob behind `edgesFitBroadcast`. Default 5M edge rows: an
+    * oriented edge is two longs + a (long, long) order struct, ~64 B in
+    * a broadcast hash relation, so the default caps the relation at
+    * ~320 MB — comfortably inside a production executor/driver budget
+    * and far below Spark's 8 GB broadcast hard limit, while still
+    * covering every measured fixture decade (sf10's co-order graph is
+    * ~100× smaller). Overridable per session for probes and specs. */
+  private[graft] val BroadcastEdgeLimitKey = "spark.graft.graph.broadcastEdgeLimit"
+  private[graft] val BroadcastEdgeLimitDefault = 5000000L
+
+  /** Stats-gated broadcast decision for the triangle/peel family's
+    * closing-edge joins (r8 verdict #1 — the `plans/AsOfJoinStrategy`
+    * two-variant precedent, lifted to the DataFrame layer where the peel
+    * loops live). The former shape broadcast the edge set
+    * UNCONDITIONALLY: correct through every measured decade, but a
+    * data-proportional broadcast is a hard wall, not a graceful
+    * degradation, at a true 100× further scale-up. Callers now pass the
+    * MEASURED edge count (the peel already counts every round; the
+    * one-shot callers count their checkpointed edge set once) and
+    * broadcast only while it fits the budget — past it, the join is left
+    * un-hinted and shuffles on its keys, the plan that survives any
+    * scale. Measured rows, not Catalyst estimates: the loop re-bases
+    * each round through `dropStats`, so size estimates are exactly what
+    * iterative plans cannot trust. */
+  private[graft] def edgesFitBroadcast(s: SparkSession, edgeCount: Long): Boolean =
+    edgeCount <= s.conf.get(BroadcastEdgeLimitKey,
+      BroadcastEdgeLimitDefault.toString).toLong
+
   /** Wedges (paths a→y, a→z with ord(y) < ord(z)) of a degree-oriented
     * edge set — the intermediate whose size degree orientation bounds.
     * Keeps the apex `a` (the triangle family needs all three corners).
@@ -188,9 +217,9 @@ object GraphQueries {
     * `ktruss`, `clusteringCoeff` and the orientation specs.
     * `broadcastClose = true` ships the closing edge list to every task so
     * the wedge stream never shuffles — right whenever the edge list fits
-    * the broadcast budget (the iterative peel's shrinking sets); at
-    * edge-list scale beyond that, leave it false and let the closing join
-    * shuffle on (y, z).
+    * the broadcast budget; at edge-list scale beyond that, pass false and
+    * let the closing join shuffle on (y, z). Callers decide by MEASURED
+    * edge count via `edgesFitBroadcast`, never unconditionally (r9).
     */
   private[graft] def closedTriangles(eo: DataFrame,
       broadcastClose: Boolean = false): DataFrame = {
@@ -227,7 +256,10 @@ object GraphQueries {
     // the closing join — without this the degree aggregate + orientation
     // joins replan and recompute once per reference (3×, seen in explain)
     val eo = orientByDegree(e).localCheckpoint(false)
-    val tri = closedTriangles(eo)
+    // counting materializes the checkpoint the join passes were about to
+    // pay anyway, and buys the measured-stats broadcast decision
+    val tri = closedTriangles(eo,
+      broadcastClose = edgesFitBroadcast(s, eo.count()))
     e.agg(count(lit(1)).as("n_edges"))
       .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
   }
@@ -515,9 +547,10 @@ object GraphQueries {
   /** k-truss synchronous peel over the dense co-order part graph
     * (`coOrderEdges`): each round recounts every edge's triangle support —
     * wedges enumerate from the degree-ordered ORIENTATION (once per
-    * triangle, at its min-(deg,id) apex), close against a broadcast of
-    * the shrinking edge set, and each triangle credits its three edges —
-    * then edges with support < k−2 drop. The semantics are DEFINED as
+    * triangle, at its min-(deg,id) apex), close against the shrinking
+    * edge set (broadcast while the measured count fits the
+    * `edgesFitBroadcast` budget, shuffled past it), and each triangle
+    * credits its three edges — then edges with support < k−2 drop. The semantics are DEFINED as
     * exactly `rounds` synchronous rounds on both engines (the fixture
     * needs ~25 rounds to converge at k=8/sf0.01, so the 8-round output is
     * the peel-progress curve, not a fixpoint claim — the honest bounded
@@ -541,6 +574,10 @@ object GraphQueries {
     // degrees only overestimate), and each surviving edge CARRIES its
     // bord, so no round ever joins back to a degree table.
     var cur = orientByDegree(coOrderEdges(s, d)).localCheckpoint(false)
+    // measured edge count drives the per-round broadcast gate below; the
+    // up-front count just materializes the checkpoint round 1 was about
+    // to pay, so the measurement is free
+    var nCur = cur.count()
     // eager per-round counts buy the fixpoint short-circuit: the peel is
     // MONOTONE (e_r ⊆ e_{r-1}), so equal consecutive counts ⇒ equal edge
     // sets ⇒ every later round repeats verbatim — at sf0.1 the fixture
@@ -553,21 +590,26 @@ object GraphQueries {
     for (_ <- 1 to rounds) {
       if (converged) counts += prev
       else {
-        // wedge side 2 AND the closing edge set are broadcast (the peel's
-        // shrinking sets fit the broadcast budget — the same judgment
-        // closedTriangles(broadcastClose) makes), so the whole round runs
-        // map-side off one scan of cur until the single support shuffle.
+        // wedge side 2 AND the closing edge set broadcast ONLY while the
+        // measured edge count fits the budget (edgesFitBroadcast — the
+        // peel's shrinking sets always do at fixture decades, so the
+        // whole round runs map-side off one scan of cur until the single
+        // support shuffle); past the budget the hints are dropped and
+        // the joins shuffle on their keys (a, then (y, z)) — the plan
+        // that degrades instead of OOMing at a 100× scale-up.
         // A wedge (a→y, a→z, ord(y)<ord(z)) closed by edge y→z credits
         // its three edges IN ORIENTED FORM — (a,y), (a,z), (y,z) are
         // already low→high in the fixed order, and each high endpoint's
         // ord is on hand (yord/zord) — so the support aggregate's keys
         // carry bord forward and no re-canonicalization (r7's
         // least/greatest) or re-orientation is ever needed.
+        val fit = edgesFitBroadcast(s, nCur)
+        def side(df: DataFrame): DataFrame = if (fit) broadcast(df) else df
         val credits = cur.select(col("a"), col("b").as("y"), col("bord").as("yord"))
-          .join(broadcast(cur.select(col("a").as("a2"), col("b").as("z"),
+          .join(side(cur.select(col("a").as("a2"), col("b").as("z"),
               col("bord").as("zord"))),
             col("a") === col("a2") && col("yord") < col("zord"))
-          .join(broadcast(cur.select(col("a").as("cy"), col("b").as("cz"))),
+          .join(side(cur.select(col("a").as("cy"), col("b").as("cz"))),
             col("y") === col("cy") && col("z") === col("cz"))
           .select(explode(array(
             struct(col("a").as("u"), col("y").as("v"), col("yord").as("o")),
@@ -583,6 +625,7 @@ object GraphQueries {
         val n = cur.count()
         converged = n == prev
         prev = n
+        nCur = n
         counts += n
       }
     }
@@ -739,8 +782,9 @@ object GraphQueries {
     val e = coOrderEdges(s, d).localCheckpoint(false)
     val deg = e.select(col("u").as("vtx")).union(e.select(col("v").as("vtx")))
       .groupBy("vtx").agg(count(lit(1)).as("deg"))
-    val tv = closedTriangles(orientByDegree(e).localCheckpoint(false),
-        broadcastClose = true)
+    val eo = orientByDegree(e).localCheckpoint(false)
+    val tv = closedTriangles(eo,
+        broadcastClose = edgesFitBroadcast(s, eo.count()))
       .select(explode(array(col("a"), col("y"), col("z"))).as("vtx"))
       .groupBy("vtx").agg(count(lit(1)).as("tri"))
     deg.join(tv, Seq("vtx"), "left")
