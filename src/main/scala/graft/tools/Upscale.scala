@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev-only fixture upscaler for scaling-curve measurements beyond the
@@ -11,7 +11,12 @@ import org.apache.spark.sql.functions._
   * shapes are preserved exactly (each replica joins only within itself)
   * while data volume scales linearly — the property a scaling curve needs.
   * Dimension tables (region, nation) and non-key attributes are copied
-  * verbatim. Never writes into /root/testdata; point outDir at /tmp.
+  * verbatim — EXCEPT the embedding vectors, which get a per-replica
+  * orthogonal signed permutation (see `perturbEmbedding`) so replicas
+  * are not cross-replica near-duplicates: bit-identical copies
+  * previously made every vector a C(copies,2) near-dup clique and the
+  * semantic-dedup oracle quadratic in the replication (the r8 sf10
+  * exemption). Never writes into /root/testdata; point outDir at /tmp.
   *
   * Usage: runMain graft.tools.Upscale <inDir> <outDir> <copies>
   */
@@ -35,14 +40,56 @@ object Upscale {
 
   private val Unit64: Long = 1L << 34
 
+  /** Replica-i orthogonal perturbation for the embedding vector (r8
+    * verdict #2): a SIGNED AFFINE PERMUTATION — output coordinate j takes
+    * input coordinate (a_i·j + b_i) mod d with a_i = 2i+1 (odd — a
+    * bijection because the fixture dim d=64 is a power of two), b_i =
+    * 37i, then flips its sign iff murmur3(i, j) is odd. Signed
+    * permutations are orthogonal, so within a replica every pairwise dot
+    * product is the SAME multiset of coordinate products (each product
+    * (s_j·x_{π(j)})(s_j·y_{π(j)}) = x_{π(j)}·y_{π(j)} bit-for-bit)
+    * summed in permuted order — intra-replica cosines, norms, and
+    * near-dup decisions match the base fixture to float-sum-order
+    * (≤ ~1e-15 relative, invisible under the queries' 1e-6
+    * micro-rounding). ACROSS replicas the composed transform pairs
+    * DIFFERENT coordinates, so a bit-identical copy's cosine collapses
+    * from 1.0 into a thin random-sign regime — measured on the sf0.1
+    * vectors: P(|cos| > τ=0.4) ≈ 8e-4, max ≈ 0.54 — which kills the
+    * C(copies,2) near-dup cliques that made the sf10 semantic-dedup
+    * oracle quadratic (the r8 exemption). A plain ±1 diagonal (no
+    * permutation) is NOT enough: it is bit-exact intra-replica, but on
+    * these concentrated vectors Var[cos] = Σx_j⁴/(Σx_j²)² leaves a 7%
+    * surviving tail. Replica 0 is the untouched identity, so copies=1
+    * upscaling stays byte-equal and the base-fixture answer is a
+    * sub-slice of every upscaled answer.
+    */
+  private def perturbEmbedding(i: Int): Column => Column = v =>
+    if (i == 0) v
+    else transform(v, (_, j) => {
+      val pj = pmod(lit(2 * i + 1) * j + lit(37 * i), size(v))
+      val x = element_at(v, (pj + 1).cast("int"))
+      when(pmod(hash(lit(i), j), lit(2)) === 0, x).otherwise(-x)
+    })
+
   def upscaled(spark: SparkSession, inDir: String, table: String,
       copies: Int): DataFrame = {
     val base = spark.read.parquet(s"$inDir/$table.parquet")
+    if (table == "embeddings" && copies > 1) {
+      // the affine map (2i+1)·j + 37i mod d is a bijection only for odd
+      // multipliers against a power-of-two dim — guard the orthogonality
+      // assumption against a future fixture with a different d
+      val d = base.select(max(size(col("embedding")))).first().getInt(0)
+      require((d & (d - 1)) == 0,
+        s"perturbEmbedding assumes a power-of-two embedding dim, got $d")
+    }
     val keys = keyCols(table).toSet
     if (keys.isEmpty) base
     else (0 until copies).map { i =>
       base.select(base.columns.toIndexedSeq.map { c =>
-        if (keys(c)) (col(c) + lit(i * Unit64)).as(c) else col(c)
+        if (keys(c)) (col(c) + lit(i * Unit64)).as(c)
+        else if (table == "embeddings" && c == "embedding")
+          perturbEmbedding(i)(col(c)).as(c)
+        else col(c)
       }: _*)
     }.reduce(_.union(_))
   }
