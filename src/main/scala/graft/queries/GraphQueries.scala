@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.plans.Fnv1a64
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph computation — connected components by min-label
@@ -151,30 +151,51 @@ object GraphQueries {
     * |E|·sqrt(|E|) REGARDLESS of skew — the hub of a star graph has max
     * degree, so all its edges point AT it and it generates zero wedges,
     * where id-orientation would generate C(n,2). Output columns: `a`,
-    * `b`, and `bord` = struct(deg_b, b), the order key joins compare on.
+    * `b`, and `bord` = `vertexOrd(deg_b, b)`, the order key joins compare
+    * on — ONE primitive long, not a (deg, id) struct (r9): the order key
+    * rides every wedge row through the triangle family's hottest joins,
+    * so its representation is the per-wedge constant. See `vertexOrd` for
+    * why the packing preserves the order where it matters.
     */
   private[graft] def orientByDegree(und: DataFrame): DataFrame = {
     val deg = und.select(col("u").as("vtx"))
       .union(und.select(col("v").as("vtx")))
       .groupBy("vtx").agg(count(lit(1)).as("deg"))
-    // identical field names on both structs: CASE branches must agree on the
-    // full struct type, and the lexicographic (deg, id) compare is by position
-    val uo = struct(col("du").as("deg"), col("u").as("id"))
-    val vo = struct(col("dv").as("deg"), col("v").as("id"))
+    val uo = vertexOrd(col("du"), col("u"))
+    val vo = vertexOrd(col("dv"), col("v"))
     und
       .join(deg.select(col("vtx").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("vtx").as("v"), col("deg").as("dv")), "v")
       .select(
         when(uo < vo, col("u")).otherwise(col("v")).as("a"),
         when(uo < vo, col("v")).otherwise(col("u")).as("b"),
-        when(uo < vo, vo).otherwise(uo).as("bord"))
+        greatest(uo, vo).as("bord"))
+  }
+
+  /** Packed single-long orientation key: `min(deg, 2^15−1) << 48 | id`.
+    * Numeric order on the packed long equals lexicographic
+    * (capped-deg, id) order, which is injective (id occupies the low
+    * bits) — and triangle support is ORIENTATION-INVARIANT, so any fixed
+    * injective vertex order enumerates the same triangle set; the degree
+    * component is purely the skew bound, not a correctness input. The cap
+    * costs nothing real: the sqrt-out-degree argument needs the order to
+    * track degree, and vertices past 32 767 neighbors (3+ decades above
+    * any measured co-order degree) fall back to id order AMONG THEMSELVES
+    * only — a set of at most 2|E|/2^15 super-hubs. Ids must fit 48 bits
+    * (≈2.8e14 — the fixture upscaler's key-offset scheme stays inside it
+    * through sf100000); violations raise rather than mis-orient. */
+  private[graft] def vertexOrd(deg: Column, id: Column): Column = {
+    val packed = least(deg.cast("long"), lit((1L << 15) - 1)) * lit(1L << 48) + id
+    when(id >= 0L && id < lit(1L << 48), packed)
+      .otherwise(raise_error(concat(lit("vertex id out of 48-bit ord range: "),
+        id.cast("string"))).cast("long"))
   }
 
   /** Row-count budget for the triangle family's edge-set broadcasts —
     * the knob behind `edgesFitBroadcast`. Default 5M edge rows: an
-    * oriented edge is two longs + a (long, long) order struct, ~64 B in
-    * a broadcast hash relation, so the default caps the relation at
-    * ~320 MB — comfortably inside a production executor/driver budget
+    * oriented edge is three longs (endpoints + packed order key), ~48 B
+    * in a broadcast hash relation, so the default caps the relation at
+    * ~240 MB — comfortably inside a production executor/driver budget
     * and far below Spark's 8 GB broadcast hard limit, while still
     * covering every measured fixture decade (sf10's co-order graph is
     * ~100× smaller). Overridable per session for probes and specs. */
@@ -615,8 +636,8 @@ object GraphQueries {
             struct(col("a").as("u"), col("y").as("v"), col("yord").as("o")),
             struct(col("a").as("u"), col("z").as("v"), col("zord").as("o")),
             struct(col("y").as("u"), col("z").as("v"), col("zord").as("o")))).as("e"))
-        // bord is functionally dependent on v (it is (deg0[v], v)), so
-        // grouping on it too leaves the support counts unchanged
+        // bord is functionally dependent on v (it is vertexOrd(deg0[v], v)),
+        // so grouping on it too leaves the support counts unchanged
         val sup = credits.groupBy("e.u", "e.v", "e.o")
           .agg(count(lit(1)).as("s"))
         cur = dropStats(s, sup.filter(col("s") >= k - 2)

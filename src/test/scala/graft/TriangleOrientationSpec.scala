@@ -74,12 +74,34 @@ class TriangleOrientationSpec extends SparkSpec {
     val tri = GraphQueries.closedTriangles(GraphQueries.orientByDegree(e))
     assert(tri.count() == 2L, "star + (1,2) + (3,4) has exactly 2 triangles")
     // orientation acyclicity: no edge can have ord(a) >= ord(b) -- a >= b
-    // in (deg, id) order would double- or zero-count a triangle
+    // in the packed (deg, id) order would double- or zero-count a triangle
     val deg = e.select(col("u").as("vtx")).union(e.select(col("v").as("vtx")))
       .groupBy("vtx").agg(count(lit(1)).as("deg"))
     val bad = GraphQueries.orientByDegree(e)
       .join(deg.select(col("vtx").as("a"), col("deg").as("da")), "a")
-      .filter(struct(col("da").as("deg"), col("a").as("id")) >= col("bord"))
+      .filter(GraphQueries.vertexOrd(col("da"), col("a")) >= col("bord"))
     assert(bad.count() == 0L, "every oriented edge must satisfy ord(a) < ord(b)")
+  }
+
+  test("packed vertexOrd preserves (deg, id) order and rejects wide ids") {
+    import spark.implicits._
+    // numeric order on the packed long == lexicographic (deg, id) order,
+    // including a capped-degree pair falling back to id order
+    val rows = Seq( // (deg, id) in expected ascending ord order
+      (1L, 5L), (1L, 6L), (2L, 0L), (40000L, 3L), (50000L, 4L))
+    val packed = rows.toDF("deg", "id")
+      .select(GraphQueries.vertexOrd(col("deg"), col("id")).as("o"))
+      .collect().map(_.getLong(0))
+    assert(packed.toSeq == packed.sorted.toSeq,
+      s"packed ords must ascend with (capped-deg, id): ${packed.toSeq}")
+    assert(packed.distinct.length == packed.length,
+      "packing must stay injective (ids differ => ords differ)")
+    // ids past 48 bits must raise, not silently mis-orient
+    val err = intercept[Exception] {
+      Seq((1L, 1L << 48)).toDF("deg", "id")
+        .select(GraphQueries.vertexOrd(col("deg"), col("id")))
+        .collect()
+    }
+    assert(err.getMessage != null)
   }
 }
