@@ -351,9 +351,16 @@ object DedupQueries {
     // fat (sf0.1: 2000 vectors → ~1.7M candidate pairs)
     val cand = BucketPairs.pairs(buckets, "ids", "va", "vb").distinct()
     val vecsById = base.select(col("vec_id"), col("v"))
+    // vector-table joins hinted by MEASURED vector count — the candidate
+    // stream dwarfs the vector table and its stats descend from the
+    // bucket aggregate, so auto-planning sort-merge-joins the pair
+    // stream past the auto-broadcast threshold (rationale at
+    // SimilarityQueries.vecsFitBroadcast)
+    val fit = SimilarityQueries.vecsFitBroadcast(s, Tables.embeddings(s, d).count())
+    def vside(df: DataFrame): DataFrame = if (fit) broadcast(df) else df
     cand
-      .join(vecsById.select(col("vec_id").as("va"), col("v").as("xa")), "va")
-      .join(vecsById.select(col("vec_id").as("vb"), col("v").as("xb")), "vb")
+      .join(vside(vecsById.select(col("vec_id").as("va"), col("v").as("xa"))), "va")
+      .join(vside(vecsById.select(col("vec_id").as("vb"), col("v").as("xb"))), "vb")
       .withColumn("sim",
         graft.plans.CosineSimilarity.cosine_sim(col("xa"), col("xb")))
       .filter(col("sim") > threshold)

@@ -215,9 +215,18 @@ object QualityQueries {
       .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
     val pairs = BucketPairs.pairs(buckets, "ids", "va", "vb", keep = Seq("cell"))
     val byId = assigned.select(col("vec_id"), col("v"))
+    // the candidate-pair stream is the BIG side (Σ|cell|² rows) and its
+    // Catalyst estimate descends from the 8-row buckets aggregate, so the
+    // vector-table joins are hinted by MEASURED vector count (the
+    // edgesFitBroadcast precedent; rationale at
+    // SimilarityQueries.vecsFitBroadcast) — broadcast keeps the pair
+    // stream pipelined, never shuffled; past the budget it degrades to
+    // the shuffle that scale genuinely needs
+    val fit = SimilarityQueries.vecsFitBroadcast(s, Tables.embeddings(s, d).count())
+    def vside(df: DataFrame): DataFrame = if (fit) broadcast(df) else df
     pairs
-      .join(byId.select(col("vec_id").as("va"), col("v").as("xa")), Seq("va"))
-      .join(byId.select(col("vec_id").as("vb"), col("v").as("xb")), Seq("vb"))
+      .join(vside(byId.select(col("vec_id").as("va"), col("v").as("xa"))), Seq("va"))
+      .join(vside(byId.select(col("vec_id").as("vb"), col("v").as("xb"))), Seq("vb"))
       .withColumn("sim_e6",
         round(cosine_sim(col("xa"), col("xb")) * lit(1000000L)).cast("long"))
       .filter(col("sim_e6") > lit((tau * 1000000L).round))

@@ -17,6 +17,28 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries {
 
+  /** Row-count budget for the pair-verification joins' vector-table
+    * broadcasts (`vecsFitBroadcast`) — the embedding-family sibling of
+    * `GraphQueries.edgesFitBroadcast`. The near-dup verifiers
+    * (`dedup_semantic`, `dedup_embedding_lsh`) generate a candidate-pair
+    * stream orders of magnitude larger than the vector table, then join
+    * the vectors back by id twice; Catalyst's size estimate for that
+    * stream descends from a cells-sized aggregate (8 rows), so past the
+    * auto-broadcast threshold it plans a sort-merge join that SHUFFLES
+    * AND SORTS the pair stream — measured at sf10: the 2.5e9-row pair
+    * exchange pinned a 48 GB heap for 20+ minutes, where broadcasting
+    * the 110 MB vector table keeps the pair stream fully pipelined
+    * (generate → probe → probe → filter, no pair ever shuffled).
+    * Default 1M vectors ≈ 0.6 GB hashed at 64 double dims — inside a
+    * production executor budget, 5× the sf10 fixture; past it the hint
+    * is dropped and the join degrades to the shuffle it genuinely needs
+    * at that scale. Callers pass the MEASURED vector count (a parquet
+    * footer-stats count, effectively free). */
+  private[graft] val BroadcastVecLimitKey = "spark.graft.sim.broadcastVecLimit"
+  private[graft] val BroadcastVecLimitDefault = 1000000L
+  private[graft] def vecsFitBroadcast(s: SparkSession, n: Long): Boolean =
+    n <= s.conf.get(BroadcastVecLimitKey, BroadcastVecLimitDefault.toString).toLong
+
   private def vecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),

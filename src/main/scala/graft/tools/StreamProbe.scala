@@ -101,6 +101,44 @@ object StreamProbe {
               explode(array(lit(0), lit(1))).as("delivery"))
             .drop("delivery"),
             OutputMode.Append(), true)
+        case "chained" =>
+          (StreamingOps.chainedWindowAgg(events()), OutputMode.Append(), false)
+        case "latedrop" =>
+          // two-phase checkpoint-restart probe (the stream_late_drop shape):
+          // times each phase's stream lifecycle separately so the bridge's
+          // wall splits into staging writes vs the two stream starts
+          import org.apache.spark.sql.functions._
+          val srcDir = java.nio.file.Files.createTempDirectory("graft-probe-late")
+          val ckpt = java.nio.file.Files.createTempDirectory("graft-probe-lckpt")
+          val ev = Tables.events(spark, sfDir).select(col("event_id"), col("ts"))
+          val schema = ev.schema
+          def phase(label: String)(f: => Unit): Unit = {
+            val t0 = System.nanoTime()
+            f
+            println(f"  latedrop $label%-14s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+          }
+          def runPhase(): Unit = {
+            val q = spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*")
+              .withWatermark("ts", "10 minutes")
+              .groupBy(window(col("ts"), "5 minutes").as("win"))
+              .agg(count(lit(1)).as("n_events"))
+              .writeStream.outputMode(OutputMode.Update())
+              .option("checkpointLocation", ckpt.toString)
+              .foreachBatch { (b: DataFrame, _: Long) => b.collect(); () }
+              .start()
+            try q.processAllAvailable() finally q.stop()
+          }
+          phase("write on_time") { ev.filter(col("event_id") % 2 === 0)
+            .coalesce(1).write.parquet(s"$srcDir/on_time") }
+          phase("stream 1") { runPhase() }
+          phase("write late") { ev.filter(col("event_id") % 2 === 1)
+            .coalesce(1).write.parquet(s"$srcDir/late") }
+          phase("stream 2") { runPhase() }
+          import scala.reflect.io.Directory
+          new Directory(srcDir.toFile).deleteRecursively()
+          new Directory(ckpt.toFile).deleteRecursively()
+          return
         case "availnow" =>
           import org.apache.spark.sql.functions._
           val root = "/tmp/graft_probe_avnow"
