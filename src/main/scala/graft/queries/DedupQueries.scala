@@ -349,7 +349,10 @@ object DedupQueries {
     // interpreted per element, fine for its tiny near-dup buckets but ~5×
     // slower here where this corpus's isotropic worst case makes buckets
     // fat (sf0.1: 2000 vectors → ~1.7M candidate pairs)
-    val cand = BucketPairs.pairs(buckets, "ids", "va", "vb").distinct()
+    // blocked pair generation: isotropic corpora make these buckets FAT
+    // (n/16 ids each), so the plain shape's parallelism caps at the
+    // bucket count — the blocked form scales with pair volume
+    val cand = BucketPairs.pairsBlocked(buckets, "ids", "va", "vb").distinct()
     val vecsById = base.select(col("vec_id"), col("v"))
     // vector-table joins hinted by MEASURED vector count — the candidate
     // stream dwarfs the vector table and its stats descend from the

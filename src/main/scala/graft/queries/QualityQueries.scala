@@ -213,7 +213,11 @@ object QualityQueries {
       .select("cell", "vec_id", "v")
     val buckets = assigned.groupBy("cell")
       .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
-    val pairs = BucketPairs.pairs(buckets, "ids", "va", "vb", keep = Seq("cell"))
+    // blocked pair generation: with 8 fixture cells the plain shape's
+    // parallelism is 8 tasks (1 after AQE coalescing) — the blocked form
+    // scales task count with PAIR volume (see BucketPairs.pairsBlocked)
+    val pairs = BucketPairs.pairsBlocked(buckets, "ids", "va", "vb",
+      keep = Seq("cell"))
     val byId = assigned.select(col("vec_id"), col("v"))
     // the candidate-pair stream is the BIG side (Σ|cell|² rows) and its
     // Catalyst estimate descends from the 8-row buckets aggregate, so the

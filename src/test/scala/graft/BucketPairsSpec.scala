@@ -34,4 +34,40 @@ class BucketPairsSpec extends SparkSpec {
     assert(got.values.sum ==
       rows.map { case (_, m) => m.size * (m.size - 1) / 2 }.sum)
   }
+
+  test("pairsBlocked emits the identical multiset for every block/list-size ratio") {
+    val rnd = new scala.util.Random(43L)
+    // lists straddling the block boundary: n < block, n == block,
+    // n in (block, 2*block], n >> block — plus duplicates and keep-less
+    // anonymous buckets (the lsh call shape)
+    for (block <- Seq(1, 2, 3, 7)) {
+      val rows = (1 to 12).map { b =>
+        val n = rnd.nextInt(3 * block + 2)
+        (b.toLong, (1 to n).map(_ => rnd.nextInt(5).toLong).sorted)
+      }
+      val df = rows.toDF("bucket", "members")
+      val want = BucketPairs.pairs(df, "members", "a", "b",
+          keep = Seq("bucket")).select("bucket", "a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val got = BucketPairs.pairsBlocked(df, "members", "a", "b",
+          keep = Seq("bucket"), block = block).select("bucket", "a", "b")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(got == want, s"block=$block must not change the pair multiset")
+      // anonymous buckets (keep = Nil): the list column itself keys the
+      // chunk repartition — same multiset when buckets are indistinct
+      val wantAnon = BucketPairs.pairs(df, "members", "a", "b")
+        .select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val gotAnon = BucketPairs.pairsBlocked(df, "members", "a", "b",
+          block = block).select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(gotAnon == wantAnon,
+        s"block=$block keep-less form must not change the pair multiset")
+    }
+  }
 }
