@@ -135,16 +135,22 @@ object StreamingBridge {
   def availableNowViaStream(s: SparkSession, d: String): DataFrame = {
     val root = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
       "/graft_stream/events_split_" + d.replaceAll("[^A-Za-z0-9]", "_")
-    Tables.events(s, d).repartition(4).write.mode("overwrite").parquet(root)
+    // split-file projection (r9): this aggregate touches only three of the
+    // six event columns, and the stream re-reads the split on EVERY one of
+    // its ≥4 micro-batches — writing just those columns drops the fat
+    // `props` string and the ts normalization from all of them (a batch
+    // scan prunes columns for free; a per-batch re-decode of unused
+    // strings is paid 4×)
+    Tables.events(s, d).select("user_id", "event_type", "value")
+      .repartition(4).write.mode("overwrite").parquet(root)
     // private child session for the STREAM (the runSettled discipline):
     // this bridge pays the per-partition state commit on EVERY one of its
     // ≥4 micro-batches, so the StateParts sizing matters most here
     val cs = s.newSession()
     StateParts.foreach { case (k, v) => cs.conf.set(k, v) }
     val raw = cs.read.parquet(root).schema
-    val src = Tables.normalizeTs(
-      cs.readStream.schema(raw).option("maxFilesPerTrigger", "1").parquet(root),
-      raw("ts").dataType)
+    val src =
+      cs.readStream.schema(raw).option("maxFilesPerTrigger", "1").parquet(root)
     val counts = src.groupBy("user_id", "event_type")
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 100).cast("long")).as("v_c"))
