@@ -245,8 +245,14 @@ object GraphQueries {
   private[graft] def closedTriangles(eo: DataFrame,
       broadcastClose: Boolean = false): DataFrame = {
     val closing = eo.select(col("a").as("cy"), col("b").as("cz"))
+    // past the broadcast budget the build side stays NARROW (two longs per
+    // edge) while the probe side is the grand wedge stream — hint a
+    // shuffled HASH join so neither side is sorted (r9 probe, sf10: the
+    // default sort-merge spends 3× the join's own cost sorting ~1G wedge
+    // rows; SHUFFLE_HASH closed in 46 s vs 131 s)
     orientedWedges(eo).join(
-        if (broadcastClose) broadcast(closing) else closing,
+        if (broadcastClose) broadcast(closing)
+        else closing.hint("SHUFFLE_HASH"),
         col("y") === col("cy") && col("z") === col("cz"))
       .select(col("a"), col("y"), col("z"))
   }
@@ -548,7 +554,7 @@ object GraphQueries {
     * order (u < v canonical; the even-order slice keeps every co-order
     * clique intact while bounding triangle volume). Shared by the
     * triangle-family queries (ktruss, clustering coefficient). */
-  private def coOrderEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def coOrderEdges(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .filter(col("l_orderkey") % 2 === 0)
       .select(col("l_orderkey"), col("l_partkey"))
@@ -584,21 +590,58 @@ object GraphQueries {
   def ktruss(s: SparkSession, d: String, k: Int = 8, rounds: Int = 8): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3 (zero-support edges drop), got $k")
     import s.implicits._
+    val tEntry = System.nanoTime()
     // Orientation is computed ONCE, from the initial degrees (r8, verdict
     // #1): an edge's triangle support is orientation-INVARIANT (it counts
     // triangles containing the edge), and once-per-triangle enumeration
     // only needs SOME fixed injective vertex order — the initial (deg,id)
-    // order stays a total order on every surviving subset, so the r7 shape
-    // (re-deriving degrees + two orientation joins on the shrinking edge
-    // set EVERY round) bought nothing but three extra shuffles per round.
-    // The (deg,id) wedge bound degrades gracefully as edges drop (stale
-    // degrees only overestimate), and each surviving edge CARRIES its
-    // bord, so no round ever joins back to a degree table.
-    var cur = orientByDegree(coOrderEdges(s, d)).localCheckpoint(false)
+    // order stays a total order on every surviving subset.
+    //
+    // SINGLE-LONG EDGES (r9): this query's output is only the per-round
+    // edge-count curve — vertex identity never reaches the result — so
+    // vertices are densely re-ranked (0..V−1) along the SAME
+    // (capped-deg, id) total order `vertexOrd` defines, and every edge
+    // lives as ONE primitive long (rank_a << 32 | rank_b, rank_a <
+    // rank_b). The per-round hot path (the wedge stream, millions of rows
+    // per surviving triangle) then explodes a primitive long array
+    // instead of three-field structs and aggregates on a single long key
+    // — the WordGramFnv fused-primitive discipline applied to the
+    // registry's largest measured constant (sf10 wedge volume). The rank
+    // remap is two one-time joins; the orientation rank IS the order key,
+    // so no round carries (or re-derives) a separate bord column.
+    // the co-order projection (self-join + distinct over lineitem) is BY
+    // FAR the query's most expensive subtree and three derived actions
+    // consume it (the degree count, the rank build, the edge remap) —
+    // checkpoint it once so it is evaluated once (sf10 probe: setup fell
+    // from ~466 s of repeated co-order evaluations to one)
+    val und = coOrderEdges(s, d).localCheckpoint(false)
+    val deg = und.select(col("u").as("vtx"))
+      .union(und.select(col("v").as("vtx")))
+      .groupBy("vtx").agg(count(lit(1)).as("deg"))
+    val nV = deg.count()
+    require(nV < Int.MaxValue, s"rank packing needs < 2^31 vertices, got $nV")
+    // dense rank along the injective vertexOrd order: orderBy + a
+    // distributed zipWithIndex (partition-parallel; index order follows
+    // the range-partitioned sort order)
+    val ranked = deg.select(col("vtx"), vertexOrd(col("deg"), col("vtx")).as("ord"))
+      .orderBy("ord").select("vtx").rdd
+      .zipWithIndex.map { case (r, i) => (r.getLong(0), i) }
+      .toDF("vtx", "rank")
+    val rfit = edgesFitBroadcast(s, nV)
+    def rside(df: DataFrame): DataFrame = if (rfit) broadcast(df) else df
+    var cur = und
+      .join(rside(ranked.select(col("vtx").as("u"), col("rank").as("ru"))), "u")
+      .join(rside(ranked.select(col("vtx").as("v"), col("rank").as("rv"))), "v")
+      .select((shiftleft(least(col("ru"), col("rv")), 32) +
+        greatest(col("ru"), col("rv"))).as("pk"))
+      .localCheckpoint(false)
     // measured edge count drives the per-round broadcast gate below; the
     // up-front count just materializes the checkpoint round 1 was about
     // to pay, so the measurement is free
     var nCur = cur.count()
+    if (sys.props.contains("graft.ktruss.logRounds"))
+      println(f"  [ktruss] setup ${(System.nanoTime() - tEntry) / 1e9}%7.2f s" +
+        f"  edges $nCur  verts $nV")
     // eager per-round counts buy the fixpoint short-circuit: the peel is
     // MONOTONE (e_r ⊆ e_{r-1}), so equal consecutive counts ⇒ equal edge
     // sets ⇒ every later round repeats verbatim — at sf0.1 the fixture
@@ -616,34 +659,42 @@ object GraphQueries {
         // peel's shrinking sets always do at fixture decades, so the
         // whole round runs map-side off one scan of cur until the single
         // support shuffle); past the budget the hints are dropped and
-        // the joins shuffle on their keys (a, then (y, z)) — the plan
-        // that degrades instead of OOMing at a 100× scale-up.
-        // A wedge (a→y, a→z, ord(y)<ord(z)) closed by edge y→z credits
-        // its three edges IN ORIENTED FORM — (a,y), (a,z), (y,z) are
-        // already low→high in the fixed order, and each high endpoint's
-        // ord is on hand (yord/zord) — so the support aggregate's keys
-        // carry bord forward and no re-canonicalization (r7's
-        // least/greatest) or re-orientation is ever needed.
+        // the joins shuffle on their keys (a, then wpk) as HASH joins —
+        // the build sides stay narrow packed longs while the probe side
+        // is the grand wedge stream, so a sort-merge join's probe-side
+        // sort is pure waste (sf10 probe: SMJ 131 s vs SHJ 46 s on the
+        // closing join) — the plan that degrades instead of OOMing at a
+        // 100× scale-up.
+        // A wedge (a→y, a→z, y<z in rank order) closed by edge y→z
+        // credits its three edges as PACKED LONGS — (a,y), (a,z), (y,z)
+        // are already low→high in the fixed rank order, so each credit
+        // is one shift+or and the support aggregate keys on a single
+        // primitive long.
         val fit = edgesFitBroadcast(s, nCur)
-        def side(df: DataFrame): DataFrame = if (fit) broadcast(df) else df
-        val credits = cur.select(col("a"), col("b").as("y"), col("bord").as("yord"))
-          .join(side(cur.select(col("a").as("a2"), col("b").as("z"),
-              col("bord").as("zord"))),
-            col("a") === col("a2") && col("yord") < col("zord"))
-          .join(side(cur.select(col("a").as("cy"), col("b").as("cz"))),
-            col("y") === col("cy") && col("z") === col("cz"))
+        def side(df: DataFrame): DataFrame =
+          if (fit) broadcast(df) else df.hint("SHUFFLE_HASH")
+        val e = cur.select(shiftright(col("pk"), 32).as("a"),
+          col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("b"))
+        val credits = e.select(col("a"), col("b").as("y"))
+          .join(side(e.select(col("a").as("a2"), col("b").as("z"))),
+            col("a") === col("a2") && col("y") < col("z"))
+          .select(col("a"), col("y"), col("z"),
+            (shiftleft(col("y"), 32) + col("z")).as("wpk"))
+          .join(side(cur.select(col("pk").as("wpk"))), "wpk")
           .select(explode(array(
-            struct(col("a").as("u"), col("y").as("v"), col("yord").as("o")),
-            struct(col("a").as("u"), col("z").as("v"), col("zord").as("o")),
-            struct(col("y").as("u"), col("z").as("v"), col("zord").as("o")))).as("e"))
-        // bord is functionally dependent on v (it is vertexOrd(deg0[v], v)),
-        // so grouping on it too leaves the support counts unchanged
-        val sup = credits.groupBy("e.u", "e.v", "e.o")
-          .agg(count(lit(1)).as("s"))
+            shiftleft(col("a"), 32) + col("y"),
+            shiftleft(col("a"), 32) + col("z"),
+            col("wpk"))).as("pk"))
+        val sup = credits.groupBy("pk").agg(count(lit(1)).as("s"))
         cur = dropStats(s, sup.filter(col("s") >= k - 2)
-          .select(col("u").as("a"), col("v").as("b"), col("o").as("bord"))
-          .localCheckpoint(false))
+          .select("pk").localCheckpoint(false))
+        val t0 = System.nanoTime()
         val n = cur.count()
+        // probe-only attribution hook (KtrussProbe sets it): the count
+        // materializes the round's whole chain, so this IS the round wall
+        if (sys.props.contains("graft.ktruss.logRounds"))
+          println(f"  [ktruss] round ${counts.size + 1} " +
+            f"${(System.nanoTime() - t0) / 1e9}%7.2f s  edges $n")
         converged = n == prev
         prev = n
         nCur = n
