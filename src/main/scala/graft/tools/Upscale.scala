@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Dev-only fixture upscaler for scaling-curve measurements beyond the
   * driver-provided scale factors (TESTDATA.md tops out at sf0.1). Produces
-  * an N× copy of a fixture directory by UNIONING N key-offset replicas of
-  * each fact table: every int64 join/entity key in replica i is shifted by
+  * an N× copy of a fixture directory from N key-offset replicas of
+  * each fact table (replicated via a broadcast crossJoin against
+  * `range(N)` — one codegen'd plan, not an N-way union): every int64
+  * join/entity key in replica i is shifted by
   * i·2^34, so join selectivity, group cardinality ratios, and distribution
   * shapes are preserved exactly (each replica joins only within itself)
   * while data volume scales linearly — the property a scaling curve needs.
@@ -63,13 +65,17 @@ object Upscale {
     * upscaling stays byte-equal and the base-fixture answer is a
     * sub-slice of every upscaled answer.
     */
-  private def perturbEmbedding(i: Int): Column => Column = v =>
-    if (i == 0) v
-    else transform(v, (_, j) => {
-      val pj = pmod(lit(2 * i + 1) * j + lit(37 * i), size(v))
+  private def perturbEmbedding(rep: Column): Column => Column = v => {
+    // `rep` cast to int so (2i+1), 37i and hash(i, j) carry the SAME
+    // integer types (and therefore the same murmur3 bits) as the original
+    // per-replica literal form — values are tiny (copies ≤ ~1000, j < d)
+    val i = rep.cast("int")
+    when(i === 0, v).otherwise(transform(v, (_, j) => {
+      val pj = pmod((lit(2) * i + lit(1)) * j + lit(37) * i, size(v))
       val x = element_at(v, (pj + 1).cast("int"))
-      when(pmod(hash(lit(i), j), lit(2)) === 0, x).otherwise(-x)
-    })
+      when(pmod(hash(i, j), lit(2)) === 0, x).otherwise(-x)
+    }))
+  }
 
   def upscaled(spark: SparkSession, inDir: String, table: String,
       copies: Int): DataFrame = {
@@ -83,15 +89,23 @@ object Upscale {
         s"perturbEmbedding assumes a power-of-two embedding dim, got $d")
     }
     val keys = keyCols(table).toSet
-    if (keys.isEmpty) base
-    else (0 until copies).map { i =>
-      base.select(base.columns.toIndexedSeq.map { c =>
-        if (keys(c)) (col(c) + lit(i * Unit64)).as(c)
+    if (keys.isEmpty || copies == 1) base
+    else {
+      // ONE broadcast-nested-loop plan instead of a `copies`-way union:
+      // the union form's driver-side analysis is super-linear in the
+      // replica count (measured: >10 min of single-threaded Catalyst per
+      // table at copies=1000, before any task ran), while the crossJoin
+      // form replicates rows inside whole-stage codegen with the replica
+      // index as a COLUMN — same per-replica key shift and embedding
+      // perturbation, expressed once
+      val rep = broadcast(spark.range(copies).toDF("__rep"))
+      base.crossJoin(rep).select(base.columns.toIndexedSeq.map { c =>
+        if (keys(c)) (col(c) + col("__rep") * lit(Unit64)).as(c)
         else if (table == "embeddings" && c == "embedding")
-          perturbEmbedding(i)(col(c)).as(c)
+          perturbEmbedding(col("__rep"))(col(c)).as(c)
         else col(c)
       }: _*)
-    }.reduce(_.union(_))
+    }
   }
 
   def main(args: Array[String]): Unit = {
