@@ -99,7 +99,12 @@ object Upscale {
       // index as a COLUMN — same per-replica key shift and embedding
       // perturbation, expressed once
       val rep = broadcast(spark.range(copies).toDF("__rep"))
-      base.crossJoin(rep).select(base.columns.toIndexedSeq.map { c =>
+      // fixture tables are single small files → 1-2 scan partitions, so the
+      // ×copies expansion (and its parquet encode) would run on 1-2 tasks;
+      // shuffling the SMALL base first spreads the big output across cores
+      val spread = base.repartition(
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
+      spread.crossJoin(rep).select(base.columns.toIndexedSeq.map { c =>
         if (keys(c)) (col(c) + col("__rep") * lit(Unit64)).as(c)
         else if (table == "embeddings" && c == "embedding")
           perturbEmbedding(col("__rep"))(col(c)).as(c)
