@@ -27,7 +27,14 @@ object JoinQueries {
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(n("n_name").as("nation"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+      // revenue as per-row e4 micro-units summed as BIGINT (the r7/r8
+      // money-sum discipline): round-after-double-sum diverged from the
+      // oracle in the 11th significant digit at sf100 (~6e8 joined rows
+      // per nation) — caught by the r9 sf100 gate, same class as the
+      // q_tpch_q1 harvest. price·(1−disc) has ≤4 decimals, so e4 is exact;
+      // headroom ~800× below int64 at sf100.
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 10000).cast("long")).as("revenue_e4"),
         count(lit(1)).as("cnt"))
       .orderBy("nation")
   }
@@ -178,7 +185,8 @@ object JoinQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_join_inner_agg" ->
       """SELECT n_name AS nation,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |                     AS BIGINT)) AS BIGINT) AS revenue_e4,
         |       count(*) AS cnt
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
