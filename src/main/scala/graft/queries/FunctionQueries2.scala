@@ -386,20 +386,25 @@ object FunctionQueries2 {
         |         x -> NOT list_contains(generate_series(l_linenumber, 7), x)))), 'string_agg', ','), '') AS ae
         |FROM lineitem WHERE l_orderkey < 200
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // arg_max/arg_min on a zero-padded fixed-width composite key instead
+    // of two full window sorts: the row_number form spilled >40 GB sorting
+    // 600M rows TWICE at sf100 and blew the sandbox disk (r9 gate);
+    // lexicographic order on the padded string equals the numeric
+    // composite order (all parts non-negative: price_c ≤ 8 digits,
+    // orderkey ≤ 15 digits at sf100, linenumber ≤ 7), so this is the same
+    // answer from one hash aggregate
     "q_minmax_by" ->
-      """WITH ranked AS (
+      """WITH k AS (
         |  SELECT l_returnflag, l_orderkey, l_extendedprice,
-        |         row_number() OVER (PARTITION BY l_returnflag
-        |           ORDER BY l_extendedprice DESC, l_orderkey DESC, l_linenumber DESC) AS rmax,
-        |         row_number() OVER (PARTITION BY l_returnflag
-        |           ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC) AS rmin
+        |         lpad(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR), 12, '0') ||
+        |         lpad(CAST(l_orderkey AS VARCHAR), 16, '0') ||
+        |         lpad(CAST(l_linenumber AS VARCHAR), 2, '0') AS ck
         |  FROM lineitem)
-        |SELECT g.l_returnflag, mx.l_orderkey AS key_of_max_price,
-        |       mn.l_orderkey AS key_of_min_price, round(g.mp, 2) AS max_price
-        |FROM (SELECT l_returnflag, max(l_extendedprice) AS mp
-        |      FROM lineitem GROUP BY l_returnflag) g
-        |JOIN (SELECT l_returnflag, l_orderkey FROM ranked WHERE rmax = 1) mx USING (l_returnflag)
-        |JOIN (SELECT l_returnflag, l_orderkey FROM ranked WHERE rmin = 1) mn USING (l_returnflag)
+        |SELECT l_returnflag,
+        |       arg_max(l_orderkey, ck) AS key_of_max_price,
+        |       arg_min(l_orderkey, ck) AS key_of_min_price,
+        |       round(max(l_extendedprice), 2) AS max_price
+        |FROM k GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "q_stats_agg" ->
       """SELECT l_returnflag,
