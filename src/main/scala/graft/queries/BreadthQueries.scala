@@ -390,28 +390,32 @@ object BreadthQueries {
         |       CAST(sum(term_micro) AS BIGINT) AS kl_micro,
         |       CAST(sum(term_micro) AS BIGINT) / 1e12 AS kl
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    // per-ROW char histogram instead of a per-(doc,char) unnest+group:
+    // the explode form built ~5G intermediate rows at sf100 and spilled
+    // past the sandbox disk (r9 gate) for an answer that is per-doc. The
+    // per-char term is already a round-to-1e12 micro-unit summed as an
+    // INTEGER (order-independent), so the list form is bit-identical —
+    // proven value+type equal against the unnest form on all 5000 sf0.1
+    // docs before the swap. Empty docs drop in both forms (range(1,1) is
+    // empty / WHERE length > 0).
     "text_char_entropy" ->
-      """WITH ch AS (
-        |  SELECT doc_id, u.ch, count(*) AS k
-        |  FROM (SELECT doc_id,
-        |               list_transform(range(1, length(text) + 1),
-        |                              i -> text[i:i]) AS l
-        |        FROM documents),
-        |       unnest(l) AS u(ch)
-        |  GROUP BY doc_id, u.ch),
-        |g AS (SELECT doc_id, k, sum(k) OVER (PARTITION BY doc_id) AS n
-        |      FROM ch),
-        |t AS (
-        |  SELECT doc_id, n,
-        |         CAST(round(-((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
-        |           * ln(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))) * 1e12)
-        |           AS BIGINT) AS term_micro
-        |  FROM g)
-        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
-        |       CAST(count(*) AS BIGINT) AS n_distinct_chars,
-        |       CAST(sum(term_micro) AS BIGINT) AS ent_micro,
-        |       CAST(sum(term_micro) AS BIGINT) / 1e12 AS entropy_nats
-        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      """WITH h AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |         map_values(list_aggregate(
+        |           list_transform(range(1, length(text) + 1),
+        |                          i -> text[i:i]),
+        |           'histogram')) AS ks
+        |  FROM documents WHERE length(text) > 0),
+        |e AS (
+        |  SELECT doc_id, n_chars, CAST(len(ks) AS BIGINT) AS n_distinct_chars,
+        |         CAST(list_aggregate(list_transform(ks,
+        |           k -> CAST(round(-((CAST(k AS DOUBLE) / CAST(n_chars AS DOUBLE))
+        |             * ln(CAST(k AS DOUBLE) / CAST(n_chars AS DOUBLE))) * 1e12)
+        |             AS BIGINT)), 'sum') AS BIGINT) AS ent_micro
+        |  FROM h)
+        |SELECT doc_id, n_chars, n_distinct_chars, ent_micro,
+        |       ent_micro / 1e12 AS entropy_nats
+        |FROM e ORDER BY doc_id""".stripMargin,
     "pipeline_span_corruption" ->
       s"""WITH toks AS (
          |  SELECT doc_id, l[r.i] AS tok, CAST(r.i - 1 AS BIGINT) AS idx,
