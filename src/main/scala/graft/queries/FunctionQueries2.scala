@@ -392,14 +392,24 @@ object FunctionQueries2 {
     // lexicographic order on the padded string equals the numeric
     // composite order (all parts non-negative: price_c ≤ 8 digits,
     // orderkey ≤ 15 digits at sf100, linenumber ≤ 7), so this is the same
-    // answer from one hash aggregate
+    // answer from one hash aggregate. DuckDB's lpad silently TRUNCATES a
+    // string longer than the pad width — which would silently mis-order
+    // the composite instead of erroring — so the CASE guard below fails
+    // the oracle loudly if any part outgrows its width (r10, ADVICE item)
     "q_minmax_by" ->
-      """WITH k AS (
+      """WITH p AS (
         |  SELECT l_returnflag, l_orderkey, l_extendedprice,
-        |         lpad(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR), 12, '0') ||
-        |         lpad(CAST(l_orderkey AS VARCHAR), 16, '0') ||
-        |         lpad(CAST(l_linenumber AS VARCHAR), 2, '0') AS ck
-        |  FROM lineitem)
+        |         CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR) AS pc,
+        |         CAST(l_orderkey AS VARCHAR) AS ok,
+        |         CAST(l_linenumber AS VARCHAR) AS ln
+        |  FROM lineitem),
+        |k AS (
+        |  SELECT l_returnflag, l_orderkey, l_extendedprice,
+        |         CASE WHEN length(pc) <= 12 AND length(ok) <= 16 AND length(ln) <= 2
+        |              THEN lpad(pc, 12, '0') || lpad(ok, 16, '0') || lpad(ln, 2, '0')
+        |              ELSE error('q_minmax_by composite-key overflow: widen the lpad widths')
+        |         END AS ck
+        |  FROM p)
         |SELECT l_returnflag,
         |       arg_max(l_orderkey, ck) AS key_of_max_price,
         |       arg_min(l_orderkey, ck) AS key_of_min_price,

@@ -33,8 +33,8 @@ object JoinQueries {
       // per nation) — caught by the r9 sf100 gate, same class as the
       // q_tpch_q1 harvest. price·(1−disc) has ≤4 decimals, so e4 is exact;
       // headroom ~800× below int64 at sf100.
-      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
-          * 10000).cast("long")).as("revenue_e4"),
+      .agg(sum(Money.e4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_e4"),
         count(lit(1)).as("cnt"))
       .orderBy("nation")
   }

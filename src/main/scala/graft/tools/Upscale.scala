@@ -42,6 +42,19 @@ object Upscale {
 
   private val Unit64: Long = 1L << 34
 
+  /** Parallelism for both the session master and the pre-expansion
+    * repartition, parsed ONCE with a validated fallback (a non-numeric or
+    * non-positive SPARK_GRAFT_CPUS falls back to 8 instead of throwing
+    * NumberFormatException mid-generation). Note: the repartition spreads
+    * the small base across cores before the ×copies expansion, which makes
+    * regenerated upscale dirs differ from the old union-form dirs in FILE
+    * LAYOUT (row order, file count) — content is identical, and every
+    * consumer (oracle compare, registry queries) is set-semantic. */
+  private val Cpus: Int =
+    sys.env.get("SPARK_GRAFT_CPUS")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .filter(_ > 0).getOrElse(8)
+
   /** Replica-i orthogonal perturbation for the embedding vector (r8
     * verdict #2): a SIGNED AFFINE PERMUTATION — output coordinate j takes
     * input coordinate (a_i·j + b_i) mod d with a_i = 2i+1 (odd — a
@@ -102,8 +115,7 @@ object Upscale {
       // fixture tables are single small files → 1-2 scan partitions, so the
       // ×copies expansion (and its parquet encode) would run on 1-2 tasks;
       // shuffling the SMALL base first spreads the big output across cores
-      val spread = base.repartition(
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
+      val spread = base.repartition(Cpus)
       spread.crossJoin(rep).select(base.columns.toIndexedSeq.map { c =>
         if (keys(c)) (col(c) + col("__rep") * lit(Unit64)).as(c)
         else if (table == "embeddings" && c == "embedding")
@@ -122,7 +134,7 @@ object Upscale {
     val copies = copiesStr.toInt
     require(!outDir.startsWith("/root/testdata"), "refusing to write into the read-only fixtures")
     val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .master(s"local[$Cpus]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
