@@ -868,20 +868,22 @@ object GraphQueries {
       .orderBy("vtx")
   }
 
+  /** Per-vertex triangle credits stream through ONE evaluation of the
+    * wedge-closing join via UNNEST of the three corners (r10): the former
+    * shape MATERIALIZED the full 83M-row triangle set at sf10 and read it
+    * three times (one UNION branch per corner), which blew the 600 s solo
+    * budget; unnesting inside the same pipeline keeps the join's output
+    * un-materialized and the aggregate single-pass. */
   private val clusteringSql =
     s"""WITH e AS MATERIALIZED (
        |  $coOrderEdgesSql),
        |und AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
        |deg AS (SELECT a AS vtx, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY a),
-       |tri AS MATERIALIZED (
-       |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
-       |  FROM e e1 JOIN e e2 ON e1.v = e2.u
-       |  JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v),
-       |tv AS (SELECT vtx, CAST(count(*) AS BIGINT) AS tri FROM (
-       |         SELECT x AS vtx FROM tri
-       |         UNION ALL SELECT y FROM tri
-       |         UNION ALL SELECT z FROM tri)
-       |       GROUP BY vtx)
+       |tv AS (SELECT corner AS vtx, CAST(count(*) AS BIGINT) AS tri FROM (
+       |         SELECT unnest([e1.u, e1.v, e2.v]) AS corner
+       |         FROM e e1 JOIN e e2 ON e1.v = e2.u
+       |         JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v)
+       |       GROUP BY corner)
        |SELECT d.vtx, d.deg, coalesce(t.tri, 0) AS tri,
        |       CASE WHEN d.deg >= 2
        |            THEN round(CAST(2 * coalesce(t.tri, 0) AS DOUBLE)
@@ -944,14 +946,50 @@ object GraphQueries {
            |  SELECT x.c, coalesce(y.p, x.p) AS p
            |  FROM p${i}_${s - 1} x LEFT JOIN p${i}_${s - 1} y ON x.p = y.c)""".stripMargin
       }
+      // cross-edge monotonicity (r10): components only MERGE, so an edge
+      // whose endpoints share a component never crosses again — cross$i can
+      // relabel the PREVIOUS round's (shrinking) cross set instead of the
+      // full weighted edge list, leaving `e` referenced exactly once
+      // (cross1, where l0 labels are the identity so the join is a no-op).
+      // That matters at scale: DuckDB 1.0 re-evaluates a lambda-bearing
+      // MATERIALIZED CTE per reference (the ssspSql cliff), and e carries
+      // the per-char FNV lambda (~30 s/eval at sf10 × 17 references).
+      val crossCte =
+        if (i == 1)
+          """cross1 AS MATERIALIZED (
+            |  SELECT eu, ev, w, eu AS cu, ev AS cv FROM e)""".stripMargin
+        else
+          s"""cross$i AS MATERIALIZED (
+             |  SELECT ce.eu, ce.ev, ce.w, lu.comp AS cu, lv.comp AS cv
+             |  FROM cross$p ce JOIN l$p lu ON lu.vtx = ce.eu
+             |  JOIN l$p lv ON lv.vtx = ce.ev
+             |  WHERE lu.comp <> lv.comp)""".stripMargin
       Seq(
-        s"""cross$i AS MATERIALIZED (
-           |  SELECT e.eu, e.ev, e.w, lu.comp AS cu, lv.comp AS cv
-           |  FROM e JOIN l$p lu ON lu.vtx = e.eu JOIN l$p lv ON lv.vtx = e.ev
-           |  WHERE lu.comp <> lv.comp)""".stripMargin,
+        crossCte,
+        // struct-min replaced by the q_minmax_by string-packed composite
+        // (r10): DuckDB 1.0's min(STRUCT) aggregate ran >500 s on the
+        // 11.8M-row round-1 election at sf10 where the zero-padded
+        // fixed-width string min runs in 2 s. Lexicographic order on the
+        // padded concatenation equals the numeric (w, eu, ev, other)
+        // order (all parts non-negative; w < 2^31 → ≤10 digits, ids ≤16
+        // digits through sf100's key offsets); lpad silently TRUNCATES
+        // past the width, so the CASE guard errors loudly instead.
         s"""mine$i AS MATERIALIZED (
-           |  SELECT c, p.w AS w, p.eu AS eu, p.ev AS ev, p.other AS other FROM (
-           |    SELECT c, min({'w': w, 'eu': eu, 'ev': ev, 'other': other}) AS p FROM (
+           |  SELECT c,
+           |         CAST(substr(p, 1, 10) AS BIGINT) AS w,
+           |         CAST(substr(p, 11, 16) AS BIGINT) AS eu,
+           |         CAST(substr(p, 27, 16) AS BIGINT) AS ev,
+           |         CAST(substr(p, 43, 16) AS BIGINT) AS other FROM (
+           |    SELECT c, min(CASE WHEN length(CAST(w AS VARCHAR)) <= 10
+           |                        AND length(CAST(eu AS VARCHAR)) <= 16
+           |                        AND length(CAST(ev AS VARCHAR)) <= 16
+           |                        AND length(CAST(other AS VARCHAR)) <= 16
+           |                   THEN lpad(CAST(w AS VARCHAR), 10, '0') ||
+           |                        lpad(CAST(eu AS VARCHAR), 16, '0') ||
+           |                        lpad(CAST(ev AS VARCHAR), 16, '0') ||
+           |                        lpad(CAST(other AS VARCHAR), 16, '0')
+           |                   ELSE error('msf packed-key overflow: widen the lpad widths')
+           |              END) AS p FROM (
            |      SELECT cu AS c, w, eu, ev, cv AS other FROM cross$i
            |      UNION ALL
            |      SELECT cv AS c, w, eu, ev, cu AS other FROM cross$i)
@@ -976,7 +1014,19 @@ object GraphQueries {
   /** Fixed-round unrolled relaxation. Each round reads d_{i-1} TWICE
     * (carry + relax), so the CTEs must be MATERIALIZED — default
     * inlining expands the plan 2^rounds-fold (the kcoreSql hang, at a
-    * different fan-out). */
+    * different fan-out).
+    *
+    * The FNV weight is computed only on REACH-RESTRICTED edges (r10):
+    * relaxation can only ever fire an edge whose source endpoint lies in
+    * the sources' connected component, so joining the weightless edge set
+    * against the recursive reach closure first is answer-preserving — and
+    * it shrinks the expensive per-char HUGEINT lambda from every edge to
+    * the reached component's edges. That matters because DuckDB 1.0
+    * re-evaluates a lambda-bearing MATERIALIZED CTE per reference once an
+    * unrolled chain passes ~15 rounds (measured at sf10: 20 rounds over
+    * the all-edges weighted CTE ran >600 s — ~21 re-evals of a 41 s
+    * expression — while 15 rounds ran 49 s; the reach-restricted form
+    * runs the full 20 rounds in 6 s because each re-eval is ~1 s). */
   private def ssspSql(rounds: Int): String = {
     val wExpr = OracleSql.fnvIhash31(
       "CAST(least(u, v) AS VARCHAR) || '|' || CAST(greatest(u, v) AS VARCHAR)")
@@ -989,9 +1039,15 @@ object GraphQueries {
          |    FROM und e JOIN d${i - 1} r ON e.u = r.vtx)
          |  GROUP BY vtx)""".stripMargin
     }.mkString(",\n")
-    s"""WITH und AS MATERIALIZED (
+    s"""WITH RECURSIVE undu AS MATERIALIZED (
+       |  $undirectedSql),
+       |reach AS (
+       |  SELECT DISTINCT u AS vtx FROM undu WHERE u < 10
+       |  UNION
+       |  SELECT e.v AS vtx FROM reach r JOIN undu e ON e.u = r.vtx),
+       |und AS MATERIALIZED (
        |  SELECT u, v, CAST($wExpr % 1000 AS BIGINT) + 1 AS w
-       |  FROM ($undirectedSql)),
+       |  FROM undu JOIN reach ON undu.u = reach.vtx),
        |d0 AS (SELECT DISTINCT u AS vtx, CAST(0 AS BIGINT) AS dist
        |       FROM und WHERE u < 10),
        |$iterCtes
@@ -1014,10 +1070,14 @@ object GraphQueries {
   )
 
   /** The 10 power iterations unrolled as chained CTEs — iterative float
-    * algorithms with a FIXED round count stay inside plain SQL. */
+    * algorithms with a FIXED round count stay inside plain SQL. Every CTE
+    * is MATERIALIZED (r10): the default-inlined form re-derived the
+    * edge/degree subtrees per round and ran >600 s at sf10, while the
+    * materialized chain runs in ~54 s on identical data; the round(pr, 6)
+    * display tolerance already absorbs any summation-order difference. */
   private def pagerankSql(iters: Int): String = {
     val iterCtes = (1 to iters).map { i =>
-      s"""r$i AS (
+      s"""r$i AS MATERIALIZED (
          |  SELECT e.v AS vtx,
          |         0.15::DOUBLE / (SELECT n FROM nn)
          |           + 0.85::DOUBLE * sum(r.pr / d.deg) AS pr
@@ -1026,11 +1086,12 @@ object GraphQueries {
          |  JOIN deg d ON e.u = d.u
          |  GROUP BY e.v)""".stripMargin
     }.mkString(",\n")
-    s"""WITH und AS (
+    s"""WITH und AS MATERIALIZED (
        |  $undirectedSql
-       |), deg AS (SELECT u, count(*) AS deg FROM und GROUP BY u),
-       |nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
-       |r0 AS (SELECT u AS vtx, 1.0::DOUBLE / (SELECT n FROM nn) AS pr FROM deg),
+       |), deg AS MATERIALIZED (SELECT u, count(*) AS deg FROM und GROUP BY u),
+       |nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM deg),
+       |r0 AS MATERIALIZED (
+       |  SELECT u AS vtx, 1.0::DOUBLE / (SELECT n FROM nn) AS pr FROM deg),
        |$iterCtes
        |SELECT vtx, round(pr, 6) AS pr FROM r$iters ORDER BY vtx""".stripMargin
   }
@@ -1094,25 +1155,37 @@ object GraphQueries {
     "graph_pagerank" -> pagerankSql(10),
     "graph_kcore" -> kcoreSql(5, 8),
     "graph_components" ->
-      s"""WITH RECURSIVE und AS (
-         |  $undirectedSql
-         |), nodes AS (SELECT DISTINCT u AS vtx FROM und),
-         |cc AS (
-         |  SELECT vtx, vtx AS comp FROM nodes
-         |  UNION
-         |  SELECT e.v AS vtx, c.comp FROM cc c JOIN und e ON c.vtx = e.u
-         |)
-         |SELECT vtx, min(comp) AS comp FROM cc GROUP BY vtx ORDER BY vtx""".stripMargin,
+      s"""WITH ${componentLabelCtes(25)}
+         |SELECT vtx, comp FROM l25 ORDER BY vtx""".stripMargin,
     "graph_component_sizes" ->
-      s"""WITH RECURSIVE und AS (
-         |  $undirectedSql
-         |), nodes AS (SELECT DISTINCT u AS vtx FROM und),
-         |cc AS (
-         |  SELECT vtx, vtx AS comp FROM nodes
-         |  UNION
-         |  SELECT e.v AS vtx, c.comp FROM cc c JOIN und e ON c.vtx = e.u
-         |), final AS (SELECT vtx, min(comp) AS comp FROM cc GROUP BY vtx)
-         |SELECT comp, count(*) AS n_vertices FROM final
+      s"""WITH ${componentLabelCtes(25)}
+         |SELECT comp, count(*) AS n_vertices FROM l25
          |GROUP BY comp ORDER BY comp""".stripMargin
   )
+
+  /** Min-label propagation unrolled to `rounds` MATERIALIZED per-round
+    * CTEs — the dag_layers device applied to connected components (r10).
+    * The former RECURSIVE-CTE oracle accumulated every (vertex, label)
+    * pair the recursion ever reaches — Σ per-component size² rows, which
+    * OOM'd DuckDB's 24 GB budget at sf10 (~440M pairs) — while this form
+    * carries exactly one label per vertex per round: O(V + E) per round,
+    * scale-free in component size. `rounds` matches the Spark side's
+    * maxIter (25); min-propagation is idempotent past convergence, and an
+    * under-provisioned unroll leaves some label above its fixpoint — a
+    * LOUD hash mismatch against the converged Spark labels, never a
+    * false pass (the msfSql under-provisioning argument). */
+  private def componentLabelCtes(rounds: Int): String = {
+    val iter = (1 to rounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT vtx, min(comp) AS comp FROM (
+         |    SELECT vtx, comp FROM l${i - 1}
+         |    UNION ALL
+         |    SELECT e.v AS vtx, r.comp FROM und e JOIN l${i - 1} r ON e.u = r.vtx)
+         |  GROUP BY vtx)""".stripMargin
+    }.mkString(",\n")
+    s"""und AS MATERIALIZED (
+       |  $undirectedSql),
+       |l0 AS MATERIALIZED (SELECT DISTINCT u AS vtx, u AS comp FROM und),
+       |$iter""".stripMargin
+  }
 }
