@@ -339,8 +339,19 @@ object DedupQueries {
       bits: Int = 4, tables: Int = 24): DataFrame = {
     val base = Tables.embeddings(s, d)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    // scale-aware band width (r10): `bits` is the fixture-era FLOOR; the
+    // effective width grows with the measured corpus size so per-table
+    // bucket occupancy stays ~125 vectors and candidate volume stays
+    // bucket-bounded instead of Ω(n²/2^bits) — the sizing a production
+    // near-dup pass uses. At every driver fixture SF the floor binds, so
+    // those answers are unchanged; at sf10 (200k vectors) this reads 11
+    // bits / 2 048 buckets per table and the former ~17G-pair candidate
+    // stream collapses to the measured few-hundred-million.
+    val n = Tables.embeddings(s, d).count()
+    val effBits = SimilarityQueries.scaledLshBits(n, legacy = bits)
     // single shared definition of the plane family — see lshTableSigs
-    val sigs = SimilarityQueries.lshTableSigs(base, bits, tables)
+    val sigs = SimilarityQueries.lshTableSigs(base, effBits, tables,
+      legacyBits = bits)
     val buckets = sigs.groupBy("tbl", "sig")
       .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -359,7 +370,7 @@ object DedupQueries {
     // bucket aggregate, so auto-planning sort-merge-joins the pair
     // stream past the auto-broadcast threshold (rationale at
     // SimilarityQueries.vecsFitBroadcast)
-    val fit = SimilarityQueries.vecsFitBroadcast(s, Tables.embeddings(s, d).count())
+    val fit = SimilarityQueries.vecsFitBroadcast(s, n)
     def vside(df: DataFrame): DataFrame = if (fit) broadcast(df) else df
     cand
       .join(vside(vecsById.select(col("vec_id").as("va"), col("v").as("xa"))), "va")
@@ -448,15 +459,24 @@ object DedupQueries {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) > 0.4
         |ORDER BY va, vb""".stripMargin,
+    // band width computed from the corpus size by the same INTEGER rule as
+    // scaledLshBits (never floating log2 — a float boundary must not be
+    // able to disagree between engines); the VALUES list carries the full
+    // MaxLshBits-per-table plane family and `bit < nb` selects the prefix.
     "dedup_embedding_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |           FROM embeddings),
-         |p(j, pl) AS (VALUES ${SimilarityQueries.planeRowsSql(4, 24)}),
+         |nb AS (SELECT coalesce(min(b), ${SimilarityQueries.MaxLshBits}) AS b
+         |       FROM (SELECT unnest(generate_series(4, ${SimilarityQueries.MaxLshBits})) AS b),
+         |            (SELECT count(*) AS n FROM e)
+         |       WHERE 125 * (CAST(1 AS BIGINT) << b) >= n),
+         |p(tbl, bit, pl) AS (VALUES ${SimilarityQueries.planeRowsSqlScaled(24, 4)}),
          |bits AS (
-         |  SELECT e.vec_id, p.j // 4 AS tbl,
+         |  SELECT e.vec_id, p.tbl,
          |         CASE WHEN list_dot_product(e.v, p.pl) > 0
-         |              THEN 1 << (p.j % 4) ELSE 0 END AS b
-         |  FROM e CROSS JOIN p),
+         |              THEN 1 << p.bit ELSE 0 END AS b
+         |  FROM e CROSS JOIN p
+         |  WHERE p.bit < (SELECT b FROM nb)),
          |sigs AS (SELECT vec_id, tbl, CAST(sum(b) AS INT) AS sig
          |         FROM bits GROUP BY vec_id, tbl),
          |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb

@@ -305,19 +305,54 @@ object SimilarityQueries {
     "emb_norm_stats" -> (normStats(_, _))
   )
 
+  /** Hard cap on the scale-aware band width (`scaledLshBits`): 16 bits =
+    * 65 536 buckets/table covers corpora to ~8M vectors at the 125-rows/
+    * bucket target before the cap binds. Also sizes the extended plane
+    * namespace below. */
+  private[queries] val MaxLshBits = 16
+
+  /** Scale-aware LSH band width: the smallest b in [legacy, MaxLshBits]
+    * with n ≤ 125·2^b — i.e. bucket occupancy targeted at ~125 vectors,
+    * the production sizing rule (band width grows with corpus size so
+    * candidate volume stays bucket-bounded; a FIXED width is Ω(n²/2^bits)
+    * by convexity no matter how clustered the corpus is). Integer
+    * comparison, never floating log2: the DuckDB oracle evaluates the
+    * identical integer rule, and a float boundary (n/125 a near-power of
+    * two) must not be able to disagree between engines. At every driver
+    * fixture SF (n ≤ 2000) this floors at `legacy`, so fixture answers
+    * are bit-identical to the fixed-width era. */
+  private[queries] def scaledLshBits(n: Long, legacy: Int = 4): Int = {
+    var b = legacy
+    while (b < MaxLshBits && n > (125L << b)) b += 1
+    b
+  }
+
   /** Per-table LSH signatures (vec_id, tbl, sig) — the SINGLE definition
     * of the multi-table plane family. Shared by `annTopK` and
     * `DedupQueries.embeddingLsh` so band geometry / plane seeding can
     * never drift between them and the `planeRowsSql` oracle side.
+    *
+    * `legacyBits` (r10): callers that widen their bands with corpus size
+    * (`scaledLshBits`) pass their ORIGINAL fixed width here. Plane ids for
+    * bit positions below it keep the historical `t * legacyBits + i`
+    * seeding — so every fixture-scale answer is unchanged — while
+    * positions above it draw from a disjoint id range starting at
+    * `legacyBits * tables` (plane ids never collide across tables:
+    * each table owns MaxLshBits − legacyBits consecutive extended ids).
     */
   private[queries] def lshTableSigs(base: DataFrame, bits: Int,
-      tables: Int): DataFrame = {
+      tables: Int, legacyBits: Int = -1): DataFrame = {
     import graft.plans.DotProduct.dot_product
-    val plane: Int => Column = j =>
+    val lb = if (legacyBits < 0) bits else legacyBits
+    require(bits <= MaxLshBits, s"bits=$bits exceeds MaxLshBits=$MaxLshBits")
+    val plane: Long => Column = j =>
       array((0 until 64).map(i => lit(splitmixDouble(j * 64L + i))): _*)
+    def planeId(t: Int, i: Int): Long =
+      if (i < lb) (t * lb + i).toLong
+      else lb.toLong * tables + t.toLong * (MaxLshBits - lb) + (i - lb)
     def tableSig(t: Int): Column =
       (0 until bits).map(i =>
-        when(dot_product(col("v"), plane(t * bits + i)) > 0, lit(1 << i))
+        when(dot_product(col("v"), plane(planeId(t, i))) > 0, lit(1 << i))
           .otherwise(lit(0)))
         .reduce(_ + _)
     base.select(col("vec_id"),
@@ -333,6 +368,24 @@ object SimilarityQueries {
       val comps =
         (0 until 64).map(i => splitmixDouble(j * 64L + i).toString).mkString(",")
       s"($j,[$comps])"
+    }.mkString(",")
+
+  /** The FULL (tbl, bit, plane) family up to MaxLshBits per table as a
+    * DuckDB VALUES list, for oracles whose band width is computed from the
+    * corpus size at query time (`scaledLshBits`): the oracle carries every
+    * plane it could ever need and filters `bit < nb`. Ids follow the
+    * `lshTableSigs(legacyBits)` mapping exactly, so the fixture-era planes
+    * (bit < legacy) are byte-identical literals to `planeRowsSql`. */
+  private[queries] def planeRowsSqlScaled(tables: Int, legacy: Int): String =
+    (0 until tables).flatMap { t =>
+      (0 until MaxLshBits).map { i =>
+        val j =
+          if (i < legacy) (t * legacy + i).toLong
+          else legacy.toLong * tables + t.toLong * (MaxLshBits - legacy) + (i - legacy)
+        val comps =
+          (0 until 64).map(p => splitmixDouble(j * 64L + p).toString).mkString(",")
+        s"($t,$i,[$comps])"
+      }
     }.mkString(",")
 
   val oracles: Map[String, String] = Map(
