@@ -956,8 +956,11 @@ object GraphQueries {
       // the per-char FNV lambda (~30 s/eval at sf10 × 17 references).
       val crossCte =
         if (i == 1)
+          // eu <> ev preserves the generic relabel's lu.comp <> lv.comp
+          // under the round-1 identity labels: a self-loop edge must not
+          // win a min election (the Spark side excludes it via u < v)
           """cross1 AS MATERIALIZED (
-            |  SELECT eu, ev, w, eu AS cu, ev AS cv FROM e)""".stripMargin
+            |  SELECT eu, ev, w, eu AS cu, ev AS cv FROM e WHERE eu <> ev)""".stripMargin
         else
           s"""cross$i AS MATERIALIZED (
              |  SELECT ce.eu, ce.ev, ce.w, lu.comp AS cu, lv.comp AS cv

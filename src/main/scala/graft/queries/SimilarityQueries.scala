@@ -75,7 +75,7 @@ object SimilarityQueries {
     * components are fixed at plan-build time and become array literals, so
     * per-row work is just `bits` dot products.
     */
-  private[queries] def splitmixDouble(seed: Long): Double = {
+  private[graft] def splitmixDouble(seed: Long): Double = {
     var z = seed + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
@@ -309,7 +309,7 @@ object SimilarityQueries {
     * 65 536 buckets/table covers corpora to ~8M vectors at the 125-rows/
     * bucket target before the cap binds. Also sizes the extended plane
     * namespace below. */
-  private[queries] val MaxLshBits = 16
+  private[graft] val MaxLshBits = 16
 
   /** Scale-aware LSH band width: the smallest b in [legacy, MaxLshBits]
     * with n ≤ 125·2^b — i.e. bucket occupancy targeted at ~125 vectors,
@@ -321,11 +321,24 @@ object SimilarityQueries {
     * two) must not be able to disagree between engines. At every driver
     * fixture SF (n ≤ 2000) this floors at `legacy`, so fixture answers
     * are bit-identical to the fixed-width era. */
-  private[queries] def scaledLshBits(n: Long, legacy: Int = 4): Int = {
+  private[graft] def scaledLshBits(n: Long, legacy: Int = 4): Int = {
     var b = legacy
     while (b < MaxLshBits && n > (125L << b)) b += 1
     b
   }
+
+  /** The SINGLE definition of the multi-table plane-id namespace, shared by
+    * `lshTableSigs` (Spark side) and `planeRowsSqlScaled` (oracle side) so
+    * the two can never drift. Bit positions below `legacy` keep the
+    * historical `t * legacy + i` seeding — every fixture-scale answer is
+    * byte-identical to the fixed-width era — while positions in
+    * [legacy, MaxLshBits) draw from a disjoint range starting at
+    * `legacy * tables`, each table owning `MaxLshBits - legacy` consecutive
+    * extended ids. Injective over (t, i) ∈ [0,tables) × [0,MaxLshBits) —
+    * pinned by LshScaleSpec. */
+  private[graft] def lshPlaneId(t: Int, i: Int, legacy: Int, tables: Int): Long =
+    if (i < legacy) (t * legacy + i).toLong
+    else legacy.toLong * tables + t.toLong * (MaxLshBits - legacy) + (i - legacy)
 
   /** Per-table LSH signatures (vec_id, tbl, sig) — the SINGLE definition
     * of the multi-table plane family. Shared by `annTopK` and
@@ -340,16 +353,14 @@ object SimilarityQueries {
     * `legacyBits * tables` (plane ids never collide across tables:
     * each table owns MaxLshBits − legacyBits consecutive extended ids).
     */
-  private[queries] def lshTableSigs(base: DataFrame, bits: Int,
+  private[graft] def lshTableSigs(base: DataFrame, bits: Int,
       tables: Int, legacyBits: Int = -1): DataFrame = {
     import graft.plans.DotProduct.dot_product
     val lb = if (legacyBits < 0) bits else legacyBits
     require(bits <= MaxLshBits, s"bits=$bits exceeds MaxLshBits=$MaxLshBits")
     val plane: Long => Column = j =>
       array((0 until 64).map(i => lit(splitmixDouble(j * 64L + i))): _*)
-    def planeId(t: Int, i: Int): Long =
-      if (i < lb) (t * lb + i).toLong
-      else lb.toLong * tables + t.toLong * (MaxLshBits - lb) + (i - lb)
+    def planeId(t: Int, i: Int): Long = lshPlaneId(t, i, lb, tables)
     def tableSig(t: Int): Column =
       (0 until bits).map(i =>
         when(dot_product(col("v"), plane(planeId(t, i))) > 0, lit(1 << i))
@@ -363,7 +374,7 @@ object SimilarityQueries {
     * deterministic (fixed planes, sequential-fold dots on both engines), so
     * unlike the hash-family sketches it gets a complete SQL oracle.
     */
-  private[queries] def planeRowsSql(bits: Int, tables: Int): String =
+  private[graft] def planeRowsSql(bits: Int, tables: Int): String =
     (0 until bits * tables).map { j =>
       val comps =
         (0 until 64).map(i => splitmixDouble(j * 64L + i).toString).mkString(",")
@@ -376,12 +387,10 @@ object SimilarityQueries {
     * plane it could ever need and filters `bit < nb`. Ids follow the
     * `lshTableSigs(legacyBits)` mapping exactly, so the fixture-era planes
     * (bit < legacy) are byte-identical literals to `planeRowsSql`. */
-  private[queries] def planeRowsSqlScaled(tables: Int, legacy: Int): String =
+  private[graft] def planeRowsSqlScaled(tables: Int, legacy: Int): String =
     (0 until tables).flatMap { t =>
       (0 until MaxLshBits).map { i =>
-        val j =
-          if (i < legacy) (t * legacy + i).toLong
-          else legacy.toLong * tables + t.toLong * (MaxLshBits - legacy) + (i - legacy)
+        val j = lshPlaneId(t, i, legacy, tables)
         val comps =
           (0 until 64).map(p => splitmixDouble(j * 64L + p).toString).mkString(",")
         s"($t,$i,[$comps])"
