@@ -341,12 +341,19 @@ object DedupQueries {
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
     // scale-aware band width (r10): `bits` is the fixture-era FLOOR; the
     // effective width grows with the measured corpus size so per-table
-    // bucket occupancy stays ~125 vectors and candidate volume stays
+    // MEAN bucket occupancy stays ~125 vectors and candidate volume stays
     // bucket-bounded instead of Ω(n²/2^bits) — the sizing a production
     // near-dup pass uses. At every driver fixture SF the floor binds, so
     // those answers are unchanged; at sf10 (200k vectors) this reads 11
-    // bits / 2 048 buckets per table and the former ~17G-pair candidate
-    // stream collapses to the measured few-hundred-million.
+    // bits / 2 048 buckets per table. Measured there (r11, DuckDB bucket
+    // histogram on the oracle's own sigs CTE): 4.30e9 candidate pairs
+    // with per-table multiplicity vs 2.00e10 all-pairs — a 4.6×
+    // reduction, NOT the hoped-for orders of magnitude, because random-
+    // projection signatures are heavily skewed on this clustered upscale
+    // (max bucket 14 813 of 200 000). Occupancy targeting bounds the
+    // MEAN; residual sig-skew is inherent to hyperplane LSH and is why
+    // the banded families (minhash/simhash) stay the primary near-dup
+    // scale path, with this operator as the embedding-space verifier.
     val n = Tables.embeddings(s, d).count()
     val effBits = SimilarityQueries.scaledLshBits(n, legacy = bits)
     // single shared definition of the plane family — see lshTableSigs
