@@ -470,6 +470,19 @@ object DedupQueries {
     // scaledLshBits (never floating log2 — a float boundary must not be
     // able to disagree between engines); the VALUES list carries the full
     // MaxLshBits-per-table plane family and `bit < nb` selects the prefix.
+    // sig folds with bit_or, not sum: the per-(vec_id,tbl) rows carry
+    // disjoint powers of two so the answers are identical, but DuckDB's
+    // sum(INTEGER) accumulates in INT128 and its spilled external
+    // aggregate miscasts that state at sf10 volumes (observed r11) —
+    // bit_or stays INTEGER end-to-end.
+    // the pair stream is never materialized: DISTINCT runs AFTER the
+    // cosine filter (sim is deterministic per (va,vb), so deduping
+    // (va,vb,sim) post-score is answer-identical), and the vectors ride
+    // INTO the bucket self-join on the signature rows (svecs) so the
+    // ~4.3e9-pair sf10 stream flows scan→probe→cosine→filter in one
+    // pipeline with a 4.8M-row build side. Both a DISTINCT on the raw
+    // pairs and a pairs-then-vectors join shape materialized the stream
+    // (~70 GB, exceeds the sandbox disk — observed r11, twice).
     "dedup_embedding_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |           FROM embeddings),
@@ -484,17 +497,17 @@ object DedupQueries {
          |              THEN 1 << p.bit ELSE 0 END AS b
          |  FROM e CROSS JOIN p
          |  WHERE p.bit < (SELECT b FROM nb)),
-         |sigs AS (SELECT vec_id, tbl, CAST(sum(b) AS INT) AS sig
+         |sigs AS (SELECT vec_id, tbl, CAST(bit_or(b) AS INT) AS sig
          |         FROM bits GROUP BY vec_id, tbl),
-         |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-         |         FROM sigs a
-         |         JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig
-         |                     AND a.vec_id < b.vec_id)
-         |SELECT c.va, c.vb, list_cosine_similarity(ea.v, eb.v) AS sim
-         |FROM cand c
-         |JOIN e ea ON c.va = ea.vec_id
-         |JOIN e eb ON c.vb = eb.vec_id
-         |WHERE list_cosine_similarity(ea.v, eb.v) > 0.4
+         |svecs AS (SELECT s.vec_id, s.tbl, s.sig, e.v
+         |          FROM sigs s JOIN e USING (vec_id))
+         |SELECT DISTINCT va, vb, sim FROM (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb,
+         |         list_cosine_similarity(a.v, b.v) AS sim
+         |  FROM svecs a
+         |  JOIN svecs b ON a.tbl = b.tbl AND a.sig = b.sig
+         |              AND a.vec_id < b.vec_id)
+         |WHERE sim > 0.4
          |ORDER BY va, vb""".stripMargin,
     "pipeline_clean_corpus" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS fp, count(*) AS n_copies

@@ -490,7 +490,7 @@ object SimilarityQueries {
          |         CASE WHEN list_dot_product(e.v, p.pl) > 0
          |              THEN CAST(1 AS BIGINT) << p.j ELSE 0 END AS b
          |  FROM e CROSS JOIN p),
-         |sigs AS (SELECT vec_id, label, CAST(sum(b) AS BIGINT) AS sig
+         |sigs AS (SELECT vec_id, label, CAST(bit_or(b) AS BIGINT) AS sig
          |         FROM bits GROUP BY vec_id, label)
          |SELECT sig, count(*) AS n_vectors,
          |       count(DISTINCT label) AS n_labels
@@ -504,7 +504,7 @@ object SimilarityQueries {
          |         CASE WHEN list_dot_product(e.v, p.pl) > 0
          |              THEN 1 << (p.j % 3) ELSE 0 END AS b
          |  FROM e CROSS JOIN p),
-         |sigs AS (SELECT vec_id, tbl, CAST(sum(b) AS INT) AS sig
+         |sigs AS (SELECT vec_id, tbl, CAST(bit_or(b) AS INT) AS sig
          |         FROM bits GROUP BY vec_id, tbl),
          |qs AS (SELECT vec_id AS qid, tbl, sig FROM sigs WHERE vec_id < 10),
          |cand AS (SELECT DISTINCT q.qid, s.vec_id

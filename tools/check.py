@@ -76,7 +76,11 @@ def connect(sf_dir):
     # allocations (r8 sweep lesson; harmless at fixture scale)
     con.execute("SET memory_limit='24GB'")
     con.execute("SET threads=16")
-    con.execute("PRAGMA temp_directory='/tmp/duckdb_spill'")
+    # per-process spill dir: two concurrent check.py runs sharing one
+    # temp_directory delete each other's duckdb_temp_storage-*.tmp and
+    # BOTH abort (observed r11, two 14-min sf10 compares lost)
+    import os as _os
+    con.execute(f"PRAGMA temp_directory='/tmp/duckdb_spill_{_os.getpid()}'")
     for t in TABLES:
         # driver fixtures are single files; Upscale'd dirs (sf1) are
         # Spark-written directories of part files — glob those
