@@ -110,7 +110,7 @@ object BreadthQueries {
   def binaryHammingTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+        col("embedding").cast("array<double>").as("v"))
     def word(lo: Int): Column = expr(
       s"""aggregate(transform(sequence(0, 31),
          |  i -> IF(element_at(v, i + ${lo + 1}) > CAST(0 AS DOUBLE),

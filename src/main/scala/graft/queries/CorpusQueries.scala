@@ -132,7 +132,7 @@ object CorpusQueries {
   def quantizeInt8(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+        col("embedding").cast("array<double>").as("v"))
       .withColumn("amax", array_max(transform(col("v"), x => abs(x))))
       .filter(col("amax") > 0)
       .withColumn("scale", lit(127.0) / col("amax"))

@@ -91,7 +91,7 @@ object CurationQueries {
     */
   def decontamSemantic(s: SparkSession, d: String, tau: Double = 0.4): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
+      col("embedding").cast("array<double>").as("v"))
     val evalSet = e.filter(col("vec_id") % 10 === 0)
       .select(col("v").as("xe")) // only the vector crosses the broadcast
     e.filter(col("vec_id") % 10 =!= 0)

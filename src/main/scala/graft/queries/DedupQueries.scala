@@ -309,7 +309,7 @@ object DedupQueries {
       threshold: Double = 0.4): DataFrame = {
     val e = Tables.embeddings(s, d)
       .filter(col("vec_id") < maxVecId)
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val a = e.select(col("vec_id").as("va"), col("v").as("xa"))
     val b = e.select(col("vec_id").as("vb"), col("v").as("xb"))
     a.join(b, col("va") < col("vb"))
@@ -338,7 +338,7 @@ object DedupQueries {
   def embeddingLsh(s: SparkSession, d: String, threshold: Double = 0.4,
       bits: Int = 4, tables: Int = 24): DataFrame = {
     val base = Tables.embeddings(s, d)
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     // scale-aware band width (r10): `bits` is the fixture-era FLOOR; the
     // effective width grows with the measured corpus size so per-table
     // MEAN bucket occupancy stays ~125 vectors and candidate volume stays
@@ -370,7 +370,7 @@ object DedupQueries {
     // blocked pair generation: isotropic corpora make these buckets FAT
     // (n/16 ids each), so the plain shape's parallelism caps at the
     // bucket count — the blocked form scales with pair volume
-    val cand = BucketPairs.pairsBlocked(buckets, "ids", "va", "vb").distinct()
+    val cand = BucketPairs.pairsBlocked(buckets, "ids", "va", "vb")
     val vecsById = base.select(col("vec_id"), col("v"))
     // vector-table joins hinted by MEASURED vector count — the candidate
     // stream dwarfs the vector table and its stats descend from the
@@ -379,6 +379,13 @@ object DedupQueries {
     // SimilarityQueries.vecsFitBroadcast)
     val fit = SimilarityQueries.vecsFitBroadcast(s, n)
     def vside(df: DataFrame): DataFrame = if (fit) broadcast(df) else df
+    // DISTINCT runs AFTER the cosine filter (r11, guide §2.3/§2.4 —
+    // mirrors the same restructuring the sf10 oracle run forced on the
+    // DuckDB side): deduping the raw multi-table pair stream shuffled
+    // every candidate (sf0.1: ~3M rows, the query's largest exchange);
+    // sim is deterministic per (va, vb), so scoring duplicates and
+    // deduping the filtered survivors (~1k rows here) is answer-identical
+    // while the pair stream stays fully pipelined generate→probe→score.
     cand
       .join(vside(vecsById.select(col("vec_id").as("va"), col("v").as("xa"))), "va")
       .join(vside(vecsById.select(col("vec_id").as("vb"), col("v").as("xb"))), "vb")
@@ -386,6 +393,7 @@ object DedupQueries {
         graft.plans.CosineSimilarity.cosine_sim(col("xa"), col("xb")))
       .filter(col("sim") > threshold)
       .select("va", "vb", "sim")
+      .distinct()
       .orderBy("va", "vb")
   }
 

@@ -74,6 +74,14 @@ object GraphQueries {
     // of the join+count a changed-row comparison needs. The sum is
     // null-coalesced so an EMPTY graph (sum over zero rows is SQL null)
     // converges to an empty result instead of NPEing on getLong.
+    //
+    // r11 note (measured, guide §1.1): batching rounds 9-deep per job via
+    // the self-loop device (see dagLayers) was tried here and REJECTED —
+    // this edge set is ~50× dagLayers' (both directions of every
+    // co-occurrence edge), so the extra in-plan rounds past the ~5-round
+    // fixture fixpoint cost far more data work than the saved per-round
+    // driver latency (warm sf0.1: 4.3 s round-at-a-time vs 7.7-8.3 s
+    // batched). Round-at-a-time with lazy checkpoints stays.
     var lastSum = Long.MinValue
     while (!converged && i < maxIter) {
       val viaNeighbors = e.join(labels, e("u") === labels("vtx"))
@@ -306,6 +314,12 @@ object GraphQueries {
     val e = edges(s, d).localCheckpoint(false)
     var dist = e.select(col("u").as("vtx")).filter(col("vtx") < 10)
       .distinct().withColumn("dist", lit(0)).localCheckpoint(false)
+    // r11 note (measured, guide §1.1): the batched self-loop unroll (see
+    // dagLayers) was tried here and REJECTED for the same reason as
+    // minLabelPropagation — the full 1.1M-row edge join per in-plan round
+    // makes overshoot past the shallow fixture fixpoint cost more than
+    // the saved driver latency (warm sf0.1: 3.4-4.0 s round-at-a-time vs
+    // 7.4-9.4 s batched). Round-at-a-time with lazy checkpoints stays.
     var converged = false
     var i = 0
     var last = (-1L, Long.MinValue)
@@ -729,26 +743,49 @@ object GraphQueries {
       .localCheckpoint(false)
     var layer = e.select(col("u").as("vtx")).union(e.select(col("v").as("vtx")))
       .distinct().withColumn("layer", lit(0)).localCheckpoint(false)
-    // Eager per-round convergence via the sum invariant (the
-    // minLabelPropagation device, flipped for max-plus: layers only ever
-    // INCREASE, so equal consecutive sums ⇔ fixpoint, and every later
-    // contractual round repeats verbatim — the ktruss short-circuit). The
-    // per-round aggregate also materializes each lazy checkpoint, which
-    // is what keeps the nested-RDD task binary shallow: 45 ALL-lazy
-    // rounds overflow the executor stack at task DEserialization
-    // (pagerank's 10 lazy rounds fit).
+    // Eager convergence via the sum invariant (the minLabelPropagation
+    // device, flipped for max-plus: layers only ever INCREASE, so equal
+    // consecutive sums ⇔ fixpoint, and every later contractual round
+    // repeats verbatim — the ktruss short-circuit). r11 (guide §1.2/§2.6):
+    // rounds run UNROLLED IN BATCHES of 9 relaxations per materialized
+    // job — the per-round driver latency (job launch + checkpoint + a
+    // separate convergence action, ~0.2 s each on this host) dominated
+    // the measured 10.6 s wall at sf0.1, where the data work of all
+    // rounds together is ~2 s. To unroll without materializing, each
+    // round must reference the previous layer table exactly ONCE (a
+    // `union(cur, join(e, cur))` shape doubles the lazy plan per round —
+    // 2^9 recomputation, measured 4-7× SLOWER than round-at-a-time), so
+    // the carry-forward is folded into the join itself: the edge list is
+    // augmented with weight-0 self-loops over the vertex set and a round
+    // becomes one join + one max-aggregate of layer + w. Batch size 9
+    // keeps the lazy in-plan chain under pagerank's proven 10-round
+    // task-binary depth (45 all-lazy rounds overflow the executor stack
+    // at task DEserialization). Answer unchanged: max-plus relaxation
+    // with self-loops is the union+max recurrence verbatim, monotone and
+    // idempotent; the total in-plan round budget is exactly `rounds`,
+    // and overshoot within a converged batch replays the fixpoint.
+    val eAug = e.select(col("u"), col("v"), lit(1).as("w"))
+      .union(layer.select(col("vtx").as("u"), col("vtx").as("v"), lit(0).as("w")))
+      .localCheckpoint(false)
+    val batch = 9
     var lastSum = -1L
     var converged = false
-    for (_ <- 1 to rounds if !converged) {
-      layer = dropStats(s, layer.union(
-          e.join(layer, e("u") === layer("vtx"))
-            .select(col("v").as("vtx"), (col("layer") + 1).as("layer")))
-        .groupBy("vtx").agg(max("layer").as("layer"))
-        .localCheckpoint(false))
+    var done = 0
+    while (done < rounds && !converged) {
+      val k = math.min(batch, rounds - done)
+      var cur = layer
+      for (_ <- 1 to k) {
+        cur = eAug.join(cur, eAug("u") === cur("vtx"))
+          .groupBy(eAug("v").as("vtx"))
+          .agg(max(cur("layer") + col("w")).as("layer"))
+          .select(col("vtx"), col("layer"))
+      }
+      layer = dropStats(s, cur.localCheckpoint(false))
       val sm = layer.agg(coalesce(sum(col("layer")), lit(0L)))
         .collect()(0).getLong(0)
       converged = sm == lastSum
       lastSum = sm
+      done += k
     }
     layer.groupBy("layer").agg(count(lit(1)).as("n_vertices")).orderBy("layer")
   }

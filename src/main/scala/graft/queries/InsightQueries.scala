@@ -178,7 +178,7 @@ object InsightQueries {
     import graft.plans.CosineSimilarity.cosine_sim
     val base = Tables.embeddings(s, d)
       .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+        col("embedding").cast("array<double>").as("v"))
     val q = base.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val sims = base.join(broadcast(q), col("vec_id") =!= col("qid"))

@@ -211,7 +211,7 @@ object MiningQueries {
     val v0 = array((0 until 64).map(j => lit(pcaV0(j))): _*)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+        col("embedding").cast("array<double>").as("v"))
     val dot = aggregate(zip_with(col("v"), v0, (x, y) => x * y),
       lit(0.0), (acc, t) => acc + t)
     val terms = e.withColumn("dot", dot)

@@ -129,7 +129,7 @@ object MixQueries {
   def centroids(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("label"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+        col("embedding").cast("array<double>").as("v"))
     val cent = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy("label", "pos").agg(round(avg("x"), 6).as("c"))
       .groupBy("label")
@@ -158,7 +158,7 @@ object MixQueries {
   def knnClassify(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+        col("embedding").cast("array<double>").as("v"))
     val queries = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("label").as("true_label"),
         col("v").as("qv"))
@@ -295,7 +295,7 @@ object MixQueries {
   def embDrift(s: SparkSession, d: String): DataFrame = {
     val terms = Tables.embeddings(s, d)
       .select((col("vec_id") % 2).as("grp"),
-        posexplode(transform(col("embedding"), x => x.cast("double")))
+        posexplode(col("embedding").cast("array<double>"))
           .as(Seq("j0", "x")))
       .select(col("grp"), (col("j0") + 1).as("dim"),
         round(col("x") * 1e6).cast("long").as("x_micro"))
@@ -483,7 +483,7 @@ object MixQueries {
   private def confusionCells(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+        col("embedding").cast("array<double>").as("v"))
     val cent = e.select(col("label").as("clabel"),
         posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy("clabel", "pos").agg(round(avg("x"), 6).as("c"))

@@ -32,7 +32,7 @@ object MlQueries {
   def kmeansStep(s: SparkSession, d: String, k: Int = 8): DataFrame = {
     val base = Tables.embeddings(s, d)
       .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+        col("embedding").cast("array<double>").as("v"))
     val cents = base.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     lloydAssign(base, cents)
@@ -78,7 +78,7 @@ object MlQueries {
   def kmeansIter(s: SparkSession, d: String, k: Int = 8): DataFrame = {
     val base = Tables.embeddings(s, d)
       .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+        col("embedding").cast("array<double>").as("v"))
     val c0 = base.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     val c1 = lloydRecompute(lloydAssign(base, c0))

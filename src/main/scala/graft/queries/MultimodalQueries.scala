@@ -79,7 +79,7 @@ object MultimodalQueries {
       .toDF().select(col("id"), col("n_bytes"))
     val emb = graft.Tables.embeddings(s, d)
       .select(col("vec_id").as("id"), col("label"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+        col("embedding").cast("array<double>").as("v"))
       .withColumn("norm_micro", round(l2norm(col("v")) * 1e6).cast("long"))
     media.join(emb, "id")
       .groupBy("label")

@@ -199,7 +199,7 @@ object QualityQueries {
     import graft.plans.CosineSimilarity.cosine_sim
     val base = Tables.embeddings(s, d)
       .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+        col("embedding").cast("array<double>").as("v"))
     val cents: Array[Array[Double]] = base.filter(col("vec_id") < cells)
       .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
     require(cents.length == cells,

@@ -42,7 +42,7 @@ object SimilarityQueries {
   private def vecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+        col("embedding").cast("array<double>").as("v"))
 
   /** Brute-force cosine top-k: 10 query vectors (vec_id < 10) against the
     * full corpus, k=5 neighbors each, ranked (sim DESC, vec_id) for
@@ -90,11 +90,14 @@ object SimilarityQueries {
     * SQL-expressible — fully oracled below.
     */
   def annLshBuckets(s: SparkSession, d: String, bits: Int = 12): DataFrame = {
-    val plane: (Int) => Column = j =>
-      array((0 until 64).map(i => lit(splitmixDouble(j * 64L + i))): _*)
-    val sig = (0 until bits).map(j =>
-      when(dot(col("v"), plane(j)) > 0, shiftleft(lit(1L), j)).otherwise(0L))
-      .reduce(_ + _)
+    // r11: one native LshSigs evaluation (single table) instead of 12
+    // inline 64-literal plane arrays — same signature values, O(1) plan.
+    // Plane j here is lshPlaneId(0, j, legacy=bits, tables=1) = j, i.e.
+    // byte-identical to the historical seeding and the oracle's planes.
+    val planes: Array[Array[Double]] =
+      Array.tabulate(bits)(j => Array.tabulate(64)(i => splitmixDouble(j * 64L + i)))
+    val sig = graft.plans.LshSigs.lsh_sigs(col("v"), planes, bits)
+      .getItem(0).cast("long")
     vecs(s, d)
       .withColumn("sig", sig)
       .groupBy("sig")
@@ -220,7 +223,7 @@ object SimilarityQueries {
       k: Int = 4): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+        col("embedding").cast("array<double>").as("v"))
     val subs = emb.select(col("vec_id"), explode(array((0 until m).map { j =>
         struct(lit(j).as("j"), slice(col("v"), j * dsub + 1, dsub).as("sv"))
       }: _*)).as("e"))
@@ -355,19 +358,20 @@ object SimilarityQueries {
     */
   private[graft] def lshTableSigs(base: DataFrame, bits: Int,
       tables: Int, legacyBits: Int = -1): DataFrame = {
-    import graft.plans.DotProduct.dot_product
     val lb = if (legacyBits < 0) bits else legacyBits
     require(bits <= MaxLshBits, s"bits=$bits exceeds MaxLshBits=$MaxLshBits")
-    val plane: Long => Column = j =>
-      array((0 until 64).map(i => lit(splitmixDouble(j * 64L + i))): _*)
-    def planeId(t: Int, i: Int): Long = lshPlaneId(t, i, lb, tables)
-    def tableSig(t: Int): Column =
-      (0 until bits).map(i =>
-        when(dot_product(col("v"), plane(planeId(t, i))) > 0, lit(1 << i))
-          .otherwise(lit(0)))
-        .reduce(_ + _)
+    // r11: the whole plane family rides into ONE native expression
+    // (plans/LshSigs) instead of tables × bits × 65 inline literal nodes —
+    // same signatures bit-for-bit (LshSigsSpec), but the plan and its
+    // codegen are O(1) in band geometry, which the per-fresh-plan bench
+    // (and any short-lived production job) pays for directly.
+    val planes: Array[Array[Double]] = Array.tabulate(tables * bits) { k =>
+      val j = lshPlaneId(k / bits, k % bits, lb, tables)
+      Array.tabulate(64)(p => splitmixDouble(j * 64L + p))
+    }
     base.select(col("vec_id"),
-      posexplode(array((0 until tables).map(tableSig): _*)).as(Seq("tbl", "sig")))
+      posexplode(graft.plans.LshSigs.lsh_sigs(col("v"), planes, bits))
+        .as(Seq("tbl", "sig")))
   }
 
   /** The hyperplanes as a DuckDB VALUES list — the ANN pipeline is fully

@@ -20,7 +20,7 @@ object SurfaceQueries {
   def hofFuncs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+        col("embedding").cast("array<double>").as("v"))
       .select(col("vec_id"),
         exists(col("v"), x => x > 0.2).as("has_big"),
         forall(col("v"), x => abs(x) < 1.0).as("all_small"),
