@@ -28,7 +28,13 @@ object GraphQueries {
       .filter(col("l_partkey") % 10 === col("l_suppkey") % 10)
       .select(col("l_partkey").as("u"), (col("l_suppkey") + 1000000L).as("v"))
       .distinct()
-    li.union(li.select(col("v").as("u"), col("u").as("v"))).distinct()
+    // r11 (guide §2.4 "a distinct on data that is already unique"): no
+    // trailing distinct on the union — the graph is bipartite with
+    // DISJOINT id ranges (u = partkey < 1 000 000 ≤ suppkey + 1 000 000
+    // = v), so the reversed branch can never collide with the forward
+    // one and the union of a distinct set with its reversal is already
+    // a set. The removed exchange was paid by every graph query.
+    li.union(li.select(col("v").as("u"), col("u").as("v")))
   }
 
   /** Connected components: (vertex, component) with component = min vertex
@@ -431,6 +437,13 @@ object GraphQueries {
   private def dropStats(s: SparkSession, df: DataFrame): DataFrame =
     s.createDataFrame(df.rdd, df.schema)
 
+  /** Driver budget for Borůvka's per-round merge-graph contraction (one
+    * (c, other) long pair per ACTIVE component, ≤ 32 MB collected at the
+    * cap) — the `dedupClusters` localCap sibling. Fixture merge graphs
+    * are thousands of rows; a true cluster-scale first round falls back
+    * to the distributed pointer doubling. */
+  private val MsfMergeLocalCap = 2000000
+
   def boruvkaMsf(s: SparkSession, d: String, maxRounds: Int = 20): DataFrame = {
     val und = edges(s, d)
     val us = least(col("u"), col("v"))
@@ -467,44 +480,91 @@ object GraphQueries {
           .localCheckpoint(false)
         forest = forest.union(
           minE.select(col("eu"), col("ev"), col("w")).distinct())
-        // contract by pointer doubling: hook each component to its chosen
-        // neighbor, canonicalize the unique mutual-min 2-cycle per chosen
-        // component to its min endpoint (the root), then square the
-        // pointer map until stable — O(log chain-depth) self-joins
+        // contract the round's merge graph. The merge graph has AT MOST
+        // one chosen edge per active component and shrinks geometrically
+        // round over round — it is component-sized, never corpus-sized.
+        //
+        // r11 (guide §1.2; the dedupClusters hybrid device): when it fits
+        // the driver budget, the contraction runs as a LOCAL pointer walk
+        // in one collect instead of the distributed mutual-min semi-join
+        // plus O(log chain-depth) pointer-squaring jobs — measured at
+        // sf0.1 the squaring loop alone was ~3 driver-sequential jobs per
+        // Borůvka round of a few hundred rows each. Semantics are the
+        // doubling loop's EXACTLY: hook each component to its chosen
+        // neighbor, the unique mutual-min 2-cycle per merge tree (strict
+        // total order guarantees it) canonicalizes to its min endpoint,
+        // every chain resolves to that root (memoized walk below ≡ the
+        // squaring fixpoint). Past the cap — merge graphs at true cluster
+        // scale — the distributed doubling runs unchanged.
         val ptr0 = minE.select(col("c"), col("other"))
-        val mutual = ptr0.as("a")
-          .join(ptr0.as("b"),
-            col("a.other") === col("b.c") && col("b.other") === col("a.c"),
-            "left_semi")
-          .select(col("c"), least(col("c"), col("other")).as("p"))
-        var p = ptr0.join(mutual.select(col("c"), col("p")), Seq("c"), "left")
-          .select(col("c"), coalesce(col("p"), col("other")).as("p"))
-          .localCheckpoint(false)
-        // squaring is idempotent exactly when every pointer is a root, so
-        // the per-row "did p move" flag is summed in the SAME job that
-        // materializes the checkpoint (pointer values are not monotone
-        // under doubling — a sum-of-labels invariant would be unsound)
-        var stable = false
-        while (!stable) {
-          val next = p.as("x")
-            .join(p.select(col("c").as("pc"), col("p").as("pp")),
-              col("x.p") === col("pc"), "left")
-            .select(col("x.c").as("c"),
-              coalesce(col("pp"), col("x.p")).as("p"),
-              (col("pp").isNotNull && col("pp") =!= col("x.p"))
-                .cast("long").as("chg"))
+        val local = ptr0.limit(MsfMergeLocalCap + 1).collect()
+        if (local.length <= MsfMergeLocalCap) {
+          val other = new java.util.HashMap[Long, Long](local.length * 2)
+          local.foreach(r => other.put(r.getLong(0), r.getLong(1)))
+          val root = new java.util.HashMap[Long, Long](local.length * 2)
+          def find(c: Long): Long = {
+            var x = c
+            val path = scala.collection.mutable.ArrayBuffer.empty[Long]
+            var r = Long.MinValue
+            while (r == Long.MinValue) {
+              if (root.containsKey(x)) r = root.get(x)
+              else {
+                // every chain node's pointer is defined (each component
+                // incident to a cross edge elects an edge; `other` is that
+                // neighbor) — the defaults only harden against a logic bug,
+                // turning it into a self-root instead of an NPE
+                val o = other.getOrDefault(x, x)
+                if (o == x || other.getOrDefault(o, Long.MinValue) == x)
+                  r = math.min(x, o) // the mutual-min 2-cycle
+                else { path += x; x = o }
+              }
+            }
+            path.foreach(n => root.put(n, r))
+            root.put(x, r)
+            r
+          }
+          import s.implicits._
+          val mapping = local.map(r => (r.getLong(0), find(r.getLong(0)))).toSeq
+            .toDF("comp", "newc")
+          labels = dropStats(s, labels
+            .join(broadcast(mapping), Seq("comp"), "left")
+            .select(col("vtx"), coalesce(col("newc"), col("comp")).as("comp"))
+            .localCheckpoint(false))
+        } else {
+          val mutual = ptr0.as("a")
+            .join(ptr0.as("b"),
+              col("a.other") === col("b.c") && col("b.other") === col("a.c"),
+              "left_semi")
+            .select(col("c"), least(col("c"), col("other")).as("p"))
+          var p = ptr0.join(mutual.select(col("c"), col("p")), Seq("c"), "left")
+            .select(col("c"), coalesce(col("p"), col("other")).as("p"))
             .localCheckpoint(false)
-          val changed = next.agg(coalesce(
-            org.apache.spark.sql.functions.sum("chg"), lit(0L)))
-            .collect()(0).getLong(0)
-          p = next.select(col("c"), col("p"))
-          stable = changed == 0L
+          // squaring is idempotent exactly when every pointer is a root, so
+          // the per-row "did p move" flag is summed in the SAME job that
+          // materializes the checkpoint (pointer values are not monotone
+          // under doubling — a sum-of-labels invariant would be unsound)
+          var stable = false
+          while (!stable) {
+            val next = p.as("x")
+              .join(p.select(col("c").as("pc"), col("p").as("pp")),
+                col("x.p") === col("pc"), "left")
+              .select(col("x.c").as("c"),
+                coalesce(col("pp"), col("x.p")).as("p"),
+                (col("pp").isNotNull && col("pp") =!= col("x.p"))
+                  .cast("long").as("chg"))
+              .localCheckpoint(false)
+            val changed = next.agg(coalesce(
+              org.apache.spark.sql.functions.sum("chg"), lit(0L)))
+              .collect()(0).getLong(0)
+            p = next.select(col("c"), col("p"))
+            stable = changed == 0L
+          }
+          labels = dropStats(s, labels
+            .join(p.select(col("c").as("comp"), col("p").as("newc")),
+              Seq("comp"), "left")
+            .select(col("vtx"), coalesce(col("newc"), col("comp")).as("comp"))
+            .localCheckpoint(false))
         }
-        labels = dropStats(s, labels
-          .join(p.select(col("c").as("comp"), col("p").as("newc")),
-            Seq("comp"), "left")
-          .select(col("vtx"), coalesce(col("newc"), col("comp")).as("comp"))
-          .localCheckpoint(false))
       }
       rounds += 1
     }
@@ -833,6 +893,11 @@ object GraphQueries {
     var hub = e.select(col("p")).distinct()
       .withColumn("h", lit(1000000L)).localCheckpoint(false)
     var auth: DataFrame = null
+    // r11 note (measured, guide §1.1): checkpointing the half-round
+    // join-aggregates so the 1-row max's broadcast build and the
+    // renormalization chain share one evaluation was tried and REJECTED —
+    // the added materialization jobs cancel the halved compute at this
+    // scale (warm sf0.1, normalized against an untouched control: a wash).
     for (_ <- 1 to rounds) {
       val aRaw = e.join(hub, "p").groupBy("sv").agg(sum(col("h")).as("a"))
       val aMax = aRaw.agg(max(col("a")).as("am"))
