@@ -28,13 +28,17 @@ object GraphQueries {
       .filter(col("l_partkey") % 10 === col("l_suppkey") % 10)
       .select(col("l_partkey").as("u"), (col("l_suppkey") + 1000000L).as("v"))
       .distinct()
-    // r11 (guide §2.4 "a distinct on data that is already unique"): no
-    // trailing distinct on the union — the graph is bipartite with
-    // DISJOINT id ranges (u = partkey < 1 000 000 ≤ suppkey + 1 000 000
-    // = v), so the reversed branch can never collide with the forward
-    // one and the union of a distinct set with its reversal is already
-    // a set. The removed exchange was paid by every graph query.
-    li.union(li.select(col("v").as("u"), col("u").as("v")))
+    // r11 note: removing the trailing distinct (guide §2.4, "distinct on
+    // already-unique data") was tried — at fixture SFs the id ranges are
+    // disjoint (partkey < 1e6 ≤ suppkey + 1e6) so the union of a distinct
+    // set with its reversal is a set, and dropping the exchange measured
+    // ~10-15% off every graph query. REVERTED: partkeys exceed 1e6 from
+    // sf≥5 (2M at sf10), where forward (p, s+1e6) and reversed pairs CAN
+    // coincide; duplicate edges would silently skew the counting
+    // consumers (pagerank degrees, hits sums, modularity) against their
+    // distinct-based oracles at exactly the sf10 gates BASELINE.md
+    // records. The distinct is load-bearing at scale, not redundant.
+    li.union(li.select(col("v").as("u"), col("u").as("v"))).distinct()
   }
 
   /** Connected components: (vertex, component) with component = min vertex
