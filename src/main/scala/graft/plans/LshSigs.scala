@@ -37,6 +37,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 case class LshSigs(child: Expression, planes: Array[Array[Double]], bits: Int)
     extends UnaryExpression {
 
+  // r12 (ADVICE): fail fast on geometry a caller could silently truncate —
+  // the Int signature wraps at bit 31 (the composed form's shiftleft longs
+  // were valid to 63), and integer division below would drop a trailing
+  // partial table if the plane family miscounts.
+  require(bits > 0 && bits <= 31, s"lsh_sigs bits must be in [1,31], got $bits")
+  require(planes.length % bits == 0,
+    s"planes.length=${planes.length} is not a multiple of bits=$bits")
+
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = false
   override def prettyName: String = "lsh_sigs"
@@ -75,9 +83,12 @@ case class LshSigs(child: Expression, planes: Array[Array[Double]], bits: Int)
 
 object LshSigs {
 
-  /** One bit of one table: dot(v, p) > 0 with DotProduct.compute's exact
-    * semantics (left-to-right accumulation; length mismatch or null
-    * element → null dot → bit unset, like `when(null > 0, _)`). */
+  /** One bit of one table: dot(v, p) > 0 with the composed form's exact
+    * Spark semantics (left-to-right accumulation; length mismatch or null
+    * element → null dot → bit unset, like `when(null > 0, _)`; a NaN dot
+    * SETS the bit because Spark's GreaterThan orders NaN above every
+    * value — r12 ADVICE fix: plain Java `d > 0` left it unset, diverging
+    * from the composed form exactly on the NaN inputs the doc claimed). */
   private def bitSet(v: ArrayData, p: Array[Double]): Boolean = {
     val n = p.length
     if (v.numElements() != n) return false
@@ -88,7 +99,7 @@ object LshSigs {
       d += v.getDouble(i) * p(i)
       i += 1
     }
-    d > 0
+    java.lang.Double.isNaN(d) || d > 0
   }
 
   /** Called from interpreted eval and generated code. Never returns null:

@@ -354,7 +354,9 @@ object DedupQueries {
     // MEAN; residual sig-skew is inherent to hyperplane LSH and is why
     // the banded families (minhash/simhash) stay the primary near-dup
     // scale path, with this operator as the embedding-space verifier.
-    val n = Tables.embeddings(s, d).count()
+    // r12: footer-metadata count (zero Spark jobs per fresh plan) — the
+    // same exact value the count() job returned; see Tables.rowCount
+    val n = Tables.rowCount(s, d, "embeddings")
     val effBits = SimilarityQueries.scaledLshBits(n, legacy = bits)
     // single shared definition of the plane family — see lshTableSigs
     val sigs = SimilarityQueries.lshTableSigs(base, effBits, tables,

@@ -226,7 +226,9 @@ object QualityQueries {
     // SimilarityQueries.vecsFitBroadcast) — broadcast keeps the pair
     // stream pipelined, never shuffled; past the budget it degrades to
     // the shuffle that scale genuinely needs
-    val fit = SimilarityQueries.vecsFitBroadcast(s, Tables.embeddings(s, d).count())
+    // r12: footer-metadata count (zero Spark jobs per fresh plan; same
+    // exact value) — see Tables.rowCount
+    val fit = SimilarityQueries.vecsFitBroadcast(s, Tables.rowCount(s, d, "embeddings"))
     def vside(df: DataFrame): DataFrame = if (fit) broadcast(df) else df
     pairs
       .join(vside(byId.select(col("vec_id").as("va"), col("v").as("xa"))), Seq("va"))

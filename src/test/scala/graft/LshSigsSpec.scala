@@ -60,11 +60,22 @@ class LshSigsSpec extends SparkSpec {
     val good = (0 until 64).map(i => java.lang.Double.valueOf(i * 0.01 - 0.3))
     val withNull = good.updated(7, null: java.lang.Double)
     val short = good.take(10)
+    // r12 (ADVICE): pin the NaN/Infinity semantics the doc claims — a NaN
+    // dot must SET the bit on both forms (Spark's GreaterThan orders NaN
+    // above everything), and ±Infinity dots must agree too
+    val withNaN = good.updated(0, java.lang.Double.valueOf(Double.NaN))
+    val withInf =
+      good.updated(0, java.lang.Double.valueOf(Double.PositiveInfinity))
+    val withNegInf =
+      good.updated(0, java.lang.Double.valueOf(Double.NegativeInfinity))
     val rows = Seq(
       org.apache.spark.sql.Row(good),
       org.apache.spark.sql.Row(withNull),
       org.apache.spark.sql.Row(short),
-      org.apache.spark.sql.Row(null)).asJava
+      org.apache.spark.sql.Row(null),
+      org.apache.spark.sql.Row(withNaN),
+      org.apache.spark.sql.Row(withInf),
+      org.apache.spark.sql.Row(withNegInf)).asJava
     val df = spark.createDataFrame(rows, schema)
     val out = df.select(
       LshSigs.lsh_sigs(col("v"), planesFor(4), bits).as("native"),
@@ -77,6 +88,8 @@ class LshSigsSpec extends SparkSpec {
     assert(out(1).getSeq[Int](0).forall(_ == 0))
     assert(out(2).getSeq[Int](0).forall(_ == 0))
     assert(out(3).getSeq[Int](0).forall(_ == 0))
+    // NaN dots rank above 0 in Spark's total order: every bit set
+    assert(out(4).getSeq[Int](0).forall(_ == (1 << bits) - 1))
   }
 
   test("annLshBuckets single-table path: first element equals the legacy 12-plane sig") {
