@@ -185,18 +185,21 @@ object DedupQueries {
       .select(col("doc_id"), bigramShingles(spaceTokens(col("text"))).as("shingles"))
       .persist()
     lshPersisted.put((s, d, maxDocId, threshold), docs)
-    // The k-family sketch is computed RELATIONALLY: explode shingle hashes,
-    // then k codegen'd min(xxhash64(seed, h)) aggregates. The equivalent
-    // nested higher-order-function expression (transform∘array_min∘transform)
-    // is interpreted per element and benches ~20× slower — HOFs don't enter
-    // WholeStageCodegen, hash aggregates do. One doc-keyed shuffle with
-    // map-side partial mins.
+    // The k-family sketch: explode shingle hashes, then ONE native
+    // multi-min aggregate (plans/MinHashSketch, r12) instead of k = 128
+    // separate min(xxhash64(seed, h)) aggregate expressions. Same values
+    // bit-for-bit (MinHashSketchSpec: the aggregate calls the identical
+    // XXH64 statics with the per-slot inner seeds hoisted), but the plan
+    // and its codegen are O(1) in k — the relational form's ~700-node
+    // aggregate was this query's dominant per-fresh-plan constant. The
+    // earlier nested higher-order-function expression
+    // (transform∘array_min∘transform) stays rejected: interpreted per
+    // element, measured ~20× slower. Still one doc-keyed shuffle with
+    // map-side partial mins (ObjectHashAggregate partial/final).
     val exploded = docs.select(col("doc_id"),
       explode(transform(col("shingles"), sh => xxhash64(sh))).as("h"))
-    val minCols = (0 until k).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
     val sigs = exploded.groupBy("doc_id")
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+      .agg(graft.plans.MinHashSketch.minhash_sketch(col("h"), k).as("sig"))
     // Candidate pairs WITHOUT a self-join: group doc ids per band bucket and
     // emit intra-bucket combinations. A self-join would evaluate the whole
     // sketch subplan twice (broadcast joins defeat exchange reuse); this
