@@ -322,30 +322,45 @@ object GraphQueries {
     */
   def bfs(s: SparkSession, d: String, maxIter: Int = 30): DataFrame = {
     val e = edges(s, d).localCheckpoint(false)
+    // r12 (guide §1.2; the dagLayers device, min-plus flavor): rounds run
+    // batchK = 3 to a materialized job via weight-0 self-loop augmentation
+    // — each in-plan round references the carried dist exactly ONCE
+    // (min(dist+w) over eAug ≡ the union+min recurrence), so the lazy
+    // plan stays a linear chain. The r11 rejection stands for DEEP
+    // batches: k = 9 measured 7.4-9.4 s vs 3.4-4.0 s round-at-a-time,
+    // because 2 batches execute 18 in-plan rounds against a ~7-round
+    // fixpoint and per-STAGE fixed costs (~0.3-0.5 s/round at sf0.1)
+    // dwarf the job-launch latency saved. k = 3 overshoots by ≤ 2 rounds
+    // and measured 3.0-3.3 → 2.5-2.7 s same-JVM interleaved (r12),
+    // answer-identical (monotone + idempotent; batch state (count, sum)
+    // stable ⇔ fixpoint, the same probe as before). k divides maxIter, so
+    // the contractual 30-round budget is never exceeded.
+    val batchK = 3
+    val eAug = e.select(col("u"), col("v"), lit(1).as("w"))
+      .union(e.select(col("u")).distinct()
+        .select(col("u"), col("u").as("v"), lit(0).as("w")))
+      .localCheckpoint(false)
     var dist = e.select(col("u").as("vtx")).filter(col("vtx") < 10)
       .distinct().withColumn("dist", lit(0)).localCheckpoint(false)
-    // r11 note (measured, guide §1.1): the batched self-loop unroll (see
-    // dagLayers) was tried here and REJECTED for the same reason as
-    // minLabelPropagation — the full 1.1M-row edge join per in-plan round
-    // makes overshoot past the shallow fixture fixpoint cost more than
-    // the saved driver latency (warm sf0.1: 3.4-4.0 s round-at-a-time vs
-    // 7.4-9.4 s batched). Round-at-a-time with lazy checkpoints stays.
     var converged = false
-    var i = 0
+    var done = 0
     var last = (-1L, Long.MinValue)
-    while (!converged && i < maxIter) {
-      val relaxed = e.join(dist, e("u") === dist("vtx"))
-        .select(col("v").as("vtx"), (col("dist") + 1).as("dist"))
-      val next = dist.union(relaxed)
-        .groupBy("vtx").agg(min("dist").as("dist"))
-        .localCheckpoint(false)
-      val row = next.agg(count(lit(1)),
+    while (!converged && done < maxIter) {
+      val k = math.min(batchK, maxIter - done)
+      var cur = dist
+      for (_ <- 1 to k) {
+        cur = eAug.join(cur, eAug("u") === cur("vtx"))
+          .groupBy(eAug("v").as("vtx"))
+          .agg(min(cur("dist") + col("w")).as("dist"))
+          .select(col("vtx"), col("dist"))
+      }
+      dist = dropStats(s, cur.localCheckpoint(false))
+      val row = dist.agg(count(lit(1)),
         coalesce(sum(col("dist")), lit(0L))).collect()(0)
-      val cur = (row.getLong(0), row.getLong(1))
-      converged = cur == last
-      last = cur
-      dist = next
-      i += 1
+      val c = (row.getLong(0), row.getLong(1))
+      converged = c == last
+      last = c
+      done += k
     }
     if (!converged)
       throw new IllegalStateException(
@@ -622,32 +637,51 @@ object GraphQueries {
     val w = Fnv1a64.ihash31(concat(least(col("u"), col("v")).cast("string"),
       lit("|"), greatest(col("u"), col("v")).cast("string"))) % 1000L + 1L
     val e = und.select(col("u"), col("v"), w.as("w")).localCheckpoint(false)
-    // frontier derives from the CHECKPOINTED edge list (same u column), so
-    // the lineitem scan + distinct edge projection runs once — the bfs idiom
+    // r12 (guide §1.2; the dagLayers device, min-plus flavor): relaxation
+    // rounds run batchK = 5 to a materialized job via weight-0 self-loop
+    // augmentation — min(dist + w) over eAug references the carried dist
+    // exactly ONCE per in-plan round, which IS the union+min recurrence
+    // (self-loop carries each reached vertex's current dist; in-edges
+    // contribute relaxations), so the lazy plan is a linear chain, never
+    // the 2^k unroll. Measured same-JVM interleaved at sf0.1 (r12):
+    // 5.9-7.3 s round-at-a-time → 4.4-5.0 s batched, identical 18 008-row
+    // output. The fixture fixpoint lands at round 15 of the 20-round
+    // budget, so k = 5 overshoots by at most one batch; k divides the
+    // budget, so a non-converged run still executes exactly `rounds`.
+    val batchK = 5
+    val eAug = e.union(e.select(col("u")).distinct()
+        .select(col("u"), col("u").as("v"), lit(0L).as("w")))
+      .localCheckpoint(false)
     var dist = e.select(col("u").as("vtx")).distinct()
       .filter(col("vtx") < 10).withColumn("dist", lit(0L))
       .localCheckpoint(false)
-    // Fixpoint short-circuit under the fixed-rounds contract (the
-    // dag_layers device, min-plus flavor): the reached set only GROWS and
-    // distances only DECREASE, so an unchanged (count, sum) pair means the
-    // round was a no-op — and relaxation is deterministic, so every later
-    // contractual round repeats verbatim. The skipped rounds' outputs are
-    // replayed by doing nothing; the result is bit-identical to the
-    // 20-round definition the oracle unrolls. The per-round aggregate also
-    // materializes each lazy checkpoint (the anti-stack-overflow guard).
+    // Fixpoint short-circuit under the fixed-rounds contract: the reached
+    // set only GROWS and distances only DECREASE, so an unchanged
+    // (count, sum) pair means the batch was a no-op — and relaxation is
+    // deterministic, so every later contractual round repeats verbatim.
+    // The skipped rounds' outputs are replayed by doing nothing; the
+    // result is bit-identical to the 20-round definition the oracle
+    // unrolls. The per-batch aggregate also materializes each lazy
+    // checkpoint (the anti-stack-overflow guard).
     var lastState = (-1L, Long.MinValue)
     var converged = false
-    for (_ <- 1 to rounds if !converged) {
-      val relax = e.join(dist, e("u") === dist("vtx"))
-        .select(col("v").as("vtx"), (col("dist") + col("w")).as("dist"))
-      dist = dropStats(s, dist.union(relax)
-        .groupBy("vtx").agg(min(col("dist")).as("dist"))
-        .localCheckpoint(false))
+    var done = 0
+    while (!converged && done < rounds) {
+      val k = math.min(batchK, rounds - done)
+      var cur = dist
+      for (_ <- 1 to k) {
+        cur = eAug.join(cur, eAug("u") === cur("vtx"))
+          .groupBy(eAug("v").as("vtx"))
+          .agg(min(cur("dist") + col("w")).as("dist"))
+          .select(col("vtx"), col("dist"))
+      }
+      dist = dropStats(s, cur.localCheckpoint(false))
       val row = dist.agg(count(lit(1)),
         coalesce(sum(col("dist")), lit(0L))).collect()(0)
-      val cur = (row.getLong(0), row.getLong(1))
-      converged = cur == lastState
-      lastState = cur
+      val cr = (row.getLong(0), row.getLong(1))
+      converged = cr == lastState
+      lastState = cr
+      done += k
     }
     dist.orderBy("vtx")
   }
