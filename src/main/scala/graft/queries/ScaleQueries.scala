@@ -89,10 +89,23 @@ object ScaleQueries {
     */
   def pruningStats(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
-    val natural = o.withColumn("file_id",
-      ntile(15).over(Window.orderBy(col("o_orderkey"))).cast("long"))
-    val sorted = o.withColumn("file_id",
-      ntile(15).over(Window.orderBy(col("o_totalprice"), col("o_orderkey"))).cast("long"))
+    // r12 (guide §2 / VERDICT): the per-row ntile rode an UNPARTITIONED
+    // window unconditionally — a single-partition sort of every order at
+    // 100 TB. Hybrid now (rationale at TwoPass.smallInput): under the
+    // row-count gate (parquet-footer stats, zero jobs) the classic window
+    // stays — bounded input, and 2× cheaper at fixture scale; past it
+    // TwoPass.globalNtile reproduces ntile's exact bucket boundaries from
+    // a range-partitioned global rank (same file_id values bit-for-bit —
+    // TwoPassSpec, and the pure two-pass form was oracle-gated green at
+    // all three fixture SFs before the gate landed). Both orders are
+    // total because o_orderkey tie-breaks.
+    val small = TwoPass.smallInput(s, Tables.rowCount(s, d, "orders"))
+    def tiled(keys: Seq[Column]): DataFrame =
+      if (small) o.withColumn("file_id",
+        ntile(15).over(Window.orderBy(keys: _*)).cast("long"))
+      else TwoPass.globalNtile(o, 15, keys, "file_id")
+    val natural = tiled(Seq(col("o_orderkey")))
+    val sorted = tiled(Seq(col("o_totalprice"), col("o_orderkey")))
     def zones(df: DataFrame): DataFrame =
       df.groupBy("file_id")
         .agg(min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))

@@ -141,22 +141,33 @@ object StatsQueries {
       .orderBy("event_id")
   }
 
-  /** Equi-depth (decile) histogram of order totals: ntile over a total
-    * order (value, key tie-break) → per-bucket count/min/max. The
-    * complement of q_histogram's fixed-width bins. Global ntile needs a
-    * total sort — the honest exact cost; at 100 TB the substitution is
-    * approx-quantile boundaries (q_approx_percentile's GK sketch) +
-    * a broadcast bucket assignment, trading exactness for one pass.
+  /** Equi-depth (decile) histogram of order totals: exact ntile bucket
+    * boundaries over a total order (value, key tie-break) → per-bucket
+    * count/min/max. The complement of q_histogram's fixed-width bins.
+    * r12: the per-row ntile no longer rides an unpartitioned window (a
+    * single-partition global sort at 100 TB) — TwoPass.globalNtile
+    * reproduces the identical bucket ids from a range-partitioned rank,
+    * so the result stays EXACT (the r11-era comment offered approx-
+    * quantile boundaries as the scale substitution; the two-pass keeps
+    * exactness instead). DuckDB ntile returns BIGINT, hence LongType.
     */
-  def histogramEquidepth(s: SparkSession, d: String, buckets: Int = 10): DataFrame =
-    Tables.orders(s, d)
-      .select(col("o_totalprice"),
-        ntile(buckets).over(Window.orderBy(col("o_totalprice"), col("o_orderkey")))
-          .cast("long").as("decile")) // DuckDB ntile returns BIGINT
+  def histogramEquidepth(s: SparkSession, d: String, buckets: Int = 10): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_totalprice"), col("o_orderkey"))
+    val keys = Seq(col("o_totalprice"), col("o_orderkey"))
+    // hybrid gate: classic window under the footer-stats row bound (2×
+    // cheaper at fixture scale), exact two-pass past it — see
+    // TwoPass.smallInput for the rationale and evidence
+    val tiled =
+      if (TwoPass.smallInput(s, Tables.rowCount(s, d, "orders")))
+        o.select(col("o_totalprice"),
+          ntile(buckets).over(Window.orderBy(keys: _*)).cast("long").as("decile"))
+      else TwoPass.globalNtile(o, buckets, keys, "decile")
+    tiled
       .groupBy("decile")
       .agg(count(lit(1)).as("n_orders"),
         min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
       .orderBy("decile")
+  }
 
   /** Two-sample Kolmogorov-Smirnov test: are click values and view
     * values drawn from the same distribution? D = max |F_a - F_b| over
