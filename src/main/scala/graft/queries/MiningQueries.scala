@@ -298,11 +298,20 @@ object MiningQueries {
     */
   def randomWalks(s: SparkSession, d: String, steps: Int = 5,
       maxStart: Long = 50L): DataFrame = {
-    val e = GraphQueries.edges(s, d)
+    // r12 (guide §2.4 / §1.2): each step's output is referenced TWICE —
+    // as the next step's frontier AND in the accumulated walk union — so
+    // the un-checkpointed fold doubled the lazy plan per step (2^steps
+    // subtree copies; execution deduped only up to the window's exchange,
+    // recomputing the window+filter per reference). Lazy localCheckpoints
+    // make every step compute once and the plan stay linear; e and w0 get
+    // the same treatment (e feeds every step's join). Measured same-JVM
+    // interleaved at sf0.1: 4.0-4.8 s → 2.8-3.5 s, identical 294 rows.
+    val e = GraphQueries.edges(s, d).localCheckpoint(false)
     val w0 = e.select(col("u").as("walk_id")).distinct()
       .filter(col("walk_id") < maxStart)
       .withColumn("cur", col("walk_id"))
       .withColumn("step", lit(0L))
+      .localCheckpoint(false)
     val all = (1 to steps).foldLeft((w0, w0)) { case ((frontier, acc), k) =>
       val cand = frontier.select(col("walk_id"), col("cur"))
         .join(e, col("cur") === col("u"))
@@ -312,6 +321,7 @@ object MiningQueries {
       val next = cand.withColumn("rn", row_number().over(wd))
         .filter(col("rn") === 1)
         .select(col("walk_id"), col("v").as("cur"), lit(k.toLong).as("step"))
+        .localCheckpoint(false)
       (next, acc.unionByName(next))
     }._2
     all.select(col("walk_id"), col("step"), col("cur").as("node"))
