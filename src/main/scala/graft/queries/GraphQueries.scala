@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.plans.Fnv1a64
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph computation — connected components by min-label
@@ -960,17 +961,35 @@ object GraphQueries {
     // renormalization chain share one evaluation was tried and REJECTED —
     // the added materialization jobs cancel the halved compute at this
     // scale (warm sf0.1, normalized against an untouched control: a wash).
+    //
+    // r12 (guide §1.2): each half-round's crossJoin(broadcast(max)) forces
+    // a BroadcastExchange SUB-JOB — 16 of them per query, ~0.3 s apiece at
+    // sf0.1 where the score tables are tiny. Under the footer-stats row
+    // gate (TwoPass.smallInput on BOTH endpoint dimensions — hub scores
+    // are part-keyed, auth scores supplier-keyed, so either can be
+    // row-scale at warehouse volume) the same max rides an unpartitioned
+    // window over the half-round aggregate instead: identical values
+    // (same long max, same double division — A/B'd row-identical), no
+    // sub-job, and the bounded-input condition is exactly the verdict's
+    // "small aggregate" exception. Past the gate the broadcast form stays
+    // — a window over a row-scale score table would be the single-
+    // partition sort TwoPass exists to avoid. Measured same-JVM
+    // interleaved at sf0.1: 6.1-11.7 → 5.0-7.2 s.
+    val smallDims = TwoPass.smallInput(s, Tables.rowCount(s, d, "part")) &&
+      TwoPass.smallInput(s, Tables.rowCount(s, d, "supplier"))
+    val wAll = Window.partitionBy()
+    def renorm(raw: DataFrame, key: String, v: String, mx: String): DataFrame =
+      if (smallDims)
+        raw.withColumn(mx, max(col(v)).over(wAll))
+          .select(col(key), round(col(v) / col(mx) * 1000000.0).cast("long").as(v))
+      else
+        raw.crossJoin(broadcast(raw.agg(max(col(v)).as(mx))))
+          .select(col(key), round(col(v) / col(mx) * 1000000.0).cast("long").as(v))
     for (_ <- 1 to rounds) {
       val aRaw = e.join(hub, "p").groupBy("sv").agg(sum(col("h")).as("a"))
-      val aMax = aRaw.agg(max(col("a")).as("am"))
-      auth = dropStats(s, aRaw.crossJoin(broadcast(aMax))
-        .select(col("sv"), round(col("a") / col("am") * 1000000.0).cast("long").as("a"))
-        .localCheckpoint(false))
+      auth = dropStats(s, renorm(aRaw, "sv", "a", "am").localCheckpoint(false))
       val hRaw = e.join(auth, "sv").groupBy("p").agg(sum(col("a")).as("h"))
-      val hMax = hRaw.agg(max(col("h")).as("hm"))
-      hub = dropStats(s, hRaw.crossJoin(broadcast(hMax))
-        .select(col("p"), round(col("h") / col("hm") * 1000000.0).cast("long").as("h"))
-        .localCheckpoint(false))
+      hub = dropStats(s, renorm(hRaw, "p", "h", "hm").localCheckpoint(false))
     }
     hub.select(col("p").as("vtx"), lit("hub").as("kind"),
         round(col("h") / 1000000.0, 6).as("score"))

@@ -45,7 +45,7 @@ class TwoPassSpec extends SparkSpec {
 
   test("registry hybrids: forced two-pass path ≡ classic window path") {
     val names = Seq("layout_pruning_stats", "q_histogram_equidepth",
-      "pipeline_token_budget", "pipeline_e2e_curation")
+      "pipeline_token_budget", "pipeline_e2e_curation", "graph_hits")
     names.foreach { n =>
       spark.conf.unset(TwoPass.SmallInputLimitKey)
       val classic = SparkEntry.queries(n)(spark, sf).collect().map(_.toString)
