@@ -25,21 +25,36 @@ object GraphQueries {
     * lineitem graph is one giant blob — useless as a test).
     */
   private[queries] def edges(s: SparkSession, d: String): DataFrame = {
+    // r12 (guide §2.4): ONE canonical distinct instead of the historical
+    // two (inner pair distinct + outer distinct after symmetrization).
+    // Set algebra, valid at EVERY scale — no id-range assumption:
+    //   distinct(A ∪ rev(A)) = C ∪ rev(C \ diagonal)
+    // where C = distinct (least, greatest) canonical pairs: every
+    // undirected pair appears in C exactly once with a ≤ b, the reversed
+    // branch (a > b strictly) is DISJOINT from C by construction, and a
+    // self-loop (a = b, possible from sf≥5 where partkeys overlap
+    // s+1e6 — the r11 revert's exact hazard) is emitted exactly once by
+    // the C branch and filtered from the reversal. One exchange carries
+    // the canonical pair set; the symmetrizing union is exchange-free.
+    // Measured same-JVM interleaved at sf0.1: 3 → 2 Exchanges,
+    // 0.73-2.00 → 0.52-1.69 s per derivation, identical 118 544-row set —
+    // times ~17 graph consumers per full run.
+    //
+    // r11 note (still binding): dropping dedup OUTRIGHT on the
+    // disjoint-id-range argument was tried and REVERTED — partkeys exceed
+    // 1e6 from sf≥5, where forward (p, s+1e6) and reversed pairs CAN
+    // coincide and duplicate edges would skew the counting consumers
+    // (pagerank degrees, hits sums, modularity) against their
+    // distinct-based oracles. Dedup stays; it just costs one exchange
+    // now, not two.
     val li = Tables.lineitem(s, d)
       .filter(col("l_partkey") % 10 === col("l_suppkey") % 10)
-      .select(col("l_partkey").as("u"), (col("l_suppkey") + 1000000L).as("v"))
+      .select(least(col("l_partkey"), col("l_suppkey") + 1000000L).as("a"),
+        greatest(col("l_partkey"), col("l_suppkey") + 1000000L).as("b"))
       .distinct()
-    // r11 note: removing the trailing distinct (guide §2.4, "distinct on
-    // already-unique data") was tried — at fixture SFs the id ranges are
-    // disjoint (partkey < 1e6 ≤ suppkey + 1e6) so the union of a distinct
-    // set with its reversal is a set, and dropping the exchange measured
-    // ~10-15% off every graph query. REVERTED: partkeys exceed 1e6 from
-    // sf≥5 (2M at sf10), where forward (p, s+1e6) and reversed pairs CAN
-    // coincide; duplicate edges would silently skew the counting
-    // consumers (pagerank degrees, hits sums, modularity) against their
-    // distinct-based oracles at exactly the sf10 gates BASELINE.md
-    // records. The distinct is load-bearing at scale, not redundant.
-    li.union(li.select(col("v").as("u"), col("u").as("v"))).distinct()
+    li.select(col("a").as("u"), col("b").as("v"))
+      .union(li.filter(col("a") =!= col("b"))
+        .select(col("b").as("u"), col("a").as("v")))
   }
 
   /** Connected components: (vertex, component) with component = min vertex
